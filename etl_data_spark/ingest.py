@@ -1,0 +1,46 @@
+"""Bronze ingest: truncate-and-load with validity-reject accounting.
+
+Replaces the reference's row-by-row INSERT loop (reference: data-pipeline/
+src/load_data_to_db.py:13-56) — its per-row try/except "skip bad rows, count
+good ones" semantics become a distributed validity filter + rejected-row
+count, and the TRUNCATE+INSERT becomes one overwrite write. NaN -> NULL
+coercion (load_data_to_db.py:22-25) is native to Spark's schema path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class IngestReport:
+    loaded: int
+    rejected: int
+
+
+def validity_predicate() -> F.Column:
+    """Rows a row-wise INSERT into the bronze DDL could not accept.
+
+    Bronze has no CHECK constraints (01_init_all.sql:5-20), so the only
+    hard failures are varchar-length overflows; mirror those limits.
+    """
+    return (
+        (F.length("user_id") <= 50)
+        & (F.length("user_name") <= 100)
+        & (F.coalesce(F.length("product_category") <= 50, F.lit(True)))
+        & (F.coalesce(F.length("region") <= 50, F.lit(True)))
+        & (F.coalesce(F.length("customer_status") <= 20, F.lit(True)))
+    )
+
+
+def ingest_bronze(df: DataFrame, path: str | None = None) -> tuple[DataFrame, IngestReport]:
+    """Filter invalid rows, optionally persist bronze, report counts."""
+    ok = df.filter(validity_predicate())
+    loaded = ok.count()
+    rejected = df.count() - loaded
+    if path is not None:
+        ok.write.mode("overwrite").parquet(path)
+    return ok, IngestReport(loaded=loaded, rejected=rejected)

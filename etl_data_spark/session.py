@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Replaces the reference's DB bootstrap (reference: data-pipeline/src/
+init_database.py:20-380) — there is no server to connect to; the session IS
+the engine. Config defaults are chosen for the 100 TB design point:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing);
+- shuffle partitions sized to cores locally — on a real cluster AQE's
+  ``advisoryPartitionSizeInBytes`` makes the initial number mostly moot;
+- Arrow enabled so the Pandas-UDF slow path is batch-vectorized;
+- UTC session timezone so date/timestamp semantics match columnar files and
+  external oracles regardless of host timezone;
+- broadcast threshold left at default 10 MB — dimension tables here are
+  orders of magnitude smaller; explicit ``F.broadcast`` hints are still used
+  at call sites so intent survives statistics loss.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "etl-data-spark"
+
+
+def _local_cores() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    On a cluster, pass ``master=None`` and let spark-submit supply the
+    master; locally defaults to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cores = _local_cores()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cores}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,167 @@
+"""Pipeline tests mirroring the reference's strategy (SURVEY §5):
+post-condition data-quality assertions on every layer, determinism of the
+generator, idempotent windowed reloads, DQ framework output shape.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_spark.cleanse import cleanse, date_window_filter
+from etl_data_spark.dq import run_reference_dq
+from etl_data_spark.generate import generate_source
+from etl_data_spark.io.writers import overwrite_by_window
+from etl_data_spark.pipeline import run_pipeline
+from etl_data_spark.star import build_star
+
+
+@pytest.fixture(scope="module")
+def bronze(spark):
+    return generate_source(spark, rows=1000, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def silver(bronze):
+    return cleanse(bronze, "2023-01-01", "2023-12-31").cache()
+
+
+def test_generator_deterministic(spark, bronze):
+    again = generate_source(spark, rows=1000, seed=42)
+    a = sorted(map(tuple, bronze.drop("loaded_at").collect()))
+    b = sorted(map(tuple, again.drop("loaded_at").collect()))
+    assert a == b
+
+
+def test_generator_partition_independent(spark):
+    one = generate_source(spark, rows=500, seed=7, num_partitions=1)
+    many = generate_source(spark, rows=500, seed=7, num_partitions=13)
+    assert sorted(map(tuple, one.drop("loaded_at").collect())) == sorted(
+        map(tuple, many.drop("loaded_at").collect())
+    )
+
+
+def test_generator_has_anomalies(bronze):
+    n = bronze.count()
+    assert n > 1000  # duplicates appended
+    assert bronze.filter(F.col("salary") < 0).count() > 0
+    assert bronze.filter(F.col("age").isNull()).count() > 0
+    assert bronze.filter(F.col("effective_to") < F.col("effective_from")).count() > 0
+    assert bronze.filter(F.col("product_category") == "Invalid_Category").count() > 0
+
+
+def test_silver_postconditions(silver):
+    """The reference's own correctness spec (test_etl.py:105-131)."""
+    assert silver.filter(F.col("salary") < 0).count() == 0
+    assert silver.filter((F.col("age") < 18) | (F.col("age") > 100)).count() == 0
+    assert silver.filter(F.col("age").isNull()).count() == 0
+    assert silver.filter(F.col("effective_to") < F.col("effective_from")).count() == 0
+    assert silver.filter(F.col("user_id").isNull()).count() == 0
+    assert silver.filter(
+        (F.col("purchase_amount") < 0) | (F.col("purchase_amount") > 100000)
+    ).count() == 0
+    cats = {r[0] for r in silver.select("product_category").distinct().collect()}
+    assert cats <= {"Electronics", "Clothing", "Books", "Home", "Sports", "Other"}
+    stats = {r[0] for r in silver.select("customer_status").distinct().collect()}
+    assert all(s == s.lower() for s in stats)
+
+
+def test_silver_window_gate_uses_raw_dates(spark):
+    """Rows whose RAW dates fall outside the window are excluded even if the
+    repaired dates would fall inside (01_init_all.sql:132-134 semantics)."""
+    rows = [
+        # raw effective_from 2019 -> repaired to 2023, but raw is < start: drop
+        (1, "u1", "U1", 30, 100.0, 50.0, "Books", "North", "active", 5,
+         dt.date(2019, 6, 1), dt.date(2023, 6, 1), True),
+        # in-window row: kept
+        (2, "u2", "U2", 30, 100.0, 50.0, "Books", "North", "active", 5,
+         dt.date(2023, 2, 1), dt.date(2023, 6, 1), True),
+    ]
+    cols = ["id", "user_id", "user_name", "age", "salary", "purchase_amount",
+            "product_category", "region", "customer_status", "transaction_count",
+            "effective_from", "effective_to", "current_flag"]
+    df = spark.createDataFrame(rows, cols)
+    out = cleanse(df, "2023-01-01", "2023-12-31")
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_effective_to_repair_reads_raw_from(spark):
+    """effective_to < RAW effective_from -> raw_from + 30d, even when
+    effective_from itself is being repaired (P8 evaluation-order subtlety)."""
+    rows = [(1, "u1", "U1", 30, 100.0, 50.0, "Books", "North", "active", 5,
+             dt.date(2023, 5, 10), dt.date(2023, 5, 1), True)]
+    cols = ["id", "user_id", "user_name", "age", "salary", "purchase_amount",
+            "product_category", "region", "customer_status", "transaction_count",
+            "effective_from", "effective_to", "current_flag"]
+    out = cleanse(spark.createDataFrame(rows, cols), None, None).first()
+    assert out["effective_to"] == dt.date(2023, 6, 9)  # raw_from + 30 days
+
+
+def test_star_schema(spark, silver):
+    star = build_star(silver)
+    assert star.dims["dim_product"].count() <= 6
+    assert star.dims["dim_region"].count() <= 5
+    assert star.dims["dim_status"].count() <= 4
+    assert star.dims["dim_customer"].count() <= 100
+    fact = star.fact
+    assert fact.count() == silver.count()
+    # surrogate resolution: every fact row resolves all four dims (silver
+    # guarantees non-null natural keys)
+    for c in ["customer_id", "product_id", "region_id", "status_id"]:
+        assert fact.filter(F.col(c).isNull()).count() == 0
+    # fact_id unique
+    assert fact.select("fact_id").distinct().count() == fact.count()
+
+
+def test_dim_upsert_idempotent(spark, silver):
+    star1 = build_star(silver)
+    star2 = build_star(silver, existing=star1)
+    for name in star1.dims:
+        assert star2.dims[name].count() == star1.dims[name].count()
+        ids = star2.dims[name].select(star2.dims[name].columns[0]).collect()
+        assert len({r[0] for r in ids}) == len(ids)
+
+
+def test_dq_all_pass(spark, silver):
+    star = build_star(silver)
+    res = run_reference_dq(spark, silver, star.fact)
+    rows = {r["check_type"]: r["status"] for r in res.collect()}
+    assert rows == {
+        "correctness": "passed",
+        "completeness": "passed",
+        "consistency": "passed",
+        "uniqueness": "passed",
+        "validity": "passed",
+        "summary": "passed",
+    }
+
+
+def test_dq_detects_violations(spark, silver):
+    bad = silver.withColumn(
+        "salary", F.when(F.col("id") % 10 == 0, -5).otherwise(F.col("salary"))
+    )
+    star = build_star(bad)
+    res = run_reference_dq(spark, bad, star.fact)
+    status = {r["check_type"]: r["status"] for r in res.collect()}
+    assert status["validity"] == "failed"
+    assert status["summary"] == "failed"
+
+
+def test_overwrite_by_window(spark, silver, tmp_path):
+    path = str(tmp_path / "t")
+    n1 = overwrite_by_window(spark, silver, path, "2023-01-01", "2023-12-31")
+    n2 = overwrite_by_window(spark, silver, path, "2023-01-01", "2023-12-31")
+    assert n1 == n2
+    stored = spark.read.parquet(path)
+    assert stored.count() == silver.count()  # idempotent reload, no dup rows
+
+
+def test_full_pipeline(spark, tmp_path):
+    res = run_pipeline(spark, rows=500, warehouse=str(tmp_path / "wh"))
+    assert res.silver_count > 0
+    assert res.exported_count == res.star.fact.count()
+    assert res.dq_results.filter(F.col("status") != "passed").count() == 0
+
+
+def test_date_window_filter_none_bounds(spark, silver):
+    assert date_window_filter(silver, None, None).count() == silver.count()
