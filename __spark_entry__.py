@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 All real logic lives in the ``etl_data_spark`` package; this module only
-adapts its query registry to the driver contract.
+adapts its query catalog to the driver contract.
 """
 
 from __future__ import annotations
@@ -15,17 +15,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_data_spark import queries as _q
+from etl_data_spark import catalog as _cat
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _q.q_pricing_summary(spark, "/root/testdata/sf0.001")
+    return _cat.flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _q.queries()
+    return _cat.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return _q.oracle_sql()
+    return _cat.oracle_sql()

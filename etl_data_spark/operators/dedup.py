@@ -1,0 +1,317 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for 100 TB document sets:
+
+- **exact**: hash-groupBy on a fingerprint of normalized text — one shuffle
+  keyed by a 16-byte digest instead of full document bodies.
+- **n-gram Jaccard (exact near-dup)**: inverted-index self-join on shingles
+  (explode -> join on shingle -> count shared), NEVER an all-pairs cross
+  join; cost is sum over shingles of (docs-per-shingle choose 2), which
+  stays tractable when shingles are selective.
+- **MinHash + LSH**: the scale path. Per-doc signature of H hash-mins, cut
+  into B bands; docs sharing any band bucket become candidates (equi-join on
+  the band key — shuffle keyed by tiny band hashes), then candidates are
+  verified with exact Jaccard. Recall for pairs at similarity s is
+  1-(1-s^r)^B; defaults (H=64, B=16, r=4) give >0.999 recall at s>=0.8.
+- **SimHash**: 64-bit signature whose Hamming distance approximates cosine
+  similarity of token sets; banding the bits gives the same LSH-join shape.
+
+All hashing is md5-derived (first 15 hex digits as int64) so every operator
+has a bit-identical ANSI-SQL mirror for oracle verification — no dependence
+on engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_data_spark.operators.text import fingerprint
+
+# --- shingling ---------------------------------------------------------------
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams of a single-space-tokenized text column.
+
+    Uses 1-based element_at so the expression mirrors 1-based SQL list
+    indexing exactly.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    # Guard short texts: Spark's sequence(1, k) with k < 1 produces a
+    # DESCENDING sequence (not empty like SQL range), so gate explicitly.
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, parts))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str, use_fingerprint: bool = True
+) -> DataFrame:
+    """Keep min-id survivor per identical text; report group sizes.
+
+    With ``use_fingerprint`` the shuffle key is a 16-byte digest, not the
+    document body — at 100 TB this is the difference between shuffling
+    hashes and shuffling the corpus.
+    """
+    key = fingerprint(text_col) if use_fingerprint else F.col(text_col)
+    return (
+        df.groupBy(key.alias("dedup_key"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("dedup_key")
+    )
+
+
+# --- MinHash -----------------------------------------------------------------
+
+
+def _hash_expr(i: int, s: str) -> str:
+    """Portable 60-bit hash of shingle ``s`` for hash-family member ``i``."""
+    return f"cast(conv(substr(md5(concat('{i}', ':', {s})), 1, 15), 16, 10) as bigint)"
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 64) -> F.Column:
+    """Array of ``num_hashes`` minimums over md5-family hashes of shingles."""
+    mins = [
+        F.expr(
+            f"array_min(transform({shingle_col}, s -> {_hash_expr(i, 's')}))"
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def band_keys(sig_col: str, bands: int, rows_per_band: int) -> F.Column:
+    """Cut the signature into bands; key = band index + joined band values."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[
+                    F.element_at(F.col(sig_col), b * rows_per_band + r + 1).cast(
+                        "string"
+                    )
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: str | F.Column, b: str | F.Column) -> F.Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(ca, cb))
+    union = F.size(F.array_union(ca, cb))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
+
+    Plan shape at scale: one narrow map to (id, band_key) pairs, one
+    shuffle-join keyed on band_key, dedupe of candidate pairs, then a join
+    back to fetch the two shingle sets for exact verification. No stage
+    touches all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    banded = docs.select(
+        "doc_id", minhash_signature("sh", num_hashes).alias("sig")
+    ).select(
+        "doc_id", F.explode(band_keys("sig", bands, rows_per_band)).alias("band")
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jaccard("sh_a", "sh_b"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-dup pairs via inverted-index join on shingles.
+
+    shared(a,b) = |sh_a ∩ sh_b| computed by exploding distinct shingles and
+    counting joint occurrences — the standard scalable formulation (cost
+    concentrates on hot shingles; pair pruning happens before any document
+    body moves).
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+
+    inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(shingle_col: str, bits: int = 48) -> F.Column:
+    """SimHash signature: per-bit majority vote over md5-derived token hashes.
+
+    bit_j(doc) = 1 iff more shingle-hashes have bit j set than not. Computed
+    as a sum over shingles of (+1/-1) per bit, JVM-side via higher-order
+    functions; returns the signature as an array<int> of bits (0/1), which
+    keeps banding/hamming portable (no 64-bit sign headaches). The md5-derived
+    hash is 60 bits wide, so bits must be <= 60 (default 48).
+    """
+    h = _hash_expr(0, "s")
+    bit_votes = [
+        F.expr(
+            f"aggregate(transform({shingle_col}, s -> "
+            f"case when ({h} div {2**j}) % 2 = 1 then 1 else -1 end), 0, (acc, x) -> acc + x)"
+        )
+        for j in range(bits)
+    ]
+    return F.array(*[(F.when(v > 0, 1).otherwise(0)) for v in bit_votes])
+
+
+def hamming(a: str | F.Column, b: str | F.Column) -> F.Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    bits: int = 48,
+    bands: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash Hamming distance <= max_hamming.
+
+    Candidate generation via bit-band LSH (a pair within distance d shares
+    at least one of ``bands`` bands when d < bands), then exact Hamming
+    verification — same join shape as MinHash-LSH.
+    """
+    rows = bits // bands
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sigs = docs.select("doc_id", simhash("sh", bits).alias("sig"))
+
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[
+                            F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select("id_a", "id_b", hamming("sig_a", "sig_b").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB design:
+
+- **Brute-force cosine top-k** — the exactness baseline. One narrow map
+  computing dot/norms JVM-side (zip_with + aggregate fold, no Python), then
+  a TakeOrderedAndProject top-k: no shuffle of the corpus, only k rows to
+  the driver. Linear scan, perfectly parallel.
+- **IVF (inverted-file) / LSH-bucketed ANN** — the scale path. Vectors are
+  assigned to coarse buckets (random-hyperplane signs, seeded and
+  hash-derived so assignment is deterministic and partition-independent).
+  A query probes only its own bucket (+ optional neighbors), turning a
+  full-corpus scan into a pruned partition read; bucket id is a parquet
+  partition column at rest.
+
+Float determinism: fold order over array elements is index order in both
+Spark (aggregate) and the SQL mirror (list_sum over list_transform), so
+oracle comparison is bit-stable; similarities are rounded to 6dp at the
+emit boundary anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: F.Column | str, b: F.Column | str) -> F.Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: F.Column | str) -> F.Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(ca, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: F.Column | str, b: F.Column | str) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector. Ties break on id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: for each left row, its k nearest right rows.
+
+    Small/medium corpora only (cross join). The scale path is
+    ``lsh_bucket_assign`` + per-bucket knn_join, which prunes the cross
+    product to bucket-local candidates.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(
+        F.col(left_id).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    r = right.select(
+        F.col(right_id).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = l.crossJoin(r).filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _plane(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from (seed, plane) — driver-side
+    tiny, hash-based so no RNG state."""
+    import hashlib
+    import struct
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}:{plane}:{d}".encode()).digest()
+        (u,) = struct.unpack("<Q", h[:8])
+        vals.append((u / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket_assign(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (0..2^num_planes-1) per vector.
+
+    The bucket column is the ANN partition key: write the corpus partitioned
+    by it, and a query probes only matching buckets (plus Hamming-adjacent
+    ones for higher recall).
+    """
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _plane(seed, p, dim)])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, 1).otherwise(0)
+        bucket = bucket * 2 + bit
+    return df.withColumn(out_col, bucket)
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 4,
+    probe_adjacent: bool = True,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (optionally + all buckets at Hamming distance 1)."""
+    dim = len(query_vec)
+    bucketed = lsh_bucket_assign(df, dim, num_planes, seed, vec_col)
+
+    qbits = []
+    for p in range(num_planes):
+        plane = _plane(seed, p, dim)
+        s = sum(a * b for a, b in zip(query_vec, plane))
+        qbits.append(1 if s >= 0 else 0)
+    qbucket = 0
+    for b in qbits:
+        qbucket = qbucket * 2 + b
+    probes = {qbucket}
+    if probe_adjacent:
+        probes |= {qbucket ^ (1 << i) for i in range(num_planes)}
+
+    candidates = bucketed.filter(F.col("bucket").isin(*probes))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,123 @@
+"""Temporal operators Spark lacks natively: as-of join, sessionization.
+
+Both are compositions of built-in DataFrame ops (union + window functions),
+never per-row Python — so they shuffle once on the join/session key and scale
+with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.on <= left.on, matching on the ``by`` key (ASOF JOIN ... MATCH).
+
+    Implementation: tag + union both sides, one window partitioned by ``by``
+    ordered by (on, tag) carrying last_value(right payload) forward, then
+    keep left rows. One shuffle on ``by`` — the same cost as a plain
+    equi-join on the key, regardless of how many right rows precede each
+    left row (vs. the naive join+filter+max which explodes pairs).
+
+    Ordering note: at equal timestamps the right row sorts BEFORE the left
+    row (tag 0 < 1), so an exactly-simultaneous right row matches —
+    standard ASOF (<=) semantics.
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, by)]
+
+    l_tagged = left.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l_payload"),
+    )
+    r_tagged = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.lit(None)
+        .cast(l_tagged.schema["__l_payload"].dataType)
+        .alias("__l_payload"),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__last_{c}")
+            for c in rcols
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        F.col("__l_payload.*"),
+        *[F.col(f"__last_{c}").alias(f"{c}{suffix}") for c in rcols],
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same key exceeds ``gap_minutes``.
+
+    lag + cumulative-sum over one window — the batch twin of Structured
+    Streaming's ``session_window``.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # microsecond epochs: exact integers, no fractional-second ambiguity at
+    # the gap boundary (cast-to-long would truncate and disagree with SQL)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.withColumn("__new", new_session)
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws("#", F.col(key_col).cast("string"), F.col("session_seq")),
+        )
+        .drop("__new")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup: bounds, duration, event count."""
+    s = sessionize(events, ts_col, key_col, gap_minutes)
+    return s.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col)))).alias(
+            "duration_us"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,187 @@
+"""Operator-level tests with constructed ground truth (synthetic inputs
+where the expected answer is known exactly)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_spark.operators import dedup as D
+from etl_data_spark.operators import multimodal as M
+from etl_data_spark.operators import similarity as S
+from etl_data_spark.operators import temporal as TP
+from etl_data_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different content about spark query engines at scale"),
+        (5, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark, docs):
+    out = D.dedup_exact(docs, "doc_id", "text").collect()
+    groups = {(r["survivor_id"], r["n_copies"]) for r in out}
+    assert (1, 2) in groups  # docs 1+2 collapse
+    assert sum(n for _, n in groups) == 5
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_dups(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    assert out.get((1, 2)) == 0  # identical docs -> identical signatures
+    assert (1, 4) not in out
+
+
+def test_text_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog!"), (2, ""), (3, "der und die nicht der")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.token_count("text").alias("n"),
+            TX.language_id("text").alias("lang"),
+            TX.punct_ratio("text").alias("punct"),
+            TX.fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert out[1]["n"] == 5
+    assert out[2]["n"] == 0
+    assert out[1]["lang"] == "en"
+    assert out[3]["lang"] == "de"
+    assert out[1]["punct"] > 0
+    assert len(out[1]["fp"]) == 16
+
+
+def test_language_id_tie_breaks_alphabetically(spark):
+    # 'la' is French-marker; text with equal fr and es scores -> alphabetical
+    df = spark.createDataFrame([(1, "el le")], ["doc_id", "text"])
+    r = df.select(TX.language_id("text").alias("lang")).first()
+    assert r["lang"] == "es"  # es before fr alphabetically, scores tied 1-1
+
+
+def test_brute_force_topk_self_first(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert out[0]["vec_id"] == 0 and abs(out[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_ann_recall_against_brute_force(spark):
+    sf = "/root/testdata/sf0.001"
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r["vec_id"] for r in S.brute_force_topk(e, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in S.ann_topk(e, qvec, k=10, num_planes=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # 4-plane LSH with adjacent probing on clustered data
+
+
+def test_knn_join_rank_and_symmetry(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.knn_join(df, df, k=2).collect()
+    }
+    assert out[(0, 1)] == 1  # nearest to e_x is the 0.9/0.1 vector
+    assert out[(2, 1)] == 1
+
+
+def test_asof_join_semantics(spark):
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u", t + dt.timedelta(minutes=10)), (2, "u", t), (3, "v", t)],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", t, 100), ("u", t + dt.timedelta(minutes=5), 101)],
+        ["user_id", "ts", "event_id"],
+    )
+    out = {
+        r["event_id"]: r["event_id_right"]
+        for r in TP.asof_join(left, right, on="ts", by="user_id",
+                              right_cols=["event_id"]).collect()
+    }
+    assert out[1] == 101  # latest right at or before t+10
+    assert out[2] == 100  # equal timestamp matches (<= semantics)
+    assert out[3] is None  # no right rows for user v -> left outer
+
+
+def test_sessionize_gap(spark):
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t),
+        (1, t + dt.timedelta(minutes=10)),
+        (1, t + dt.timedelta(minutes=50)),  # >30min gap -> new session
+        (2, t),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    stats = TP.session_stats(df, key_col="user_id", gap_minutes=30)
+    assert stats.count() == 3
+    big = stats.filter(F.col("n_events") == 2).first()
+    assert big["duration_us"] == 600 * 1_000_000
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [
+        (1, b"hello world" * 100, ("image", "png", 64, 64, None, None)),
+        (2, None, ("audio", "wav", None, None, 16000, 1500)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    dec = {r["media_id"]: r for r in M.decode_media(df).collect()}
+    assert dec[1]["ok"] and dec[1]["n_bytes"] == 1100
+    assert not dec[2]["ok"] and dec[2]["n_bytes"] == 0
+
+    emb = M.extract_embedding(df, dim=8).collect()
+    assert all(len(r["embedding"]) == 8 for r in emb)
+
+    frames = M.sample_frames(df, every_n_bytes=256, max_frames=3).collect()
+    by_id = [r for r in frames if r["media_id"] == 1]
+    assert len(by_id) == 3 and all(len(r["frame_bytes"]) <= 256 for r in by_id)
+
+    resized = M.with_meta_resized(df, 32, 32).first()
+    assert resized["meta"]["width"] == 32
+
+    with pytest.raises(NotImplementedError):
+        M.resize_stub(df, 32, 32)

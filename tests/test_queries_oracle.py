@@ -7,7 +7,7 @@ import os
 
 import pytest
 
-from etl_data_spark.queries import REGISTRY
+from etl_data_spark.catalog import REGISTRY
 from tests.oracle_harness import compare
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,87 @@
+"""Streaming smoke tests: finite parquet stream -> memory sink, and
+batch/stream result equivalence for the windowed aggregation."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_spark.streaming.pipeline import (
+    run_to_memory,
+    stream_events,
+    streaming_cleanse,
+    streaming_dq_counts,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("stream") / "events"
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(seconds=90 * i),
+            i % 7 if i % 13 else None,
+            ["click", "view", "error", "weird"][i % 4],
+            float(i % 50) - (5.0 if i % 11 == 0 else 0.0),
+            "{}",
+        )
+        for i in range(200)
+    ]
+    from etl_data_spark.streaming.pipeline import EVENTS_STREAM_SCHEMA
+
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(path))
+    return str(path)
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    run_to_memory(windowed_counts(stream), "win_out")
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from win_out").collect()
+    }
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in (
+            batch.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+            )
+            .collect()
+        )
+    }
+    assert streamed == expected
+
+
+def test_streaming_cleanse(spark, events_dir):
+    stream = streaming_cleanse(stream_events(spark, events_dir))
+    run_to_memory(stream, "cleanse_out")
+    out = spark.sql("select * from cleanse_out")
+    assert out.count() == 200
+    assert out.filter(F.col("value") < 0).count() == 0
+    types = {r[0] for r in out.select("event_type").distinct().collect()}
+    assert "weird" not in types and "other" in types
+
+
+def test_streaming_dq_counts(spark, events_dir):
+    run_to_memory(streaming_dq_counts(stream_events(spark, events_dir)), "dq_out")
+    out = spark.sql("select * from dq_out")
+    row = out.agg(
+        F.sum("n_negative_value").alias("neg"), F.sum("n_null_user").alias("nulls"),
+        F.sum("n_total").alias("total"),
+    ).first()
+    assert row["total"] == 200
+    assert row["neg"] > 0 and row["nulls"] > 0
