@@ -16,6 +16,7 @@ import sys
 import time
 
 HEADLINE = [
+    # relational core (reference-parity operators)
     "pricing_summary",
     "star_join",
     "daily_trend",
@@ -24,6 +25,13 @@ HEADLINE = [
     "duplicate_groups",
     "semi_join_active",
     "cleanse_case",
+    # training-data pipeline operators
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "session_stats",
+    "window_agg_5min",
 ]
 
 
@@ -32,7 +40,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from etl_data_spark import get_spark
-    from etl_data_spark.queries import REGISTRY
+    from etl_data_spark.catalog import REGISTRY
 
     spark = get_spark(app_name="etl-data-spark-bench")
 

@@ -73,21 +73,52 @@ def dedup_exact(
 
 
 # --- MinHash -----------------------------------------------------------------
+#
+# Hash family: ONE md5 per shingle yields a base hash reduced to
+# p = 2^31 - 1; family member i is the affine permutation
+# h_i(x) = (a_i * x + b_i) mod p with md5-derived constants a_i in [1, p-1],
+# b_i in [0, p-1] — a universal hash family with genuine modular wraparound
+# (a_i * x reaches ~2^62, far past p, so argmin differs per i; an earlier
+# variant with p = 2^61-1 never wrapped, making every map order-preserving
+# and the whole family degenerate — caught by the exhaustive-truth oracle).
+# One digest per shingle instead of num_hashes digests: the md5 cost drops
+# 64x and the affine maps are cheap codegen'd integer ops, reproducible in
+# plain SQL so the operator stays oracle-checkable.
+
+MERSENNE_31 = (1 << 31) - 1
 
 
-def _hash_expr(i: int, s: str) -> str:
-    """Portable 60-bit hash of shingle ``s`` for hash-family member ``i``."""
-    return f"cast(conv(substr(md5(concat('{i}', ':', {s})), 1, 15), 16, 10) as bigint)"
+def _affine_constants(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % (MERSENNE_31 - 1) + 1
+    b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % MERSENNE_31
+    return a, b
 
 
-def minhash_signature(shingle_col: str, num_hashes: int = 64) -> F.Column:
-    """Array of ``num_hashes`` minimums over md5-family hashes of shingles."""
-    mins = [
-        F.expr(
-            f"array_min(transform({shingle_col}, s -> {_hash_expr(i, 's')}))"
+BASE_HASH_EXPR = (
+    f"cast(conv(substr(md5(s), 1, 11), 16, 10) as bigint) % {MERSENNE_31}L"
+)
+
+
+def base_hashes(shingle_col: str) -> F.Column:
+    """md5-derived base hash per shingle, reduced mod 2^31-1 (one digest
+    per shingle)."""
+    return F.expr(f"transform({shingle_col}, s -> {BASE_HASH_EXPR})")
+
+
+def minhash_signature(hash_col: str, num_hashes: int = 64) -> F.Column:
+    """Array of ``num_hashes`` minimums over affine permutations of base
+    hashes. a*h < 2^62 stays in int64; the mod wraps ~2^31 times."""
+    mins = []
+    for i in range(num_hashes):
+        a, b = _affine_constants(i)
+        mins.append(
+            F.expr(
+                f"array_min(transform({hash_col}, "
+                f"h -> ({a}L * h + {b}L) % {MERSENNE_31}L))"
+            )
         )
-        for i in range(num_hashes)
-    ]
     return F.array(*mins)
 
 
@@ -137,14 +168,22 @@ def minhash_lsh_pairs(
     touches all-pairs.
     """
     rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.repartition(spread)  # a single parquet file must not mean 1 task
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
 
-    banded = docs.select(
-        "doc_id", minhash_signature("sh", num_hashes).alias("sig")
-    ).select(
-        "doc_id", F.explode(band_keys("sig", bands, rows_per_band)).alias("band")
+    banded = (
+        docs.withColumn("bh", base_hashes("sh"))
+        .select("doc_id", minhash_signature("bh", num_hashes).alias("sig"))
+        .select(
+            "doc_id", F.explode(band_keys("sig", bands, rows_per_band)).alias("band")
+        )
     )
 
     left = banded.alias("l")
@@ -186,9 +225,15 @@ def ngram_jaccard_pairs(
     concentrates on hot shingles; pair pruning happens before any document
     body moves).
     """
-    docs = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.repartition(spread)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
 
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
@@ -226,20 +271,19 @@ def ngram_jaccard_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash(shingle_col: str, bits: int = 48) -> F.Column:
-    """SimHash signature: per-bit majority vote over md5-derived token hashes.
+def simhash(hash_col: str, bits: int = 28) -> F.Column:
+    """SimHash signature: per-bit majority vote over precomputed base hashes.
 
-    bit_j(doc) = 1 iff more shingle-hashes have bit j set than not. Computed
-    as a sum over shingles of (+1/-1) per bit, JVM-side via higher-order
-    functions; returns the signature as an array<int> of bits (0/1), which
-    keeps banding/hamming portable (no 64-bit sign headaches). The md5-derived
-    hash is 60 bits wide, so bits must be <= 60 (default 48).
+    bit_j(doc) = 1 iff more shingle-hashes have bit j set than not. Operates
+    on the ``base_hashes`` array column (ONE md5 per shingle, hashed once,
+    voted 44 ways) via higher-order functions; returns the signature as an
+    array<int> of bits (0/1), which keeps banding/hamming portable (no
+    64-bit sign headaches). The base hash is 31 bits wide, so bits <= 31.
     """
-    h = _hash_expr(0, "s")
     bit_votes = [
         F.expr(
-            f"aggregate(transform({shingle_col}, s -> "
-            f"case when ({h} div {2**j}) % 2 = 1 then 1 else -1 end), 0, (acc, x) -> acc + x)"
+            f"aggregate({hash_col}, 0, (acc, h) -> "
+            f"acc + case when (h div {2**j}) % 2 = 1 then 1 else -1 end)"
         )
         for j in range(bits)
     ]
@@ -261,8 +305,8 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
-    bits: int = 48,
-    bands: int = 8,
+    bits: int = 28,
+    bands: int = 7,
     max_hamming: int = 6,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash Hamming distance <= max_hamming.
@@ -272,10 +316,18 @@ def simhash_pairs(
     verification — same join shape as MinHash-LSH.
     """
     rows = bits // bands
-    docs = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sigs = docs.select("doc_id", simhash("sh", bits).alias("sig"))
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.repartition(spread)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    sigs = docs.withColumn("bh", base_hashes("sh")).select(
+        "doc_id", simhash("bh", bits).alias("sig")
+    )
 
     banded = sigs.select(
         "doc_id",
