@@ -10,6 +10,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import etl_data_spark.queries as _rel
+import etl_data_spark.queries_ext as _ext  # noqa: F401  (registers on import)
 import etl_data_spark.queries_llm as _llm  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401
 

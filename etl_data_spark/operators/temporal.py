@@ -71,6 +71,53 @@ def asof_join(
     return out
 
 
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_gap_us: int = 60_000_000,
+) -> DataFrame:
+    """Pairs (a from left, b from right) with the same ``by`` key where
+    b strictly follows a (by id) and 0 <= ts_b - ts_a <= max_gap_us.
+
+    Implementation: bucketize time into max_gap windows and equi-join on
+    (key, bucket) for the left row's bucket and bucket+1 — any pair within
+    the gap falls in the same or adjacent bucket. Catalyst plans this as a
+    hash join on a compound key instead of the naive inequality join's
+    per-key nested loop; at scale the shuffle is keyed and bounded, and the
+    precise interval predicate runs post-join on a tiny candidate set.
+    """
+    b_us = F.unix_micros(F.col(ts_col))
+    l = left.select(
+        F.col(by).alias("__by"),
+        F.col(id_col).alias("id_a"),
+        b_us.alias("us_a"),
+        F.floor(b_us / max_gap_us).alias("__bucket"),
+    )
+    r = right.select(
+        F.col(by).alias("__by"),
+        F.col(id_col).alias("id_b"),
+        b_us.alias("us_b"),
+        F.floor(b_us / max_gap_us).alias("__rbucket"),
+    )
+    # probe the left bucket and its successor
+    l2 = l.select(
+        "__by", "id_a", "us_a", F.explode(F.array("__bucket", F.col("__bucket") + 1)).alias("__rbucket")
+    )
+    return (
+        l2.join(r, on=["__by", "__rbucket"])
+        .filter(
+            (F.col("id_b") > F.col("id_a"))
+            & (F.col("us_b") >= F.col("us_a"))
+            & (F.col("us_b") - F.col("us_a") <= max_gap_us)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str = "ts",

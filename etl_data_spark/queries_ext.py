@@ -1,0 +1,473 @@
+"""Extended relational coverage: multi-dim aggregation (rollup/cube/pivot),
+window aggregates beyond ranking, set ops, JSON extraction, range joins,
+exact percentiles, and the scalar-function surface.
+
+These go beyond the reference's own operator set (SURVEY §2 notes it has no
+OVER clauses, grouping sets, or JSON) — they complete the engine surface a
+user migrating a real warehouse would expect, each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_data_spark.queries import _dec, load_table, register
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="ROLLUP hierarchy subtotals (region > nation > grand total).",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice", 14)), F.lit(0))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (all subtotal combinations).",
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "pivot_status_priority",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Pivot (wide conditional counts) of priority within status.",
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "notspec",
+        "5-LOW": "low",
+    }
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot yields NULL for empty cells; FILTER-count yields 0
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+@register(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (median / p90).",
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+@register(
+    "distinct_count_exact",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact COUNT(DISTINCT) per group (expands to a two-phase agg).",
+)
+def q_distinct_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "approx_distinct",
+    None,  # HLL sketches are engine-specific; accuracy asserted in pytest
+    doc="approx_count_distinct (HyperLogLog++) — the at-scale distinct path.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window aggregates beyond ranking
+# --------------------------------------------------------------------------
+
+
+@register(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    doc="Cumulative windowed sum per key (running total).",
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice", 14)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           epoch_us(o_orderdate)
+             - epoch_us(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey)) AS gap_us
+    FROM orders
+    """,
+    doc="lag() inter-event gaps per key (NULL for each key's first row).",
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # unix_micros requires TIMESTAMP; session is pinned UTC so the NTZ cast
+    # is deterministic and equals DuckDB's epoch_us of the naive value
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "rank_in_nation",
+    """
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank
+    FROM customer
+    """,
+    doc="rank/dense_rank with ties (deterministic: rank is tie-stable).",
+)
+def q_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@register(
+    "scd2_current_rows",
+    """
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN (o_orderdate, o_orderkey) = (
+                  MAX((o_orderdate, o_orderkey)) OVER (PARTITION BY o_custkey))
+                THEN TRUE ELSE FALSE END AS current_flag
+    FROM orders
+    """,
+    doc="SCD2 current-row flagging: latest version per key marked current.",
+)
+def q_scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.row_number().over(w) == 1).alias("current_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "intersect_keys",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="INTERSECT (set semantics).",
+)
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "except_keys",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="EXCEPT (set difference).",
+)
+def q_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "union_all_bag",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="UNION ALL bag semantics (duplicates preserved — the S3 dup-injector shape).",
+)
+def q_union_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.unionAll(b)
+
+
+@register(
+    "full_outer_totals",
+    """
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           cn.n_customers, sn.n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) cn
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+                     FROM supplier GROUP BY s_nationkey) sn
+      ON cn.nationkey = sn.nationkey
+    """,
+    doc="FULL OUTER join of two aggregates (unmatched sides preserved).",
+)
+def q_full_outer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cn.join(sn, "nationkey", "full_outer").select(
+        "nationkey", "n_customers", "n_suppliers"
+    )
+
+
+@register(
+    "cross_join_grid",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="CROSS JOIN of two small dims (explicit Cartesian grid).",
+)
+def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# JSON, scalar functions, range join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field extraction + aggregation over a string props column.",
+)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+    )
+
+
+@register(
+    "scalar_function_surface",
+    """
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 8)) AS name_head,
+           length(p_name) AS name_len,
+           replace(p_brand, 'Brand', 'B') AS brand_short,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           abs(p_retailprice - 1000.0) AS price_dev,
+           CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * 1.1, 2) AS DOUBLE) AS price_up,
+           coalesce(nullif(p_type, ''), 'unknown') AS type_clean
+    FROM part
+    """,
+    doc="Scalar-function surface: substr/upper/length/replace/lpad/abs/round/coalesce/nullif.",
+)
+def q_scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("brand_short"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.round(_dec("p_retailprice", 12) * F.lit(1.1), 2)
+        .cast("double")
+        .alias("price_up"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("")), F.lit("unknown")).alias(
+            "type_clean"
+        ),
+    )
+
+
+@register(
+    "date_parts",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(month FROM o_orderdate) AS m,
+           EXTRACT(quarter FROM o_orderdate) AS q,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start
+    FROM orders
+    """,
+    doc="Date-part extraction and truncation.",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+    )
+
+
+@register(
+    "range_join_bursts",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id > a.event_id
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+    WHERE a.event_type = 'error'
+    """,
+    doc="Range join: same-user event pairs within 60s of an error (bucketized).",
+)
+def q_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.temporal import range_join_within
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "error")
+    return range_join_within(
+        left, e, by="user_id", ts_col="ts", id_col="event_id", max_gap_us=60_000_000
+    )

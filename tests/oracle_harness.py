@@ -40,9 +40,17 @@ def _norm(v):
 
 
 def _key(row):
-    return tuple(
-        "NaN" if isinstance(x, float) and math.isnan(x) else _norm(x) for x in row
-    )
+    # (is_null, value) cells keep rows sortable when NULLs appear (e.g. the
+    # unmatched side of a full outer join)
+    out = []
+    for x in row:
+        if x is None:
+            out.append((1, ""))
+        elif isinstance(x, float) and math.isnan(x):
+            out.append((0, "NaN"))
+        else:
+            out.append((0, _norm(x)))
+    return tuple(out)
 
 
 def compare(spark_df, sf_dir: str, sql: str) -> list[str]:
