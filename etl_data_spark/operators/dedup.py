@@ -25,8 +25,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_data_spark.operators.text import fingerprint
+
+
+def _shingled_docs(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, sh) with empty-shingle docs dropped, persisted.
+
+    Every near-dup operator reuses this subplan 2-3 times (banding +
+    verification sides); without persist Spark recomputes the md5 shingling
+    per use. MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing —
+    the persisted projection is (id, shingle array), far smaller than the
+    source documents.
+    """
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(spread)  # a single parquet file must not mean 1 task
+        # sh is empty iff the doc has < n tokens; filtering on the cheap
+        # token count BEFORE the projection matters: a filter on size(sh)
+        # gets pushed below the project and the interpreted higher-order
+        # shingle expression is then evaluated twice per row (~9x slower)
+        .filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, n).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 # --- shingling ---------------------------------------------------------------
 
@@ -168,15 +194,7 @@ def minhash_lsh_pairs(
     touches all-pairs.
     """
     rows_per_band = num_hashes // bands
-    spread = df.sparkSession.sparkContext.defaultParallelism
-    docs = (
-        df.repartition(spread)  # a single parquet file must not mean 1 task
-        .select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(text_col, shingle_n).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-    )
+    docs = _shingled_docs(df, id_col, text_col, shingle_n)
 
     banded = (
         docs.withColumn("bh", base_hashes("sh"))
@@ -225,15 +243,7 @@ def ngram_jaccard_pairs(
     concentrates on hot shingles; pair pruning happens before any document
     body moves).
     """
-    spread = df.sparkSession.sparkContext.defaultParallelism
-    docs = (
-        df.repartition(spread)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(text_col, shingle_n).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-    )
+    docs = _shingled_docs(df, id_col, text_col, shingle_n)
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
 
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
@@ -316,15 +326,7 @@ def simhash_pairs(
     verification — same join shape as MinHash-LSH.
     """
     rows = bits // bands
-    spread = df.sparkSession.sparkContext.defaultParallelism
-    docs = (
-        df.repartition(spread)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(text_col, shingle_n).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-    )
+    docs = _shingled_docs(df, id_col, text_col, shingle_n)
     sigs = docs.withColumn("bh", base_hashes("sh")).select(
         "doc_id", simhash("bh", bits).alias("sig")
     )

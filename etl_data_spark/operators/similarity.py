@@ -106,6 +106,71 @@ def knn_join(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    All-pairs verification baseline: O(n^2) dot products, JVM-side fold,
+    no Python. Use for candidate verification or small corpora; the scale
+    path is ``near_dup_pairs_lsh`` (bucket-pruned candidates).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    num_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates share a random-hyperplane
+    bucket (equi-join on the bucket id — shuffle keyed by a small int, not
+    all-pairs), then exact cosine verification on the candidate set only.
+
+    Recall for a pair at angle theta is (1 - theta/pi)^num_planes per
+    plane-set; high-cosine pairs (small theta) land in the same bucket with
+    high probability. At 100 TB the bucket id doubles as a parquet
+    partition key so candidate joins never shuffle the full corpus.
+    """
+    bucketed = lsh_bucket_assign(df, dim, num_planes, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )
+
+
 def _plane(seed: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from (seed, plane) — driver-side
     tiny, hash-based so no RNG state."""

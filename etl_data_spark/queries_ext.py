@@ -471,3 +471,165 @@ def q_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_within(
         left, e, by="user_id", ts_col="ts", id_col="event_id", max_gap_us=60_000_000
     )
+
+
+# --------------------------------------------------------------------------
+# Subquery shapes & TPC-H classics
+# --------------------------------------------------------------------------
+#
+# Comparisons against averages use the exact form  value * n > total  (all
+# decimal/integer arithmetic) instead of  value > total / n  — division would
+# put a rounded double on one side of the predicate and make the boundary
+# rows engine-dependent.
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders, (SELECT SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS total,
+                         COUNT(*) AS n
+                  FROM orders) g
+    WHERE CAST(o_totalprice AS DECIMAL(14,2)) * n > total
+    """,
+    doc="Scalar-subquery filter: orders above the global average price.",
+)
+def q_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.agg(
+        F.sum(_dec("o_totalprice", 14)).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # one-row aggregate broadcast against the fact — no driver round-trip
+    return (
+        o.crossJoin(F.broadcast(g))
+        .filter(_dec("o_totalprice", 14) * F.col("n") > F.col("total"))
+        .select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice")
+        )
+    )
+
+
+@register(
+    "correlated_avg_filter",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * pa.cnt < pa.sum_qty
+    """,
+    doc="TPC-H Q17 shape: correlated avg subquery, decorrelated to agg+join.",
+)
+def q_correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity", 12)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(_dec("l_quantity", 12) * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice", 12)).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + group-agg + deterministic top-10.",
+)
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    price, disc = _dec("l_extendedprice", 12), _dec("l_discount", 12)
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            o.filter(F.col("o_orderdate") < cutoff),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_regional",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way star join with region filter, grouped revenue.",
+)
+def q_tpch_q5_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    price, disc = _dec("l_extendedprice", 12), _dec("l_discount", 12)
+    # region filter pushes through the broadcast nation join, pruning the
+    # supplier side before the big fact join
+    nr = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nr), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )

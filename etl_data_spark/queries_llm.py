@@ -272,6 +272,44 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk(e, list(qvec), k=10, num_planes=4)
 
 
+_SQL_PAIR_COSINE = """
+    ROUND(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6)
+"""
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_SQL_PAIR_COSINE} AS cosine_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (exact all-pairs baseline).",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(e, threshold=0.4)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    None,  # approximate by design (bucket-pruned); recall checked in pytest
+    doc="Embedding near-dup via random-hyperplane LSH buckets (scale path).",
+)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return S.near_dup_pairs_lsh(e, dim=dim, threshold=0.4, num_planes=4)
+
+
 # --------------------------------------------------------------------------
 # Temporal: as-of join, sessionization, tumbling windows
 # --------------------------------------------------------------------------
