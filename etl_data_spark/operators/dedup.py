@@ -196,12 +196,17 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     docs = _shingled_docs(df, id_col, text_col, shingle_n)
 
+    # persisted: the self-join below evaluates both sides and Spark does not
+    # reuse the exchange across the l/r aliases, so without this the 64-hash
+    # signature is computed twice. Banded rows are (id, band-key) — tiny
+    # (~100x smaller than the shingle sets) even at full corpus scale.
     banded = (
         docs.withColumn("bh", base_hashes("sh"))
         .select("doc_id", minhash_signature("bh", num_hashes).alias("sig"))
         .select(
             "doc_id", F.explode(band_keys("sig", bands, rows_per_band)).alias("band")
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     left = banded.alias("l")
@@ -334,7 +339,7 @@ def simhash_pairs(
     banded = sigs.select(
         "doc_id",
         "sig",
-        F.explode(
+        F.explode(  # persisted below: self-join evaluates both aliases
             F.array(
                 *[
                     F.concat_ws(
@@ -349,7 +354,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("band"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

@@ -1,0 +1,108 @@
+"""Physical-plan assertions: the properties that keep these queries viable
+at 100 TB, checked on the actual Catalyst output so regressions fail CI.
+
+Each test pins one scale-critical plan property:
+- filters reach the parquet scan (PushedFilters), columns are pruned
+  (ReadSchema carries only what the query needs);
+- small dimensions broadcast (BroadcastHashJoin), big facts never do;
+- ORDER BY+LIMIT plans as TakeOrderedAndProject (top-k, no global sort);
+- group-aggs run partial (map-side combine) before the shuffle;
+- the range join is a hash join on bucket keys, never a cartesian or
+  broadcast-nested-loop plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_spark.catalog import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def q(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = plan(q(spark, "pricing_summary"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the scan must not read the unused join keys
+    assert "l_orderkey" not in p.split("ReadSchema")[-1]
+    assert "l_partkey" not in p.split("ReadSchema")[-1]
+
+
+def test_pricing_summary_partial_agg(spark):
+    # two HashAggregates (partial + final) around one shuffle
+    p = plan(q(spark, "pricing_summary"))
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = plan(q(spark, "star_join"))
+    assert "BroadcastHashJoin" in p
+    # the fact table must be the probe side, never broadcast
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q5_broadcasts_region_nation(spark):
+    p = plan(q(spark, "tpch_q5_regional"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan(q(spark, "topk_orders"))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p  # no global sort for a LIMIT query
+
+
+def test_semi_and_anti_joins_stay_semi(spark):
+    assert "LeftSemi" in plan(q(spark, "semi_join_active"))
+    assert "LeftAnti" in plan(q(spark, "anti_join_unreferenced"))
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    p = plan(q(spark, "range_join_bursts"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_knn_brute_force_is_explicit_cross(spark):
+    # the documented-small-corpus exact kNN is the ONLY sanctioned cross join
+    p = plan(q(spark, "knn_join_sample"))
+    assert "rank" in p
+
+
+def test_scalar_subquery_broadcasts_aggregate(spark):
+    p = plan(q(spark, "scalar_subquery_above_avg"))
+    # one-row aggregate joined via broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_silver_gate_pushes_null_filter(spark):
+    p = plan(q(spark, "silver_gate"))
+    assert "PushedFilters" in p and "IsNotNull" in p
+
+
+def test_minhash_no_allpairs(spark):
+    p = plan(q(spark, "dedup_minhash_lsh"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_window_agg_partial_before_shuffle(spark):
+    p = plan(q(spark, "window_agg_5min"))
+    assert p.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name", ["daily_trend", "duplicate_groups", "status_rollup"]
+)
+def test_group_aggs_have_map_side_combine(spark, name):
+    p = plan(q(spark, name))
+    assert p.count("HashAggregate") >= 2 or "partial" in p
