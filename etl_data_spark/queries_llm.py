@@ -316,6 +316,62 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize",
+    None,  # streaming + custom state: not SQL-expressible; equivalence with
+    # the batch sessionizer is asserted in tests/test_streaming_stateful.py
+    doc="applyInPandasWithState sessionization over a finite event stream.",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from etl_data_spark.streaming.stateful import streaming_sessionize
+
+    # events.parquet carries ns timestamps -> read ts as long, convert to us
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the file-stream source requires a directory; expose the single parquet
+    # file through a temp dir symlink (a real deployment streams a directory
+    # or kafka topic — the plan downstream is identical)
+    import os
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = streaming_sessionize(
+        stream, gap_minutes=30, timeout=GroupStateTimeout.NoTimeout
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("q_streaming_sessions")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("q_streaming_sessions")
+
+
+@register(
     "asof_join_purchase_click",
     """
     SELECT l.event_id, l.user_id, l.ts, r.event_id AS event_id_right
