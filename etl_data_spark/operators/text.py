@@ -128,3 +128,75 @@ def fingerprint(text: str | Column, length: int = 16) -> Column:
     shipping full text through a shuffle is wasteful."""
     norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     return F.substring(F.md5(norm), 1, length)
+
+
+# BPE-ish pretokenizer: letter runs, single digits, punctuation runs — the
+# class-only pattern behaves identically under Java regex (Spark) and RE2
+# (DuckDB/others), unlike lookahead-based GPT-2 patterns.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    """Subword-style token count: a cheap proxy for BPE token budgets
+    (letters split from digits and punctuation, digits one per token)."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_PATTERN), F.lit(0)))
+
+
+# Rolling-hash fingerprinting (winnowing). Per-token base hash is md5-derived
+# (portable); each k-token window hash is the polynomial Horner chain
+# ((h_1*B + h_2)*B + ...) mod P (mod at every step keeps products < 2^39, no
+# int64 overflow), then winnowing keeps each w-window's minimum so two
+# documents sharing any token run of length >= k + w - 1 share a fingerprint
+# regardless of alignment (Schleimer et al., "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD 2003).
+
+ROLL_P = (1 << 31) - 1
+ROLL_B = 131
+
+TOKEN_HASH_SQL = (
+    f"cast(conv(substr(md5(t), 1, 11), 16, 10) as bigint) % {ROLL_P}L"
+)
+
+
+def _horner_sql(k: int) -> str:
+    acc = "0L"
+    for j in range(k):
+        acc = f"(({acc} * {ROLL_B}L + element_at(th, i + {j})) % {ROLL_P}L)"
+    return acc
+
+
+def with_winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+):
+    """(id, fp) rows: the winnowed fingerprint set of each document.
+
+    The three stages (token hashes -> window hashes -> winnowed minima) are
+    let-bound via the ``transform(array(x), v -> body)[1]`` idiom so each
+    array is evaluated exactly once inside a single projection. Chained
+    selects are NOT safe here: Catalyst collapses them and substitutes the
+    md5 transform into every window reference, exploding the work to
+    O(tokens^2) hashes per document. Output is exploded to rows — the
+    at-scale layout, since fingerprint inverted indexes shuffle by fp.
+    """
+    th_expr = f"transform(split(trim({text_col}), '\\\\s+'), t -> {TOKEN_HASH_SQL})"
+    rh_expr = (
+        f"case when size(th) >= {k} "
+        f"then transform(sequence(1, size(th) - {k - 1}), i -> {_horner_sql(k)}) "
+        f"else cast(array() as array<bigint>) end"
+    )
+    fps_expr = (
+        f"case when size(rh) >= {w} "
+        f"then array_distinct(transform(sequence(1, size(rh) - {w - 1}), "
+        f"i -> array_min(slice(rh, i, {w})))) "
+        f"when size(rh) > 0 then array(array_min(rh)) "
+        f"else cast(array() as array<bigint>) end"
+    )
+    fps = (
+        f"element_at(transform(array({th_expr}), "
+        f"th -> element_at(transform(array({rh_expr}), rh -> {fps_expr}), 1)), 1)"
+    )
+    return df.select(F.col(id_col), F.explode(F.expr(fps)).alias("fp"))
