@@ -473,6 +473,36 @@ def q_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_join_agg",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Salted skew-proof join (8 salts) — row-identical to the plain join, "
+    "so the oracle is the unsalted SQL.",
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"),
+        p,
+        on=["p_partkey"],
+        n_salts=8,
+        scatter_cols=["l_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice", 12)).cast("double").alias("revenue"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Subquery shapes & TPC-H classics
 # --------------------------------------------------------------------------
