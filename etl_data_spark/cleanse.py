@@ -15,6 +15,15 @@ Two semantics subtleties carried over exactly:
    **raw** ``effective_from`` (SQL SELECT-clause aliasing does not rebind
    within a select list). Both branches are computed from raw inputs in a
    single select here, never via chained withColumn.
+
+Known semantic hole, reproduced faithfully: for a row with raw
+``effective_from`` < 2020-01-01 AND ``effective_to`` < ``effective_from``,
+the from-repair jumps to 2023-01-01 while the to-repair lands at raw
+``effective_from`` + 30 days — yielding ``effective_to < effective_from`` in
+the output. The reference never observes this because its date-window gate
+(start >= 2023-01-01) excludes pre-2020 rows before the rules run; with the
+gate disabled the DQ3 consistency check is the guard (it flags exactly such
+rows). Property-tested in tests/test_properties.py.
 """
 
 from __future__ import annotations

@@ -207,6 +207,78 @@ def lsh_bucket_assign(
     return df.withColumn(out_col, bucket)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Inverted-file (IVF) coarse quantization: assign each vector to its
+    nearest centroid by cosine. Centroids are a driver-side list (k is
+    small — hundreds to low thousands even at billion-vector scale), so the
+    assignment is a narrow map with the centroid set baked into the plan —
+    no join, no shuffle. The cell id is the ANN partition key at rest.
+    """
+    best_cell = None
+    best_sim = None
+    for cid, vec in centroids:
+        c = F.array(*[F.lit(float(v)) for v in vec])
+        sim = cosine(F.col(vec_col), c)
+        if best_cell is None:
+            best_cell, best_sim = F.lit(cid), sim
+        else:
+            cond = sim > best_sim
+            best_cell = F.when(cond, cid).otherwise(best_cell)
+            best_sim = F.when(cond, sim).otherwise(best_sim)
+    return df.withColumn(out_col, best_cell)
+
+
+def sample_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seed: the k lowest-id vectors. (A production
+    build would run a few Lloyd iterations distributed over a sample; the
+    IVF probe/partition mechanics — the part that must scale — are
+    identical.)"""
+    rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``n_probe`` cells
+    nearest the query. With cell as a storage partition key the probed scan
+    reads ~n_probe/k_cells of the corpus."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(centroids, key=lambda cv: -cos(query_vec, cv[1]))
+    probes = [cid for cid, _ in ranked[:n_probe]]
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.filter(F.col("cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -185,3 +185,32 @@ def test_multimodal_decode_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         M.resize_stub(df, 32, 32)
+
+
+def test_ivf_recall_and_probe_pruning(spark):
+    sf = "/root/testdata/sf0.001"
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    cents = S.sample_centroids(e, k=8)
+
+    exact = [r["vec_id"] for r in S.brute_force_topk(e, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in S.ivf_topk(e, qvec, cents, k=10, n_probe=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3  # near-uniform synthetic vectors; probing 3/8 cells
+
+    # probe pruning is real: full probe == brute force, partial probes scan less
+    assigned = S.ivf_assign(e, cents)
+    cell_counts = dict(
+        (r["cell"], r["count"]) for r in assigned.groupBy("cell").count().collect()
+    )
+    assert sum(cell_counts.values()) == e.count()
+    assert len(cell_counts) == 8  # every cell non-empty on this data
+
+    all_probe = [
+        r["vec_id"] for r in S.ivf_topk(e, qvec, cents, k=10, n_probe=8).collect()
+    ]
+    assert all_probe == exact  # probing every cell recovers exact top-k

@@ -1,0 +1,131 @@
+"""Property-based invariants (hypothesis): the guarantees that must hold for
+ANY input, not just the seeded fixtures.
+
+- Cleansing establishes every silver CHECK constraint for arbitrary dirty
+  rows (the constraints the reference declares as DDL CHECKs,
+  01_init_all.sql:27-38, which Spark must establish transformationally).
+- Winnowing's containment guarantee: documents sharing a token run of
+  length >= k + w - 1 share at least one fingerprint, at any alignment.
+- Salted join equals plain join for arbitrary key/salt configurations.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_data_spark.cleanse import cleanse
+from etl_data_spark.operators.skew import salted_join
+from etl_data_spark.operators.text import with_winnow_fingerprints
+from etl_data_spark.schemas import PRODUCT_CATEGORIES
+
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+BRONZE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("user_name", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+        T.StructField("salary", T.DoubleType()),
+        T.StructField("purchase_amount", T.DoubleType()),
+        T.StructField("product_category", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("customer_status", T.StringType()),
+        T.StructField("transaction_count", T.IntegerType()),
+        T.StructField("effective_from", T.DateType()),
+        T.StructField("effective_to", T.DateType()),
+        T.StructField("current_flag", T.BooleanType()),
+    ]
+)
+
+dirty_row = st.tuples(
+    st.integers(0, 10_000),  # id
+    st.one_of(st.none(), st.text(min_size=1, max_size=8)),  # user_id
+    st.text(max_size=8),  # user_name
+    st.one_of(st.none(), st.integers(-50, 200)),  # age
+    st.one_of(st.none(), st.floats(-1e7, 1e7, allow_nan=False)),  # salary
+    st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),  # purchase
+    st.one_of(st.none(), st.sampled_from(PRODUCT_CATEGORIES + ["Junk", "xx", ""])),
+    st.sampled_from(["North", "South", "East", "West", "??"]),  # region
+    st.one_of(st.none(), st.sampled_from(["Active", "INACTIVE", "Pending", "zz"])),
+    st.one_of(st.none(), st.integers(-10, 5000)),  # transaction_count
+    st.dates(dt.date(2019, 1, 1), dt.date(2024, 6, 30)),  # effective_from
+    st.dates(dt.date(2019, 1, 1), dt.date(2026, 6, 30)),  # effective_to
+    st.booleans(),
+)
+
+
+@PROP_SETTINGS
+@given(rows=st.lists(dirty_row, min_size=1, max_size=25))
+def test_cleanse_establishes_all_silver_constraints(spark, rows):
+    # under the reference's own date gate (raw effective_from >= start) every
+    # CHECK constraint is established; without the gate, pre-2020 rows with
+    # inverted dates hit the reference's from/to repair inconsistency — a
+    # faithful reproduction documented in cleanse.py
+    bronze = spark.createDataFrame(rows, BRONZE_SCHEMA)
+    silver = cleanse(bronze, start_date="2020-01-01", end_date=None).cache()
+    bad = silver.filter(
+        F.col("age").isNull()
+        | (F.col("age") < 18)
+        | (F.col("age") > 100)
+        | (F.col("salary") < 0)
+        | (F.col("salary") > 1_000_000)
+        | (F.col("purchase_amount") < 0)
+        | (F.col("purchase_amount") > 100_000)
+        # NULL category legitimately stays NULL (CASE WHEN NULL semantics);
+        # ~isin on NULL is NULL, so such rows are correctly not flagged
+        | ~F.col("product_category").isin(PRODUCT_CATEGORIES + ["Other"])
+        | F.col("customer_status").isNull()
+        | (F.col("customer_status") != F.lower(F.col("customer_status")))
+        | (F.col("effective_to") < F.col("effective_from"))
+        | F.col("user_id").isNull()
+    )
+    assert bad.count() == 0, bad.collect()
+    silver.unpersist()
+
+
+@PROP_SETTINGS
+@given(
+    shared=st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=12),
+    pre_a=st.lists(st.sampled_from("mnopq"), max_size=6),
+    pre_b=st.lists(st.sampled_from("rstuv"), max_size=6),
+)
+def test_winnow_shared_run_guarantees_shared_fingerprint(spark, shared, pre_a, pre_b):
+    # k=4, w=5: any shared run of >= k+w-1 = 8 tokens forces a common
+    # fingerprint regardless of what precedes/follows it
+    doc_a = " ".join(pre_a + shared)
+    doc_b = " ".join(pre_b + shared)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], ["doc_id", "text"])
+    fps = with_winnow_fingerprints(df, "doc_id", "text", k=4, w=5)
+    a = {r["fp"] for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert a & b, (doc_a, doc_b)
+
+
+@PROP_SETTINGS
+@given(
+    n_keys=st.integers(1, 10),
+    n_rows=st.integers(1, 60),
+    n_salts=st.integers(1, 7),
+)
+def test_salted_join_always_equals_plain_join(spark, n_keys, n_rows, n_salts):
+    rows = [(i % n_keys, i) for i in range(n_rows)]
+    fact = spark.createDataFrame(rows, ["k", "row_id"])
+    dim = spark.createDataFrame([(k, f"v{k}") for k in range(n_keys)], ["k", "val"])
+    plain = sorted(map(tuple, fact.join(dim, "k").select("row_id", "val").collect()))
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(fact, dim, on=["k"], n_salts=n_salts, scatter_cols=["row_id"])
+            .select("row_id", "val")
+            .collect(),
+        )
+    )
+    assert plain == salted
