@@ -25,11 +25,19 @@ HEADLINE = [
     "duplicate_groups",
     "semi_join_active",
     "cleanse_case",
+    # extended relational surface
+    "rollup_revenue",
+    "tpch_q5_regional",
+    "scalar_subquery_above_avg",
+    "range_join_bursts",
+    "salted_join_agg",
     # training-data pipeline operators
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "winnow_fingerprints",
     "embedding_topk",
+    "multimodal_decode",
     "session_stats",
     "window_agg_5min",
 ]
