@@ -127,6 +127,77 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_revenue",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (two single-dim slices + grand total).",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "sliding_window_agg",
+    # each event belongs to 2 overlapping 10-min windows (5-min hop); the
+    # mirror generates both memberships via two bucket origins
+    """
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+               AS window_start, event_type
+      FROM events
+    )
+    GROUP BY window_start, event_type
+    """,
+    doc="Hopping/sliding window agg (10-min window, 5-min hop) — batch twin "
+    "of streaming sliding windows.",
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@register(
+    "approx_percentiles",
+    None,  # sketch-based; accuracy vs exact percentiles asserted in pytest
+    doc="approx_percentile (t-digest style sketch) — the at-scale quantile "
+    "path; mergeable across partitions.",
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price"),
+    )
+
+
+@register(
     "exact_percentiles",
     """
     SELECT l_returnflag,

@@ -214,3 +214,23 @@ def test_ivf_recall_and_probe_pruning(spark):
         r["vec_id"] for r in S.ivf_topk(e, qvec, cents, k=10, n_probe=8).collect()
     ]
     assert all_probe == exact  # probing every cell recovers exact top-k
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    sf = "/root/testdata/sf0.01"
+    from etl_data_spark.queries import load_table
+
+    li = load_table(spark, sf, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("m"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("m"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
+    )
+    e = {r["l_returnflag"]: (r["m"], r["p90"]) for r in exact.collect()}
+    a = {r["l_returnflag"]: (r["m"], r["p90"]) for r in approx.collect()}
+    for k in e:
+        assert abs(e[k][0] - a[k][0]) <= max(1.0, 0.02 * e[k][0])
+        assert abs(e[k][1] - a[k][1]) <= max(1.0, 0.02 * e[k][1])
