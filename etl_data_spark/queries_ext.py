@@ -688,6 +688,114 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6_forecast",
+    """
+    SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(l_discount AS DECIMAL(12,2))), 0) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: multi-predicate scan-agg (all filters pushed to scan).",
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount", 12)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & disc.between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(F.sum(_dec("l_extendedprice", 12) * disc), F.lit(0))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_ratio",
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                   ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: LIKE-predicated conditional revenue ratio.",
+)
+def q_tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice", 12) * (F.lit(1) - _dec("l_discount", 12))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q19_or_predicates",
+    """
+    SELECT CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 0)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive predicates across the "
+    "join (common-term extraction + pushdown).",
+)
+def q_tpch_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return joined.filter(cond1 | cond2).agg(
+        F.coalesce(
+            F.sum(_dec("l_extendedprice", 12) * (F.lit(1) - _dec("l_discount", 12))),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
     "tpch_q5_regional",
     """
     SELECT n.n_name,
