@@ -574,6 +574,118 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_checks_orders",
+    """
+    WITH li_n AS (SELECT COUNT(*) AS c FROM lineitem),
+         lo_n AS (SELECT COUNT(*) AS c
+                  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         nulls AS (SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL) AS c,
+                          COUNT(*) AS total FROM orders),
+         ship AS (SELECT COUNT(*) AS c
+                  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  WHERE l.l_shipdate < o.o_orderdate),
+         dups AS (SELECT COUNT(*) AS c FROM (
+                    SELECT o_orderkey FROM orders
+                    GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+         vals AS (SELECT COUNT(*) AS c FROM orders
+                  WHERE o_totalprice < 0 OR o_totalprice > 10000000),
+         checks AS (
+           SELECT 1 AS check_id, 'correctness' AS check_type,
+                  'Fact row-count reconciliation' AS check_name,
+                  CAST(li_n.c AS DOUBLE) AS expected_value,
+                  CAST(lo_n.c AS DOUBLE) AS actual_value,
+                  CASE WHEN li_n.c = lo_n.c THEN 'passed' ELSE 'failed' END AS status
+           FROM li_n, lo_n
+           UNION ALL
+           SELECT 2, 'completeness', 'Null customer keys',
+                  CAST(NULL AS DOUBLE), CAST(nulls.c AS DOUBLE),
+                  CASE WHEN nulls.c * 100.0 <= nulls.total * 5 THEN 'passed'
+                       ELSE 'failed' END
+           FROM nulls
+           UNION ALL
+           SELECT 3, 'consistency', 'Ship date not before order date',
+                  CAST(NULL AS DOUBLE), CAST(ship.c AS DOUBLE),
+                  CASE WHEN ship.c = 0 THEN 'passed' ELSE 'failed' END
+           FROM ship
+           UNION ALL
+           SELECT 4, 'uniqueness', 'Duplicate order keys',
+                  CAST(NULL AS DOUBLE), CAST(dups.c AS DOUBLE),
+                  CASE WHEN dups.c = 0 THEN 'passed' ELSE 'failed' END
+           FROM dups
+           UNION ALL
+           SELECT 5, 'validity', 'Total price range',
+                  CAST(NULL AS DOUBLE), CAST(vals.c AS DOUBLE),
+                  CASE WHEN vals.c = 0 THEN 'passed' ELSE 'failed' END
+           FROM vals
+         )
+    SELECT check_id, check_type, check_name, expected_value, actual_value, status
+    FROM checks
+    UNION ALL
+    SELECT 6, 'summary', 'Overall DQ check',
+           5.0, CAST((SELECT COUNT(*) FROM checks WHERE status = 'passed') AS DOUBLE),
+           CASE WHEN (SELECT COUNT(*) FROM checks WHERE status = 'failed') = 0
+                THEN 'passed' ELSE 'failed' END
+    """,
+    doc="The declarative DQ framework (reference fn_dq_checks_load semantics: "
+    "5 checks + summary, per-check error isolation) over the orders/lineitem "
+    "tables; integer-valued metrics so the oracle is drift-free.",
+)
+def q_dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from etl_data_spark.dq import CheckSpec, run_checks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+
+    def counts():
+        return float(li.count()), float(lo.count())
+
+    def nulls():
+        return None, float(o.filter(F.col("o_custkey").isNull()).count())
+
+    n_orders = o.count()
+
+    def ship_before_order():
+        return None, float(lo.filter(F.col("l_shipdate") < F.col("o_orderdate")).count())
+
+    def dup_keys():
+        return None, float(
+            o.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+        )
+
+    def bad_price():
+        return None, float(
+            o.filter((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1e7)).count()
+        )
+
+    checks = [
+        CheckSpec("correctness", "Fact row-count reconciliation", counts,
+                  lambda e, a: e == a, table_name="lineitem"),
+        CheckSpec("completeness", "Null customer keys", nulls,
+                  lambda e, a: (a or 0) * 100.0 <= n_orders * 5,
+                  table_name="orders", column_name="o_custkey"),
+        CheckSpec("consistency", "Ship date not before order date",
+                  ship_before_order, lambda e, a: a == 0, table_name="lineitem"),
+        CheckSpec("uniqueness", "Duplicate order keys", dup_keys,
+                  lambda e, a: a == 0, table_name="orders"),
+        CheckSpec("validity", "Total price range", bad_price,
+                  lambda e, a: a == 0, table_name="orders",
+                  column_name="o_totalprice"),
+    ]
+    res = run_checks(spark, checks, execution_date=_dt.datetime(2024, 1, 1))
+    return res.select(
+        "check_id",
+        "check_type",
+        "check_name",
+        F.col("expected_value").cast("double").alias("expected_value"),
+        F.col("actual_value").cast("double").alias("actual_value"),
+        "status",
+    )
+
+
 # --------------------------------------------------------------------------
 # Subquery shapes & TPC-H classics
 # --------------------------------------------------------------------------
