@@ -101,6 +101,40 @@ def streaming_dq_counts(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: each purchase paired with same-user
+    clicks from the preceding ``max_gap_minutes``.
+
+    Both sides carry watermarks and the join has a time-range predicate, so
+    Spark can bound the buffered state on each side to the gap + watermark
+    horizon — without the range condition the state would grow forever.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        ),
+    ).select("p_user", "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a finite streaming query to completion into a memory sink
     (local smoke-test harness; production uses kafka/delta sinks)."""
