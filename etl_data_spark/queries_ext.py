@@ -575,6 +575,31 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "generator_profile",
+    None,  # the hash-derived generator has no SQL mirror; determinism and
+    # distribution shape are pinned in tests/test_pipeline.py
+    doc="Seeded distributed synthetic source (reference get_dataset.py "
+    "semantics: anomaly + duplicate injection) profiled by category.",
+)
+def q_generator_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.generate import generate_source
+
+    dirty = generate_source(spark, rows=1000, seed=42)
+    return (
+        dirty.groupBy("product_category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("salary") < 0, 1)).alias("n_neg_salary"),
+            F.count(F.when(F.col("age").isNull(), 1)).alias("n_null_age"),
+            F.count(
+                F.when(F.col("effective_to") < F.col("effective_from"), 1)
+            ).alias("n_inverted_dates"),
+        )
+        .orderBy("product_category")
+    )
+
+
+@register(
     "dq_checks_orders",
     """
     WITH li_n AS (SELECT COUNT(*) AS c FROM lineitem),
