@@ -20,6 +20,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan(df) -> str:
+    # default maxMetadataStringLength=100 truncates PushedFilters lists
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -106,3 +108,41 @@ def test_window_agg_partial_before_shuffle(spark):
 def test_group_aggs_have_map_side_combine(spark, name):
     p = plan(q(spark, name))
     assert p.count("HashAggregate") >= 2 or "partial" in p
+
+
+def test_q6_filters_reach_scan(spark):
+    p = plan(q(spark, "tpch_q6_forecast"))
+    # shipdate window and quantity bound must push to parquet
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+
+
+def test_q19_or_predicate_partially_pushed(spark):
+    p = plan(q(spark, "tpch_q19_or_predicates"))
+    # brand/size disjunction is pushable per-table; no nested-loop fallback
+    assert "Or(" in p or "In(p_brand" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q3_prunes_join_inputs_before_join(spark):
+    p = plan(q(spark, "tpch_q3_shipping"))
+    # both date filters and the segment filter appear as scan-level pushdown,
+    # so only surviving rows shuffle into the joins
+    assert "GreaterThan(l_shipdate" in p
+    assert "LessThan(o_orderdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_salted_join_is_hash_join_on_compound_key(spark):
+    p = plan(q(spark, "salted_join_agg"))
+    assert "__salt" in p
+    assert "CartesianProduct" not in p
+
+
+def test_sliding_window_no_explode_blowup(spark):
+    # Spark plans sliding windows as an explode of window instances followed
+    # by partial aggregation — the partial agg must still be present
+    p = plan(q(spark, "sliding_window_agg"))
+    assert p.count("HashAggregate") >= 2
