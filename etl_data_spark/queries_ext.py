@@ -499,6 +499,103 @@ def q_scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_function_surface",
+    """
+    SELECT p_partkey,
+           trim(p_name) AS name_trim,
+           translate(p_brand, '#', '_') AS brand_tr,
+           strpos(p_name, 'e') AS first_e,
+           reverse(p_type) AS type_rev,
+           repeat(left(p_name, 2), 2) AS head_twice,
+           right(p_name, 3) AS name_tail,
+           contains(p_name, 'red') AS has_red,
+           starts_with(p_type, 'PROMO') AS is_promo,
+           ends_with(p_name, 'bolt') AS is_bolt,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+    doc="String surface II: trim/translate/strpos/reverse/repeat/left/right/"
+    "contains/starts_with/ends_with/concat_ws.",
+)
+def q_string_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.trim("p_name").alias("name_trim"),
+        F.translate(F.col("p_brand"), "#", "_").alias("brand_tr"),
+        F.instr(F.col("p_name"), "e").cast("long").alias("first_e"),
+        F.reverse("p_type").alias("type_rev"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("head_twice"),
+        F.substring(F.col("p_name"), -3, 3).alias("name_tail"),
+        F.contains(F.col("p_name"), F.lit("red")).alias("has_red"),
+        F.startswith(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+        F.endswith(F.col("p_name"), F.lit("bolt")).alias("is_bolt"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+             AS days_to_y2k,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS minus_week,
+           EXTRACT(dow FROM o_orderdate) AS dow
+    FROM orders
+    """,
+    doc="Date arithmetic surface: datediff/add_months/last_day/date_sub/"
+    "day-of-week (month-end clamping semantics agree across engines).",
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias(
+            "days_to_y2k"
+        ),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.date_sub(d, 7).alias("minus_week"),
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+    )
+
+
+@register(
+    "null_semantics",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(o_custkey) AS n_nonnull_cust,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_null_cust,
+           COUNT(*) FILTER (WHERE o_custkey IS NOT DISTINCT FROM 1) AS n_cust1_nullsafe,
+           CAST(COALESCE(MAX(o_custkey), -1) AS BIGINT) AS max_cust_or_default
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="NULL semantics: COUNT(col) vs COUNT(*), IS NULL filters, null-safe "
+    "equality (<=> / IS NOT DISTINCT FROM), COALESCE defaulting.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_nonnull_cust"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_null_cust"),
+        F.count(F.when(F.col("o_custkey").eqNullSafe(F.lit(1)), 1)).alias(
+            "n_cust1_nullsafe"
+        ),
+        F.coalesce(F.max("o_custkey"), F.lit(-1)).cast("long").alias(
+            "max_cust_or_default"
+        ),
+    )
+
+
+@register(
     "date_parts",
     """
     SELECT o_orderkey,
