@@ -283,6 +283,83 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- duplicate clustering ----------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every document in a near-dup pair; cluster_id
+    is the minimum doc id reachable through the pair graph.
+
+    Iterative min-label propagation (the dataflow core of Pregel-style
+    connected components): each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(graph diameter) rounds —
+    near-dup graphs are unions of small cliques, so a handful. Each round is
+    one shuffle keyed by node id; ``localCheckpoint`` truncates the lineage
+    so the plan doesn't grow with iterations (at cluster scale, checkpoint
+    to reliable storage instead and add the large-star/small-star
+    optimization of Kiveris et al. for skewed components).
+
+    This is the step that turns pairwise similarity output into dedup
+    groups (keep min-id per cluster, drop the rest).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop all but the min-id document of each duplicate cluster."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -234,3 +234,19 @@ def test_approx_percentiles_close_to_exact(spark):
     for k in e:
         assert abs(e[k][0] - a[k][0]) <= max(1.0, 0.02 * e[k][0])
         assert abs(e[k][1] - a[k][1]) <= max(1.0, 0.02 * e[k][1])
+
+
+def test_connected_components_and_survivors(spark):
+    from etl_data_spark.operators import dedup as D
+
+    # two chains and an isolated pair: {1-2-3}, {10-11}, {20-21-22-23}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (20, 23)],
+        ["id_a", "id_b"],
+    )
+    cc = {r["doc_id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 5, 10, 11]], ["doc_id", "text"])
+    kept = D.dedup_survivors(docs, D.connected_components(pairs), "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5, 10]
