@@ -46,6 +46,37 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(MONTH_KEY)
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_files_per_partition: int = 1,
+) -> int:
+    """Rewrite a (possibly month-partitioned) parquet table into
+    ``target_files_per_partition`` files per partition.
+
+    Streaming foreachBatch appends and repeated window reloads accumulate
+    small files; at scale small files destroy scan throughput (one task +
+    one object-store request each). Returns the number of data files after
+    compaction. The rewrite is partition-parallel and preserves the month
+    key so pruning is unaffected.
+    """
+    df = spark.read.parquet(path)
+    has_month = MONTH_KEY in df.columns
+    tmp = str(Path(path).with_name(Path(path).name + "__tmp_compact"))
+    writer = (
+        df.repartition(target_files_per_partition, MONTH_KEY)
+        if has_month
+        else df.coalesce(target_files_per_partition)
+    )
+    w = writer.write.mode("overwrite")
+    if has_month:
+        w = w.partitionBy(MONTH_KEY)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    Path(tmp).rename(path)
+    return sum(1 for p in Path(path).rglob("*.parquet"))
+
+
 def overwrite_by_window(
     spark: SparkSession,
     new_rows: DataFrame,

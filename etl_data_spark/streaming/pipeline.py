@@ -151,3 +151,31 @@ def run_to_memory(df: DataFrame, name: str) -> None:
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def stream_to_partitioned_table(
+    df: DataFrame,
+    path: str,
+    date_col: str = "ts",
+    checkpoint: str | None = None,
+):
+    """Stream -> month-partitioned parquet via foreachBatch, reusing the
+    batch writer so the streaming sink and the batch gold tables share one
+    layout (the medallion bridge: microbatches land as idempotent
+    partition-pruned appends; exactly-once comes from the checkpointed
+    batch id + append-only layout).
+    """
+    from etl_data_spark.io.writers import with_month_key
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            with_month_key(batch_df, date_col)
+            .write.mode("append")
+            .partitionBy("part_month")
+            .parquet(path)
+        )
+
+    writer = df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

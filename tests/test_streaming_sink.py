@@ -1,0 +1,55 @@
+"""foreachBatch medallion sink + small-file compaction."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_data_spark.io.writers import MONTH_KEY, compact_small_files
+from etl_data_spark.streaming.pipeline import (
+    EVENTS_STREAM_SCHEMA,
+    stream_events,
+    stream_to_partitioned_table,
+)
+
+
+def test_stream_lands_in_partitioned_table_and_compacts(spark, tmp_path):
+    src = tmp_path / "src"
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1 + (i % 3), 1, 0, 0) + dt.timedelta(minutes=i),
+            i % 5,
+            "click",
+            1.0,
+            "{}",
+        )
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    out = tmp_path / "gold"
+    ckpt = tmp_path / "ckpt"
+    q = stream_to_partitioned_table(
+        stream_events(spark, str(src)), str(out), date_col="ts", checkpoint=str(ckpt)
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    back = spark.read.parquet(str(out))
+    assert back.count() == 300
+    assert set(r[0] for r in back.select(MONTH_KEY).distinct().collect()) == {
+        202401,
+        202402,
+        202403,
+    }
+    # partition pruning works on the streamed table
+    pruned = back.filter(F.col(MONTH_KEY) == 202402)
+    assert pruned.count() == back.filter(F.month("ts") == 2).count()
+
+    n_before = sum(1 for p in out.rglob("*.parquet"))
+    n_after = compact_small_files(spark, str(out), target_files_per_partition=1)
+    assert n_after <= 3  # one file per month partition
+    assert n_after < n_before
+    assert spark.read.parquet(str(out)).count() == 300
