@@ -446,6 +446,51 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_agg_ops",
+    """
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           len(list_sort(list(DISTINCT c_mktsegment))) AS n_segments,
+           list_sort(list(DISTINCT c_mktsegment))[1] AS first_segment,
+           list_contains(list_sort(list(DISTINCT c_mktsegment)), 'BUILDING')
+             AS has_building
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Array aggregation + array ops: collect_set -> sorted array, size, "
+    "element_at, array_contains (deterministic via sort).",
+)
+def q_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    segs = F.sort_array(F.collect_set("c_mktsegment"))
+    return c.groupBy("c_nationkey").agg(
+        segs.alias("segments"),
+        F.size(segs).alias("n_segments"),
+        F.element_at(segs, 1).alias("first_segment"),
+        F.array_contains(segs, "BUILDING").alias("has_building"),
+    )
+
+
+@register(
+    "explode_posexplode",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+    FROM s, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    """,
+    doc="posexplode of a split array (lateral flatten with position).",
+)
+def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+
+
+@register(
     "json_extract_agg",
     """
     SELECT event_type,
