@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md: physical plans of representative queries at sf0.1."""
+
+from etl_data_spark.session import get_spark
+
+PICK = [
+    "pricing_summary",
+    "star_join",
+    "tpch_q5_regional",
+    "topk_orders",
+    "dedup_minhash_lsh",
+    "range_join_bursts",
+    "salted_join_agg",
+    "scalar_subquery_above_avg",
+    "winnow_fingerprints",
+    "sliding_window_agg",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "120")
+    from etl_data_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.1"
+    lines = [
+        "# PLANS — physical plans of representative queries at sf0.1",
+        "",
+        "Generated from `.explain` output (AQE initial plans; broadcast hints,",
+        "pushdown, partial aggregation, and join strategies visible). Regenerate",
+        "with `python tools_gen_plans.py` after plan-affecting changes.",
+        "",
+    ]
+    for n in PICK:
+        df = REGISTRY[n].fn(spark, sf)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        lines += [f"## {n}", "", "```", p.rstrip()[:4000], "```", ""]
+    open("PLANS.md", "w").write("\n".join(lines))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
