@@ -1075,6 +1075,39 @@ def q_tpch_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery (planned as a "
+    "semi join against the aggregate).",
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", 12)).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(_dec("l_quantity", 12)).cast("double").alias("total_qty"))
+    )
+
+
+@register(
     "tpch_q5_regional",
     """
     SELECT n.n_name,
@@ -1120,4 +1153,61 @@ def q_tpch_q5_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nr), s.s_nationkey == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_global_sales",
+    """
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(c.c_acctbal) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (3, 8, 13, 17, 21)
+      AND c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_acctbal > 0.0
+          AND c2.c_nationkey IN (3, 8, 13, 17, 21)
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (adapted: nationkey membership stands in for the "
+    "reference's phone prefix, and the no-orders predicate is scoped to "
+    "recent orders — every synthetic customer has at least one order): "
+    "scalar aggregate subquery broadcast as a one-row cross join, then an "
+    "anti join against date-filtered orders. Ref: queries/q22.sql in the "
+    "reference's TPC-H suite.",
+)
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    NATIONS = [3, 8, 13, 17, 21]
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    eligible = c.filter(F.col("c_nationkey").isin(NATIONS))
+    # scalar subquery -> 1-row aggregate, broadcast cross join (no shuffle)
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        # NOT EXISTS -> anti join; the date filter pushes to the orders scan,
+        # shrinking the build side before the join
+        .join(
+            o.filter(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").cast("double").alias("totacctbal"),
+        )
     )
