@@ -146,3 +146,24 @@ def test_sliding_window_no_explode_blowup(spark):
     # by partial aggregation — the partial agg must still be present
     p = plan(q(spark, "sliding_window_agg"))
     assert p.count("HashAggregate") >= 2
+
+
+def test_q18_semi_join_and_partial_agg(spark):
+    p = plan(q(spark, "tpch_q18_large_orders"))
+    assert "LeftSemi" in p
+    # the HAVING aggregate and the outer aggregate both combine map-side
+    assert "partial_sum" in p
+    # lineitem scans read only the two columns each branch needs
+    assert "l_discount" not in p.split("ReadSchema")[-1]
+
+
+def test_q22_pushdown_anti_join_scalar_broadcast(spark):
+    p = plan(q(spark, "tpch_q22_global_sales"))
+    # nation-membership and balance predicates reach the customer scans
+    assert "In(c_nationkey" in p
+    assert "GreaterThan(c_acctbal,0.0)" in p
+    # the recent-order cutoff reaches the orders scan feeding the anti join
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "LeftAnti" in p
+    # the one-row average broadcasts; nothing else may nested-loop
+    assert p.count("BroadcastNestedLoopJoin") == 1
