@@ -12,6 +12,8 @@ PICK = [
     "range_join_bursts",
     "salted_join_agg",
     "scalar_subquery_above_avg",
+    "tpch_q18_large_orders",
+    "tpch_q22_global_sales",
     "winnow_fingerprints",
     "sliding_window_agg",
 ]
