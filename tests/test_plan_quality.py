@@ -148,12 +148,13 @@ def test_sliding_window_no_explode_blowup(spark):
     assert p.count("HashAggregate") >= 2
 
 
-def test_q18_semi_join_and_partial_agg(spark):
+def test_q18_single_lineitem_scan_and_partial_agg(spark):
     p = plan(q(spark, "tpch_q18_large_orders"))
-    assert "LeftSemi" in p
-    # the HAVING aggregate and the outer aggregate both combine map-side
+    # the HAVING-regroup rewrite must keep exactly ONE lineitem scan
+    assert p.count("lineitem.parquet") == 1
+    # the per-order sum combines map-side before its one shuffle
     assert "partial_sum" in p
-    # lineitem scans read only the two columns each branch needs
+    # lineitem reads only the key and quantity
     assert "l_discount" not in p.split("ReadSchema")[-1]
 
 
