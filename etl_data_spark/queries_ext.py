@@ -449,7 +449,7 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_ops",
     """
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
            len(list_sort(list(DISTINCT c_mktsegment))) AS n_segments,
            list_sort(list(DISTINCT c_mktsegment))[1] AS first_segment,
            list_contains(list_sort(list(DISTINCT c_mktsegment)), 'BUILDING')
@@ -458,13 +458,16 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_nationkey
     """,
     doc="Array aggregation + array ops: collect_set -> sorted array, size, "
-    "element_at, array_contains (deterministic via sort).",
+    "element_at, array_contains (deterministic via sort). The array column "
+    "is serialized with a '|' delimiter at the emit boundary so the driver "
+    "canonicalizer (pandas sort + hash) can handle the cell values; the "
+    "in-engine representation stays a real array.",
 )
 def q_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     segs = F.sort_array(F.collect_set("c_mktsegment"))
     return c.groupBy("c_nationkey").agg(
-        segs.alias("segments"),
+        F.concat_ws("|", segs).alias("segments"),
         F.size(segs).alias("n_segments"),
         F.element_at(segs, 1).alias("first_segment"),
         F.array_contains(segs, "BUILDING").alias("has_building"),
@@ -494,7 +497,7 @@ def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_agg",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
            COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_missing
     FROM events
     GROUP BY event_type
@@ -1160,16 +1163,19 @@ def q_tpch_q5_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_global_sales",
     """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS total
+      FROM customer c2
+      WHERE c2.c_acctbal > 0.0
+        AND c2.c_nationkey IN (3, 8, 13, 17, 21)
+    )
     SELECT c.c_nationkey,
            COUNT(*) AS numcust,
-           CAST(SUM(c.c_acctbal) AS DOUBLE) AS totacctbal
-    FROM customer c
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, a
     WHERE c.c_nationkey IN (3, 8, 13, 17, 21)
-      AND c.c_acctbal > (
-        SELECT AVG(c2.c_acctbal) FROM customer c2
-        WHERE c2.c_acctbal > 0.0
-          AND c2.c_nationkey IN (3, 8, 13, 17, 21)
-      )
+      AND CAST(c.c_acctbal AS DECIMAL(12,2)) * a.n > a.total
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
@@ -1181,21 +1187,25 @@ def q_tpch_q5_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference's phone prefix, and the no-orders predicate is scoped to "
     "recent orders — every synthetic customer has at least one order): "
     "scalar aggregate subquery broadcast as a one-row cross join, then an "
-    "anti join against date-filtered orders. Ref: queries/q22.sql in the "
-    "reference's TPC-H suite.",
+    "anti join against date-filtered orders. The above-average comparison "
+    "uses the exact form value * n > total in DECIMAL on both engines "
+    "(order-independent under parallel aggregation), never a double AVG. "
+    "Ref: queries/q22.sql in the reference's TPC-H suite.",
 )
 def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     NATIONS = [3, 8, 13, 17, 21]
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     eligible = c.filter(F.col("c_nationkey").isin(NATIONS))
-    # scalar subquery -> 1-row aggregate, broadcast cross join (no shuffle)
+    # scalar subquery -> 1-row aggregate, broadcast cross join (no shuffle);
+    # exact decimal (n, total) instead of a double average
     avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("c_acctbal", 12)).alias("total"),
     )
     return (
         eligible.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(_dec("c_acctbal", 12) * F.col("n") > F.col("total"))
         # NOT EXISTS -> anti join; the date filter pushes to the orders scan,
         # shrinking the build side before the join
         .join(
@@ -1209,6 +1219,6 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("c_acctbal").cast("double").alias("totacctbal"),
+            F.sum(_dec("c_acctbal", 12)).cast("double").alias("totacctbal"),
         )
     )
