@@ -53,8 +53,24 @@ def salted_join(
     the shuffle — chosen so |small| * n_salts stays << |skewed|). The join
     key becomes (on..., salt), so each hot key's rows spread over n_salts
     reducers. Row-for-row equal to ``skewed.join(small, on, how)``.
+
+    ``scatter_cols`` defaults to ROW IDENTITY (a hash over all of the
+    skewed side's columns): hashing the join key alone would put every row
+    of the hot key into one salt bucket, silently disabling the operator.
+    Pass explicit scatter columns when a cheaper stable row id exists.
+
+    Only ``inner`` and ``left`` joins are supported: under right/full outer
+    joins, a small-side row with no skewed-side match would surface once per
+    salt replica (n_salts duplicates), so those semantics are refused rather
+    than silently wrong.
     """
-    scatter = scatter_cols or on
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer joins would emit each unmatched small-side row once per "
+            "salt replica"
+        )
+    scatter = scatter_cols or list(skewed.columns)
     left = with_salt(skewed, n_salts, *scatter)
     right = explode_salts(small, n_salts)
     return left.join(right, on=[*on, SALT_COL], how=how).drop(SALT_COL)
@@ -74,8 +90,12 @@ def two_phase_agg(
     ``aggs`` maps output column name -> phase-1 aggregate expression; phase
     2 re-combines by name with the matching combiner (sum for sum/count,
     min for min, max for max).
+
+    Like ``salted_join``, ``scatter_cols`` defaults to row identity (all
+    columns) — scattering by the group keys themselves would hash each hot
+    key's rows into a single salt bucket and change nothing.
     """
-    scatter = scatter_cols or keys
+    scatter = scatter_cols or list(df.columns)
     salted = with_salt(df, n_salts, *scatter)
     phase1 = salted.groupBy(*keys, SALT_COL).agg(
         *[c.alias(name) for name, c in aggs.items()]

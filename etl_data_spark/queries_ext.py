@@ -699,7 +699,10 @@ def q_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.p_brand
     """,
     doc="Salted skew-proof join (8 salts) — row-identical to the plain join, "
-    "so the oracle is the unsalted SQL.",
+    "so the oracle is the unsalted SQL. NOTE: this query exists to exercise "
+    "the operator; for lineitem JOIN part specifically, broadcast(part) is "
+    "the better plan and salting is reserved for joins where neither "
+    "broadcast nor AQE skew-split applies (operators/skew.py docstring).",
 )
 def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_spark.operators.skew import salted_join

@@ -50,6 +50,39 @@ def test_salt_scatters_hot_key(spark):
     assert max(counts) < 9000 * 0.3  # no bucket holds the hot key alone
 
 
+def test_default_scatter_spreads_hot_key(spark):
+    """Omitting scatter_cols must still spread the hot key: the default is
+    row identity, not the join key (which would no-op the operator)."""
+    skewed = _skewed_df(spark)
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("k_name")
+    )
+    plain = skewed.join(dim, "k").select("row_id", "k", "k_name")
+    salted = salted_join(skewed, dim, on=["k"], n_salts=8).select(
+        "row_id", "k", "k_name"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+    hot = skewed.filter(F.col("k") == 7)
+    buckets = (
+        with_salt(hot, 8, *hot.columns).groupBy(SALT_COL).count().collect()
+    )
+    assert len(buckets) >= 2, "default scatter re-concentrated the hot key"
+    counts = [r["count"] for r in buckets]
+    assert max(counts) < 9000 * 0.5
+
+
+def test_salted_join_refuses_outer(spark):
+    import pytest
+
+    skewed = _skewed_df(spark)
+    dim = spark.range(60).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(skewed, dim, on=["k"], how=how)
+
+
 def test_two_phase_agg_equals_plain_agg(spark):
     df = _skewed_df(spark)
     plain = df.groupBy("k").agg(
