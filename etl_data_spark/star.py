@@ -14,11 +14,12 @@ holds an unrelated MySQL procedure) with Spark-native idioms:
 - The 4-way fact lookup join broadcasts every dimension: at 100 TB the fact
   side streams through executors map-side only — zero shuffle.
 - ``fact_id`` (BIGSERIAL) needs uniqueness only (the DQ uniqueness check
-  groups by it): assigned as offset + a deterministic dense id via
-  zipWithIndex-free ``row_number`` over a monotonic ordering when
-  ``dense_fact_ids=True`` (test/oracle mode), else
-  ``monotonically_increasing_id`` which is shuffle-free and
-  collision-free per load (scale mode).
+  groups by it): the DEFAULT is scale mode — ``monotonically_increasing_id``,
+  shuffle-free and collision-free per load. ``dense_fact_ids=True`` is the
+  opt-in test/oracle mode: deterministic dense ids via ``row_number`` over a
+  global ordering, which plans as a single-partition sort and is therefore
+  capped at ~1e8 rows per load window — never the default for a 100 TB
+  engine.
 """
 
 from __future__ import annotations
@@ -90,7 +91,7 @@ def build_fact(
     start_date: dt.date | str | None = None,
     end_date: dt.date | str | None = None,
     fact_id_offset: int = 0,
-    dense_fact_ids: bool = True,
+    dense_fact_ids: bool = False,
 ) -> DataFrame:
     """Four broadcast LEFT JOINs resolving surrogate keys, then fact append.
 
@@ -108,15 +109,18 @@ def build_fact(
         ).drop(key_col)
 
     if dense_fact_ids:
-        # Deterministic dense ids — fine up to ~1e8 rows per load window;
-        # oracle-comparable. Order by the stable source row id.
+        # Opt-in oracle/test mode: deterministic dense ids via a GLOBAL
+        # single-partition sort — fine up to ~1e8 rows per load window,
+        # never for the scale path. Order by the stable source row id.
         w = Window.orderBy("id", "effective_from", "user_id")
         fact_id = (F.row_number().over(w) + F.lit(fact_id_offset)).cast("long")
     else:
-        # Scale mode: unique, shuffle-free, not dense.
-        fact_id = (F.monotonically_increasing_id() + F.lit(fact_id_offset)).cast(
-            "long"
-        )
+        # Scale mode (default): unique, shuffle-free, not dense. The +1
+        # matters: monotonically_increasing_id starts at 0, and offset is
+        # the MAX existing fact_id — without it the first new id collides.
+        fact_id = (
+            F.monotonically_increasing_id() + F.lit(fact_id_offset) + F.lit(1)
+        ).cast("long")
 
     return joined.select(
         fact_id.alias("fact_id"),
@@ -140,7 +144,7 @@ def build_star(
     existing: StarSchema | None = None,
     start_date: dt.date | str | None = None,
     end_date: dt.date | str | None = None,
-    dense_fact_ids: bool = True,
+    dense_fact_ids: bool = False,
 ) -> StarSchema:
     """Run the full DM load for one window: 4 dim upserts + fact build.
 

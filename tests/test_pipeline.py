@@ -113,6 +113,37 @@ def test_star_schema(spark, silver):
     assert fact.select("fact_id").distinct().count() == fact.count()
 
 
+def test_fact_scale_mode_has_no_global_sort(spark, silver):
+    """Default fact-id assignment must be shuffle-free: no single-partition
+    global Window sort in the fact build's physical plan (that is the opt-in
+    dense mode for oracle runs only). Dims are materialized first so their
+    own tiny row_number windows don't appear in the inspected plan."""
+    from etl_data_spark.star import DIM_SPECS, build_fact, upsert_dim
+
+    dims = {}
+    for dim_name, id_col, key_col, source_col in DIM_SPECS:
+        built = upsert_dim(None, silver, source_col, id_col, key_col)
+        dims[dim_name] = spark.createDataFrame(built.collect(), built.schema)
+
+    fact = build_fact(silver, dims)
+    p = fact._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" in p
+    assert "Window" not in p and "SinglePartition" not in p
+
+    dense = build_fact(silver, dims, dense_fact_ids=True)
+    pd_ = dense._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in pd_  # dense mode really is the window path
+
+
+def test_fact_ids_unique_across_incremental_loads(spark, silver):
+    """Scale-mode ids must not collide when a second load appends with the
+    max-existing offset (monotonically_increasing_id starts at 0)."""
+    star1 = build_star(silver)
+    star2 = build_star(silver, existing=star1)
+    total = star2.fact.count()
+    assert star2.fact.select("fact_id").distinct().count() == total
+
+
 def test_dim_upsert_idempotent(spark, silver):
     star1 = build_star(silver)
     star2 = build_star(silver, existing=star1)
@@ -154,6 +185,85 @@ def test_overwrite_by_window(spark, silver, tmp_path):
     assert n1 == n2
     stored = spark.read.parquet(path)
     assert stored.count() == silver.count()  # idempotent reload, no dup rows
+
+
+def test_overwrite_by_window_keeps_null_date_rows(spark, tmp_path):
+    """Rows with NULL effective dates sit outside every window: the
+    reference DELETE's window predicate never matches them, so a windowed
+    reload must keep them (for every bound combination)."""
+    path = str(tmp_path / "t_null")
+    schema = "k int, effective_from date, effective_to date"
+    existing = spark.createDataFrame(
+        [
+            (1, dt.date(2023, 2, 1), dt.date(2023, 2, 10)),  # inside window
+            (2, dt.date(2022, 1, 1), dt.date(2022, 1, 5)),  # outside window
+            (3, None, dt.date(2023, 2, 10)),  # NULL from
+            (4, dt.date(2023, 2, 1), None),  # NULL to
+            (5, None, None),  # NULL both
+        ],
+        schema,
+    )
+    new = spark.createDataFrame([(10, dt.date(2023, 2, 2), dt.date(2023, 2, 3))], schema)
+
+    # replaced set per bound combination, from the reference predicate
+    # (start IS NULL OR eff_from >= start) AND (end IS NULL OR eff_to <= end):
+    # a NULL date never satisfies a PRESENT bound, and an absent bound
+    # drops its conjunct entirely.
+    cases = [
+        (("2023-01-01", "2023-12-31"), {1}),
+        (("2023-01-01", None), {1, 4}),  # eff_to unconstrained
+        ((None, "2023-12-31"), {1, 2, 3}),  # eff_from unconstrained
+    ]
+    for (start, end), replaced in cases:
+        overwrite_by_window(spark, existing, path, None, None)  # reset
+        overwrite_by_window(spark, new, path, start, end)
+        kept = {r["k"] for r in spark.read.parquet(path).collect()}
+        expected = ({1, 2, 3, 4, 5} - replaced) | {10}
+        assert kept == expected, (start, end, kept)
+
+
+def test_cleanse_to_copy_shadow_fixture(spark, bronze, silver, tmp_path):
+    """Reference shadow-copy parity (01_init_all.sql:41-57,143-166 FOR
+    AUTOTESTS): same transform, separate sink; the copy table's contents
+    equal the silver output and the returned count matches."""
+    from etl_data_spark.cleanse import cleanse_to_copy
+
+    path = str(tmp_path / "structured_copy")
+    n = cleanse_to_copy(spark, bronze, path, "2023-01-01", "2023-12-31")
+    copy = spark.read.parquet(path)
+    assert n == copy.count() == silver.count()
+    drop = ["processed_at"]  # audit timestamp differs per run by design
+    a = sorted(map(tuple, copy.drop(*drop).collect()))
+    b = sorted(map(tuple, silver.drop(*drop).collect()))
+    assert a == b
+    # post-conditions hold on the copy (reference test_etl.py:80-103 spirit)
+    assert copy.filter(F.col("salary") < 0).count() == 0
+    assert copy.filter(F.col("effective_to") < F.col("effective_from")).count() == 0
+
+
+def test_cli_smoke(tmp_path):
+    """python -m etl_data_spark runs end-to-end and reports all-passed DQ."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "etl_data_spark",
+            "--skip-export",
+            "--rows",
+            "300",
+            "--warehouse",
+            str(tmp_path / "wh"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "silver rows:" in proc.stdout
+    assert "'summary': 'passed'" in proc.stdout
 
 
 def test_full_pipeline(spark, tmp_path):
