@@ -25,6 +25,31 @@ from pyspark.sql import functions as F
 MONTH_KEY = "part_month"
 
 
+def window_replace_predicate(
+    start_date: dt.date | str | None,
+    end_date: dt.date | str | None,
+    date_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> F.Column | None:
+    """The reference DELETE's window predicate
+    ``(start IS NULL OR eff_from >= start) AND (end IS NULL OR eff_to <= end)``
+    with absent bounds dropping their conjunct. Returns None when both
+    bounds are absent (the caller replaces everything). A row with a NULL
+    date under a present bound yields NULL — callers must keep such rows
+    via ``~coalesce(pred, False)``, exactly like the reference DELETE which
+    never matches NULL dates.
+    """
+    if start_date is None and end_date is None:
+        return None
+    if start_date is not None and end_date is not None:
+        return (F.col(date_col) >= F.lit(start_date).cast("date")) & (
+            F.col(to_col) <= F.lit(end_date).cast("date")
+        )
+    if start_date is not None:
+        return F.col(date_col) >= F.lit(start_date).cast("date")
+    return F.col(to_col) <= F.lit(end_date).cast("date")
+
+
 def with_month_key(df: DataFrame, date_col: str = "effective_from") -> DataFrame:
     """Derive the partition column: yyyyMM int of the date column."""
     return df.withColumn(
@@ -103,18 +128,17 @@ def overwrite_by_window(
         return n_new
 
     existing = spark.read.parquet(path).drop(MONTH_KEY)
-    keep = existing
-    if start_date is not None and end_date is not None:
-        window_pred = (F.col(date_col) >= F.lit(start_date).cast("date")) & (
-            F.col(to_col) <= F.lit(end_date).cast("date")
-        )
-        keep = existing.filter(~window_pred | F.col(date_col).isNull())
-    elif start_date is None and end_date is None:
+    window_pred = window_replace_predicate(start_date, end_date, date_col, to_col)
+    if window_pred is None:
+        # unbounded window replaces everything (reference DELETE with both
+        # params NULL deletes all rows)
         keep = existing.limit(0)
-    elif start_date is not None:
-        keep = existing.filter(F.col(date_col) < F.lit(start_date).cast("date"))
     else:
-        keep = existing.filter(F.col(to_col) > F.lit(end_date).cast("date"))
+        # A row is REPLACED only when it provably falls inside the window;
+        # any NULL in the compared date columns makes the predicate NULL,
+        # and ~coalesce(pred, false) keeps such rows — matching the
+        # reference DELETE, which never matches rows with NULL dates.
+        keep = existing.filter(~F.coalesce(window_pred, F.lit(False)))
 
     merged = keep.unionByName(new_rows)
     tmp = str(target.with_name(target.name + "__tmp_rewrite"))
