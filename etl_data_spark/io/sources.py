@@ -13,8 +13,10 @@ Reference parity, Spark-first:
   migrate_to_mysql.py:32-65) — a driver-memory cliff at any real scale.
   ``read_jdbc``/``write_jdbc`` replace it with Spark's partitioned JDBC
   channel: reads parallelized over a numeric partition column, writes
-  batched per executor. (No database server ships in this container; these
-  are exercised only when a JDBC URL is supplied.)
+  batched per executor. ``promote_staging_jdbc`` completes the staged
+  migrate (fn_dm_data_stg_to_dm_load semantics). No database server ships
+  in this container, but the whole path is contract-tested against embedded
+  Derby (tests/test_sources.py) using the Derby jars Spark itself bundles.
 
 All readers take an explicit StructType — schema inference is a full extra
 pass over the data at 100 TB and non-deterministic under dirty input.
@@ -138,3 +140,46 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def promote_staging_jdbc(
+    spark: SparkSession,
+    url: str,
+    staging_table: str,
+    target_table: str,
+    start_date=None,
+    end_date=None,
+    date_col: str = "effective_from",
+    to_col: str = "effective_to",
+    **options: str,
+) -> int:
+    """Staging -> target windowed promote over JDBC (reference
+    fn_dm_data_stg_to_dm_load.sql:8-36: count staging, DELETE target rows in
+    the window, INSERT ... SELECT from staging, report the row count).
+
+    Spark's JDBC channel has no DELETE-WHERE primitive, so the promote is
+    keep ∪ staging -> overwrite, with the keep side materialized via
+    ``localCheckpoint`` (lineage to the target table must be severed before
+    the overwrite drops it). That materialization holds only the NON-window
+    rows of the target — for a true 100 TB deployment the promote would run
+    as server-side SQL through the warehouse connector instead; this path
+    exists for reference parity over any plain JDBC target. Returns the
+    number of staged rows promoted.
+    """
+    from etl_data_spark.io.writers import window_replace_predicate
+
+    staged = read_jdbc(spark, url, staging_table, **options)
+    n_staged = staged.count()
+
+    try:
+        target = read_jdbc(spark, url, target_table, **options)
+        pred = window_replace_predicate(start_date, end_date, date_col, to_col)
+        keep = target.limit(0) if pred is None else target.filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        merged = keep.localCheckpoint(eager=True).unionByName(staged)
+    except Exception:
+        # first promote: target table doesn't exist yet
+        merged = staged
+    write_jdbc(merged, url, target_table, mode="overwrite", **options)
+    return n_staged

@@ -75,3 +75,90 @@ def test_json_rejects_malformed_rows(spark, tmp_path):
     valid, rejected = split_valid(read_json(spark, str(p), SCHEMA))
     assert rejected == 1
     assert valid.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# JDBC contract (S6/S7/S8) against embedded Derby — the Derby jars ship with
+# Spark itself, so this exercises the real JDBC channel with no DB server:
+# window select -> staged overwrite -> partitioned read-back -> windowed
+# promote with a count report (reference migrate_to_mysql.py:32-65 +
+# fn_dm_data_stg_to_dm_load.sql:8-36).
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_data_spark.io.sources import promote_staging_jdbc, read_jdbc, write_jdbc
+
+
+def _derby_url(tmp_path, name="db"):
+    return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+
+def _fact(spark, n=200, year=2023):
+    return spark.range(n).select(
+        F.col("id").alias("fact_id"),
+        (F.col("id") % 7).cast("int").alias("customer_id"),
+        (F.col("id") % 100).cast("double").alias("purchase_amount"),
+        F.date_add(F.lit(f"{year}-01-01").cast("date"), (F.col("id") % 300).cast("int")).alias(
+            "effective_from"
+        ),
+        F.date_add(F.lit(f"{year}-01-01").cast("date"), (F.col("id") % 300).cast("int") + 30).alias(
+            "effective_to"
+        ),
+    )
+
+
+def test_jdbc_roundtrip_partitioned(spark, tmp_path):
+    url = _derby_url(tmp_path)
+    fact = _fact(spark)
+    # S7: staged overwrite is idempotent (DELETE + executemany equivalent)
+    write_jdbc(fact, url, "t_dm_stg_task")
+    write_jdbc(fact, url, "t_dm_stg_task")
+
+    # S6: partitioned read fans the scan out over executor connections
+    back = read_jdbc(
+        spark, url, "t_dm_stg_task",
+        partition_column="fact_id", lower_bound=0, upper_bound=200, num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, fact.collect()))
+
+
+def test_jdbc_windowed_migrate_and_promote(spark, tmp_path):
+    url = _derby_url(tmp_path)
+    fact = _fact(spark)
+
+    # window select (migrate_to_mysql.py:32-42) -> staging
+    window = fact.filter(
+        (F.col("effective_from") >= F.lit("2023-01-01").cast("date"))
+        & (F.col("effective_to") <= F.lit("2023-06-30").cast("date"))
+    )
+    n_window = window.count()
+    write_jdbc(window, url, "t_dm_stg_task")
+
+    # first promote creates the target; count report matches staging
+    n1 = promote_staging_jdbc(
+        spark, url, "t_dm_stg_task", "t_dm_task", "2023-01-01", "2023-06-30"
+    )
+    assert n1 == n_window
+    target = read_jdbc(spark, url, "t_dm_task")
+    assert target.count() == n_window
+
+    # re-promoting the same window is idempotent (delete-then-insert)
+    n2 = promote_staging_jdbc(
+        spark, url, "t_dm_stg_task", "t_dm_task", "2023-01-01", "2023-06-30"
+    )
+    assert n2 == n_window
+    assert read_jdbc(spark, url, "t_dm_task").count() == n_window
+
+    # a second, disjoint window accumulates instead of replacing
+    window2 = fact.filter(F.col("effective_from") >= F.lit("2023-07-01").cast("date"))
+    write_jdbc(window2, url, "t_dm_stg_task")
+    n3 = promote_staging_jdbc(
+        spark, url, "t_dm_stg_task", "t_dm_task", "2023-07-01", None
+    )
+    assert n3 == window2.count()
+    total = read_jdbc(spark, url, "t_dm_task").count()
+    assert total == n_window + n3
