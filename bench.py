@@ -42,6 +42,18 @@ HEADLINE = [
     "window_agg_5min",
 ]
 
+# Reported as their own group (tpch_total / tpch_queries): keeps the
+# headline metric comparable across rounds while still tracking the full
+# TPC-H shape set per-round. pricing_summary (the Q1 shape) stays headline.
+TPCH = [
+    "tpch_q3_shipping",
+    "tpch_q6_forecast",
+    "tpch_q14_promo_ratio",
+    "tpch_q18_large_orders",
+    "tpch_q19_or_predicates",
+    "tpch_q22_global_sales",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,12 +70,17 @@ def main() -> None:
     # Warm up the JVM + parquet footers once, outside timing.
     REGISTRY[names[0]].fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def run_group(group: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in group:
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        return timings
+
+    timings = run_group(names)
+    tpch_timings = run_group([n for n in TPCH if n in REGISTRY])
 
     total = round(sum(timings.values()), 4)
     print(
@@ -73,6 +90,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch_total": round(sum(tpch_timings.values()), 4),
+                "tpch_queries": tpch_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -145,3 +145,25 @@ def cleanse(
         F.current_timestamp().alias("processed_at"),
     ]
     return gated.select(*cols)
+
+
+def cleanse_to_copy(
+    spark,
+    bronze: DataFrame,
+    copy_path: str,
+    start_date: dt.date | str | None = "2023-01-01",
+    end_date: dt.date | str | None = "2023-12-31",
+) -> int:
+    """Shadow-copy test fixture: run the full cleanse and persist the result
+    to the structured-COPY table, returning the processed row count.
+
+    Parity with the reference's ``fn_etl_data_load_test`` +
+    ``t_sql_source_structured_copy`` (sql/init/01_init_all.sql:41-57,143-166,
+    flagged FOR AUTOTESTS): identical transform, separate sink, so tests can
+    assert post-conditions without touching the production silver table.
+    Delete-then-insert of the window becomes a parquet overwrite of the copy
+    table (the copy is always a single test window in the reference too).
+    """
+    silver = cleanse(bronze, start_date, end_date)
+    silver.write.mode("overwrite").parquet(copy_path)
+    return spark.read.parquet(copy_path).count()
