@@ -19,6 +19,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import etl_data_spark.queries as _rel
+import etl_data_spark.queries_corpus as _corpus  # noqa: F401  (registers on import)
 import etl_data_spark.queries_ext as _ext  # noqa: F401  (registers on import)
 import etl_data_spark.queries_llm as _llm  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401
@@ -40,6 +41,14 @@ PRIORITY = [
     "json_extract_agg",
     "array_agg_ops",
     "salted_join_agg",
+    # round-2 corpus-curation operators (queries_corpus.py)
+    "pii_redact",
+    "repetition_filter",
+    "train_split",
+    "sequence_pack",
+    "length_deciles",
+    "ngram_topk",
+    "split_leakage",
     # LLM training-data pipeline operators (queries_llm.py)
     "text_stats",
     "lang_id",
@@ -72,14 +81,9 @@ PRIORITY = [
     "dq_checks_orders",
     "range_join_bursts",
     "grouping_sets_revenue",
-    "sliding_window_agg",
-    "running_revenue",
-    "scd2_current_rows",
-    "exact_percentiles",
-    "explode_posexplode",
-    "cleanse_case",
-    "rollup_revenue",
 ]
+
+assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"
 
 
 def _ordered() -> dict[str, QuerySpec]:

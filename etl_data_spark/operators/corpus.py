@@ -1,0 +1,243 @@
+"""Training-corpus curation operators: PII redaction, repetition filtering,
+deterministic splits, sequence packing, and n-gram statistics.
+
+These are the steps a large-scale LLM training-data pipeline runs after
+ingest/cleanse and before tokenization. Reference analogue: the cleansing /
+gating stages of Nikitpolin/etl-data (sql/etl/02_load_core_data.sql CASE
+cleansing, 03_.. silver gate) generalized to document corpora.
+
+Scale design notes (100 TB):
+- Everything here is a pure Column expression or a key-partitioned window —
+  no Python in the row path, no driver-side collect, no global single
+  partition. PII redaction / repetition stats / split assignment are
+  embarrassingly parallel scans that whole-stage-codegen.
+- Sequence packing partitions by a coarse key (``source``) so the running
+  token offset is a per-group window, not a global sort; groups pack
+  independently, which is exactly how multi-shard training data is laid out.
+- All hashing is md5-derived (portable, bit-identical across engines) —
+  the same idiom as operators/dedup.py.
+- Regex patterns are class-only (no lookaround), chosen to behave
+  identically under Java regex (Spark) and RE2 (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_data_spark.operators import text as TX
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# Order matters: emails first (their domains contain dots an IP pattern
+# could nibble at), then dashed phone numbers, then dotted IPv4.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Per-kind PII match counts (codegen'd regexp_count, no UDF)."""
+    t = _col(text)
+    return {
+        kind: F.regexp_count(t, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Replace every PII match with its typed placeholder token.
+
+    Patterns apply in PII_PATTERNS order so composite strings resolve
+    deterministically (an email's host is consumed before the IP rule
+    can see its dots).
+    """
+    out = _col(text)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, F.lit(pat), F.lit(token))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality rules)
+# --------------------------------------------------------------------------
+
+
+def _ngram_array(text: str | Column, n: int) -> Column:
+    """All word n-grams of ``text`` in order (duplicates kept)."""
+    tk = F.split(F.trim(_col(text)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.length(F.trim(_col(text))) == 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+def dup_ngram_fraction(text: str | Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one:
+    1 - distinct/total (0 when the document has no n-grams). The
+    "duplicate n-gram fraction" repetition signal from Rae et al.,
+    "Scaling Language Models: ... Gopher" (arXiv:2112.11446), §A1.1."""
+    grams = _ngram_array(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1 - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+            6,
+        )
+    )
+
+
+def repetition_flags(
+    text: str | Column,
+    max_dup_token_frac: float = 0.60,
+    max_dup_trigram_frac: float = 0.30,
+) -> dict[str, Column]:
+    """Repetition signals + a keep/drop gate. Thresholds are the operator's
+    parameters; defaults follow the Gopher-family heuristics (drop documents
+    dominated by repeated tokens or repeated trigrams)."""
+    d1 = dup_ngram_fraction(text, 1)
+    d2 = dup_ngram_fraction(text, 2)
+    d3 = dup_ngram_fraction(text, 3)
+    keep = (d1 <= max_dup_token_frac) & (d3 <= max_dup_trigram_frac)
+    return {
+        "dup_token_frac": d1,
+        "dup_bigram_frac": d2,
+        "dup_trigram_frac": d3,
+        "keep": keep,
+    }
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 1000
+SPLIT_RANGES = [("train", 0, 900), ("val", 900, 950), ("test", 950, 1000)]
+
+
+def split_bucket(id_col: str | Column) -> Column:
+    """Stable bucket in [0, SPLIT_BUCKETS): md5-prefix int of the id string.
+
+    Hash-based assignment (not row_number % k) so membership is a pure
+    function of the id — stable under re-partitioning, appends, and
+    re-runs, which is what makes the split reproducible at 100 TB.
+    """
+    h = F.conv(F.substring(F.md5(_col(id_col).cast("string")), 1, 11), 16, 10)
+    return (h.cast("bigint") % SPLIT_BUCKETS).alias("bucket")
+
+
+def split_name(bucket: Column) -> Column:
+    out = None
+    for name, lo, hi in SPLIT_RANGES:
+        cond = (bucket >= lo) & (bucket < hi)
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    return out
+
+
+def with_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    b = split_bucket(id_col)
+    return df.withColumn("bucket", b).withColumn("split", split_name(F.col("bucket")))
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence.
+
+    Concat-and-chunk semantics: within each ``group_col`` shard, documents
+    are laid out in ``id_col`` order and the token stream is cut every
+    ``budget`` tokens; a document belongs to the chunk containing its first
+    token. This is the standard packing used for LLM pretraining shards.
+
+    The running offset is a window partitioned by the shard key — each
+    shard packs independently and in parallel; there is no global sort.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = TX.bpe_token_count(text_col)
+    return (
+        df.select(F.col(group_col), F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            F.floor(F.col("offset") / budget).alias("pack_id"),
+            (F.col("offset") % budget).alias("pack_offset"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Length deciles
+# --------------------------------------------------------------------------
+
+
+def length_decile_stats(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Per-language NTILE(10) over token length, aggregated to decile stats.
+
+    Order key (n_tokens, doc_id) is unique, so tile membership is
+    deterministic on both engines.
+    """
+    w = Window.partitionBy(lang_col).orderBy("n_tokens", "doc_id")
+    per_doc = df.select(
+        F.col(lang_col), F.col("doc_id"), TX.token_count("text").alias("n_tokens")
+    ).withColumn("decile", F.ntile(10).over(w))
+    return (
+        per_doc.groupBy(lang_col, "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 6
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram statistics
+# --------------------------------------------------------------------------
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k n-grams by occurrence count (ties -> lexicographic).
+
+    Explode -> partial-aggregating groupBy -> TakeOrderedAndProject: the
+    shuffle carries (ngram, partial count) pairs only, and top-k never
+    materializes a full sort.
+    """
+    grams = df.select(F.explode(_ngram_array(text_col, n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

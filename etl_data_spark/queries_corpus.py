@@ -1,0 +1,349 @@
+"""Training-corpus curation queries: PII redaction, repetition filtering,
+deterministic splits, sequence packing, length deciles, n-gram stats, and
+cross-split decontamination.
+
+Every query has an exact DuckDB oracle. The synthetic documents contain no
+real PII, so the PII query injects deterministic contact strings derived
+from ``doc_id`` identically on both engines before redacting — the
+redaction semantics are what is being checked, not the generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_spark.operators import corpus as C
+from etl_data_spark.operators import dedup as D
+from etl_data_spark.operators.text import BPE_PATTERN
+from etl_data_spark.queries import load_table, register
+from etl_data_spark.queries_llm import _SQL_PAIR_JACCARD, _SQL_SHINGLES
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+_EMAIL_RE, _PHONE_RE, _IP_RE = [p for _, p, _ in C.PII_PATTERNS]
+
+# doc_id-derived injections, byte-identical on both engines.
+_DUCK_PII_TEXT = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+            ELSE '' END
+"""
+
+
+def _with_pii_text(d: DataFrame) -> DataFrame:
+    doc_id = F.col("doc_id")
+    return d.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                doc_id % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    doc_id.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                doc_id % 5 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                doc_id % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (doc_id % 256).cast("string"),
+                    F.lit("."),
+                    (doc_id * 7 % 256).cast("string"),
+                ),
+            ).otherwise(""),
+        ),
+    )
+
+
+@register(
+    "pii_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(
+               t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_PHONE_RE}', '<PHONE>', 'g'),
+                  '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM (SELECT doc_id, {_DUCK_PII_TEXT} AS t FROM documents)
+    """,
+    doc="Regex PII detection + typed-placeholder redaction (email/phone/IP), "
+    "all codegen'd regexp ops — no UDF in the row path.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_pii_text(load_table(spark, sf_dir, "documents"))
+    counts = C.pii_counts("t")
+    return d.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ip"].cast("long").alias("n_ip"),
+        C.redact_pii("t").alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition filter (Gopher-style)
+# --------------------------------------------------------------------------
+
+_DUCK_NGRAMS = {
+    1: "tk",
+    2: "list_transform(range(1, greatest(len(tk) - 1, 0) + 1), "
+    "i -> tk[i] || ' ' || tk[i+1])",
+    3: "list_transform(range(1, greatest(len(tk) - 2, 0) + 1), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])",
+}
+
+
+def _duck_dup_frac(g: str) -> str:
+    return (
+        f"CASE WHEN len({g}) = 0 THEN 0.0 ELSE "
+        f"ROUND(1 - CAST(len(list_distinct({g})) AS DOUBLE) / len({g}), 6) END"
+    )
+
+
+@register(
+    "repetition_filter",
+    f"""
+    SELECT doc_id, dup_token_frac, dup_bigram_frac, dup_trigram_frac,
+           (dup_token_frac <= 0.60 AND dup_trigram_frac <= 0.30) AS keep
+    FROM (
+      SELECT doc_id,
+             {_duck_dup_frac("g1")} AS dup_token_frac,
+             {_duck_dup_frac("g2")} AS dup_bigram_frac,
+             {_duck_dup_frac("g3")} AS dup_trigram_frac
+      FROM (
+        SELECT doc_id, {_DUCK_NGRAMS[1]} AS g1, {_DUCK_NGRAMS[2]} AS g2,
+               {_DUCK_NGRAMS[3]} AS g3
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents)
+      )
+    )
+    """,
+    doc="Duplicate n-gram fractions (Gopher repetition rules, "
+    "arXiv:2112.11446 A1.1) + keep/drop gate; pure Column scan.",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    flags = C.repetition_flags("text")
+    return d.select(
+        "doc_id",
+        flags["dup_token_frac"].alias("dup_token_frac"),
+        flags["dup_bigram_frac"].alias("dup_bigram_frac"),
+        flags["dup_trigram_frac"].alias("dup_trigram_frac"),
+        flags["keep"].alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+
+def _duck_bucket(col: str) -> str:
+    """DuckDB mirror of split_bucket: positional parse of the first 11 md5
+    hex digits (DuckDB's md5_number_* are little-endian, unusable), mod
+    SPLIT_BUCKETS. Exact int64 arithmetic — 16^11 < 2^44."""
+    return f"""
+    CAST(list_sum(list_transform(range(1, 12),
+        i -> (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), i, 1)) - 1)
+             * CAST(power(16, 11 - i) AS BIGINT))) AS BIGINT) % {C.SPLIT_BUCKETS}
+    """
+
+
+_DUCK_SPLIT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
+        for name, lo, hi in C.SPLIT_RANGES
+    )
+    + " END"
+)
+
+
+@register(
+    "train_split",
+    f"""
+    SELECT doc_id, bucket, {_DUCK_SPLIT_CASE} AS split
+    FROM (SELECT doc_id, {_duck_bucket("doc_id")} AS bucket FROM documents)
+    """,
+    doc="Deterministic hash-based train/val/test assignment: membership is a "
+    "pure function of doc_id — stable under repartitioning and appends.",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return C.with_split(d, "doc_id").select("doc_id", "bucket", "split")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "sequence_pack",
+    f"""
+    SELECT source, doc_id, n_tokens,
+           CAST(floor(off / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           off % {_PACK_BUDGET} AS pack_offset
+    FROM (
+      SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM (
+        SELECT source, doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+    doc="Concat-and-chunk sequence packing into fixed token budgets; the "
+    "running offset is a per-shard window (partitioned by source) — no "
+    "global sort at any scale.",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = C.pack_sequences(d, "source", "doc_id", "text", budget=_PACK_BUDGET)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Length deciles
+# --------------------------------------------------------------------------
+
+
+@register(
+    "length_deciles",
+    """
+    SELECT lang, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+    FROM (
+      SELECT lang, n_tokens,
+             ntile(10) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id)
+                 AS decile
+      FROM (
+        SELECT lang, doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                   AS n_tokens
+        FROM documents
+      )
+    )
+    GROUP BY lang, decile
+    """,
+    doc="Per-language token-length deciles (NTILE over a unique order key -> "
+    "deterministic tiles) aggregated to distribution stats.",
+)
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return C.length_decile_stats(d, "lang")
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram statistics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ngram_topk",
+    f"""
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM (
+      SELECT unnest({_DUCK_NGRAMS[2]}) AS ngram
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk FROM documents)
+    )
+    GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 20
+    """,
+    doc="Corpus-wide top-20 bigrams: explode -> partial-aggregating groupBy "
+    "-> TakeOrderedAndProject (ties broken lexicographically).",
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return C.top_ngrams(d, "text", n=2, k=20)
+
+
+# --------------------------------------------------------------------------
+# Cross-split decontamination
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_leakage",
+    f"""
+    WITH pairs AS ({_SQL_PAIR_JACCARD.format(shingles=_SQL_SHINGLES, threshold=0.5)}),
+    tagged AS (
+      SELECT id_a, id_b, jaccard,
+             {_duck_bucket("id_a")} AS bucket_a,
+             {_duck_bucket("id_b")} AS bucket_b
+      FROM pairs
+    ),
+    split_pairs AS (
+      SELECT id_a, id_b, jaccard,
+             (bucket_a < 900) AS a_train,
+             CASE WHEN bucket_b >= 900 AND bucket_b < 950 THEN 'val'
+                  WHEN bucket_b >= 950 THEN 'test' ELSE 'train' END AS split_b,
+             CASE WHEN bucket_a >= 900 AND bucket_a < 950 THEN 'val'
+                  WHEN bucket_a >= 950 THEN 'test' ELSE 'train' END AS split_a
+      FROM tagged
+    )
+    SELECT CASE WHEN a_train THEN id_a ELSE id_b END AS train_id,
+           CASE WHEN a_train THEN id_b ELSE id_a END AS eval_id,
+           CASE WHEN a_train THEN split_b ELSE split_a END AS eval_split,
+           jaccard
+    FROM split_pairs
+    WHERE a_train <> (split_b = 'train')
+    """,
+    doc="Decontamination report: near-dup pairs (3-gram Jaccard >= 0.5) that "
+    "cross the train/eval boundary. Candidate generation is the inverted-"
+    "index join (never all-pairs); split tags are pure id expressions — "
+    "no extra join or shuffle.",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    split_a = C.split_name(C.split_bucket("id_a"))
+    split_b = C.split_name(C.split_bucket("id_b"))
+    a_train = split_a == "train"
+    return (
+        pairs.withColumn("a_train", a_train)
+        .withColumn("split_a", split_a)
+        .withColumn("split_b", split_b)
+        .where(F.col("a_train") != (F.col("split_b") == "train"))
+        .select(
+            F.when(F.col("a_train"), F.col("id_a")).otherwise(F.col("id_b")).alias("train_id"),
+            F.when(F.col("a_train"), F.col("id_b")).otherwise(F.col("id_a")).alias("eval_id"),
+            F.when(F.col("a_train"), F.col("split_b")).otherwise(F.col("split_a")).alias("eval_split"),
+            "jaccard",
+        )
+    )

@@ -1,0 +1,138 @@
+"""Semantic property tests for the corpus-curation operators
+(etl_data_spark/operators/corpus.py) beyond the oracle-parity gate.
+
+Oracle parity (test_queries_oracle.py) proves Spark == DuckDB; these tests
+prove the semantics themselves: redaction completeness, split stability,
+packing invariants, decile structure, repetition-gate behavior.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_spark.operators import corpus as C
+from etl_data_spark.queries import load_table
+from etl_data_spark.queries_corpus import _with_pii_text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_redaction_is_complete(spark):
+    """After redact_pii, no PII pattern matches anywhere in the corpus."""
+    d = _with_pii_text(load_table(spark, SF_DIR, "documents"))
+    red = d.select(C.redact_pii("t").alias("r"))
+    for kind, pat, token in C.PII_PATTERNS:
+        residue = red.filter(F.regexp_count("r", F.lit(pat)) > 0).count()
+        assert residue == 0, f"{kind} pattern still matches after redaction"
+    # and the placeholders actually appear (injection produced matches)
+    hits = red.filter(F.col("r").contains("<EMAIL>")).count()
+    assert hits > 0
+
+
+def test_redaction_counts_match_injection_schedule(spark):
+    """Injection is doc_id-driven, so counts are exactly predictable."""
+    d = _with_pii_text(load_table(spark, SF_DIR, "documents"))
+    counts = C.pii_counts("t")
+    rows = d.select("doc_id", counts["email"], counts["phone"], counts["ip"]).collect()
+    for r in rows:
+        assert r["n_email"] == (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_phone"] == (1 if r["doc_id"] % 5 == 0 else 0)
+        assert r["n_ip"] == (1 if r["doc_id"] % 7 == 0 else 0)
+
+
+def test_split_is_stable_and_well_formed(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    s1 = {r["doc_id"]: (r["bucket"], r["split"]) for r in C.with_split(d).collect()}
+    # stable under repartitioning: membership is a pure function of the id
+    s2 = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in C.with_split(d.repartition(16)).collect()
+    }
+    assert s1 == s2
+    buckets = [b for b, _ in s1.values()]
+    assert all(0 <= b < C.SPLIT_BUCKETS for b in buckets)
+    frac_train = sum(1 for _, s in s1.values() if s == "train") / len(s1)
+    assert 0.83 <= frac_train <= 0.97  # 90% +- sampling noise at n=500
+    assert {s for _, s in s1.values()} == {"train", "val", "test"}
+
+
+def test_pack_sequences_invariants(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    budget = 512
+    rows = C.pack_sequences(d, "source", "doc_id", "text", budget=budget).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in docs:
+            assert r["pack_id"] == offset // budget
+            assert r["pack_offset"] == offset % budget
+            offset += r["n_tokens"]
+        # packing is dense: pack ids cover 0..max with no gaps
+        ids = sorted({r["pack_id"] for r in docs})
+        assert ids == list(range(ids[-1] + 1))
+
+
+def test_length_deciles_structure(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    rows = C.length_decile_stats(d, "lang").collect()
+    total_docs = d.count()
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, tiles in by_lang.items():
+        tiles.sort(key=lambda r: r["decile"])
+        assert [t["decile"] for t in tiles] == list(range(1, len(tiles) + 1))
+        # deciles are ordered by token length: min of tile k >= min of k-1
+        mins = [t["min_tokens"] for t in tiles]
+        assert mins == sorted(mins)
+        for t in tiles:
+            assert t["min_tokens"] <= t["avg_tokens"] <= t["max_tokens"]
+
+
+def test_repetition_gate_flags_repeated_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps over one lazy sleeping dog"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = C.repetition_flags("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+    }
+    assert rows[1]["dup_token_frac"] == pytest.approx(0.9)
+    assert rows[1]["dup_trigram_frac"] > 0.5
+    assert not rows[1]["keep"]
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["keep"]
+
+
+def test_dup_fraction_bounds(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    stats = d.select(
+        C.dup_ngram_fraction("text", 1).alias("d1"),
+        C.dup_ngram_fraction("text", 3).alias("d3"),
+    ).agg(
+        F.min("d1"), F.max("d1"), F.min("d3"), F.max("d3")
+    ).collect()[0]
+    assert 0.0 <= stats["min(d1)"] and stats["max(d1)"] <= 1.0
+    assert 0.0 <= stats["min(d3)"] and stats["max(d3)"] <= 1.0
+
+
+def test_top_ngrams_ranked(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    rows = C.top_ngrams(d, "text", n=2, k=20).collect()
+    assert len(rows) == 20
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # tie-break: equal counts appear in lexicographic ngram order
+    for a, b in zip(rows, rows[1:]):
+        if a["n_occurrences"] == b["n_occurrences"]:
+            assert a["ngram"] < b["ngram"]

@@ -168,3 +168,34 @@ def test_q22_pushdown_anti_join_scalar_broadcast(spark):
     assert "LeftAnti" in p
     # the one-row average broadcasts; nothing else may nested-loop
     assert p.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_sequence_pack_no_global_sort(spark):
+    # the running offset is a per-shard window: partitioned by source, so the
+    # plan must never collapse to a single-partition global sort
+    p = plan(q(spark, "sequence_pack"))
+    assert "SinglePartition" not in p
+    assert "Window" in p
+
+
+def test_ngram_topk_is_take_ordered_with_partial_agg(spark):
+    # top-k over corpus bigrams: map-side combine before the one shuffle,
+    # TakeOrderedAndProject instead of a full sort
+    p = plan(q(spark, "ngram_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+
+
+def test_split_leakage_no_cartesian(spark):
+    # candidate generation stays an inverted-index equi-join; split tags are
+    # pure id expressions (no extra join), so no nested-loop plan anywhere
+    p = plan(q(spark, "split_leakage"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pii_redact_single_scan_no_shuffle(spark):
+    # redaction is a pure projection: one scan, no exchange of any kind
+    p = plan(q(spark, "pii_redact"))
+    assert "Exchange" not in p
+    assert p.count("documents.parquet") == 1
