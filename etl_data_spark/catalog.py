@@ -40,7 +40,6 @@ PRIORITY = [
     # round-2 fixed queries / changed operators
     "json_extract_agg",
     "array_agg_ops",
-    "salted_join_agg",
     # round-2 corpus-curation operators (queries_corpus.py)
     "pii_redact",
     "repetition_filter",
@@ -49,6 +48,9 @@ PRIORITY = [
     "length_deciles",
     "ngram_topk",
     "split_leakage",
+    "quality_sample",
+    "corpus_mix",
+    "corpus_report",
     # LLM training-data pipeline operators (queries_llm.py)
     "text_stats",
     "lang_id",
@@ -79,8 +81,6 @@ PRIORITY = [
     # distinctive relational operator families
     "star_join",
     "dq_checks_orders",
-    "range_join_bursts",
-    "grouping_sets_revenue",
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"

@@ -127,15 +127,26 @@ SPLIT_BUCKETS = 1000
 SPLIT_RANGES = [("train", 0, 900), ("val", 900, 950), ("test", 950, 1000)]
 
 
-def split_bucket(id_col: str | Column) -> Column:
-    """Stable bucket in [0, SPLIT_BUCKETS): md5-prefix int of the id string.
+def hash_bucket(
+    id_col: str | Column, salt: str = "", buckets: int = SPLIT_BUCKETS
+) -> Column:
+    """Stable bucket in [0, buckets): md5-prefix int of the salted id string.
 
     Hash-based assignment (not row_number % k) so membership is a pure
     function of the id — stable under re-partitioning, appends, and
-    re-runs, which is what makes the split reproducible at 100 TB.
+    re-runs, which is what makes it reproducible at 100 TB. Distinct salts
+    give mutually independent assignments (split vs sampling decisions
+    never correlate).
     """
-    h = F.conv(F.substring(F.md5(_col(id_col).cast("string")), 1, 11), 16, 10)
-    return (h.cast("bigint") % SPLIT_BUCKETS).alias("bucket")
+    s = _col(id_col).cast("string")
+    if salt:
+        s = F.concat(s, F.lit(salt))
+    h = F.conv(F.substring(F.md5(s), 1, 11), 16, 10)
+    return h.cast("bigint") % buckets
+
+
+def split_bucket(id_col: str | Column) -> Column:
+    return hash_bucket(id_col).alias("bucket")
 
 
 def split_name(bucket: Column) -> Column:
@@ -217,6 +228,80 @@ def length_decile_stats(df: DataFrame, lang_col: str = "lang") -> DataFrame:
                 F.sum("n_tokens").cast("double") / F.count("*"), 6
             ).alias("avg_tokens"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-stratified sampling & domain mixing
+# --------------------------------------------------------------------------
+
+# Per-quality-bucket keep rates out of SPLIT_BUCKETS (high keeps everything,
+# low is downsampled 10x) — the standard quality-weighted corpus mix.
+QUALITY_SAMPLE_RATES = {"high": 1000, "medium": 500, "low": 100}
+_SAMPLE_SALT = ":qs"
+
+
+def quality_sample_flag(id_col: str | Column, text_col: str | Column) -> Column:
+    """Deterministic quality-stratified keep decision: a doc survives when
+    its salted hash bucket falls under its quality bucket's rate. The salt
+    decorrelates sampling from train/val/test assignment."""
+    b = hash_bucket(id_col, _SAMPLE_SALT)
+    qb = TX.quality_bucket(text_col)
+    out = None
+    for name, rate in QUALITY_SAMPLE_RATES.items():
+        cond = (qb == name) & (b < rate)
+        out = F.when(cond, True) if out is None else out.when(cond, True)
+    return out.otherwise(False)
+
+
+def mixing_rates(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain sampling rates that equalize token budgets across domains.
+
+    target = total_tokens / n_domains; rate = min(1, target / domain_tokens).
+    The global totals are a window over the ALREADY-AGGREGATED per-domain
+    rows (one per domain — a handful at any corpus size), so the corpus is
+    scanned exactly once; the single-partition window exchange moves only
+    those k rows, never document data.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(text_col)).alias("domain_tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        group_col,
+        "n_docs",
+        "domain_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.sum("domain_tokens").over(w) / F.count("*").over(w))
+                / F.col("domain_tokens"),
+            ),
+            6,
+        ).alias("sample_rate"),
+    )
+
+
+def corpus_report(df: DataFrame) -> DataFrame:
+    """Per (source, lang) corpus report card: volume, quality, and the
+    fraction surviving the repetition gate. Quality sums go through
+    DECIMAL so the aggregate is exact under any partitioning."""
+    flags = repetition_flags("text")
+    per_doc = df.select(
+        "source",
+        "lang",
+        TX.token_count("text").alias("n_tok"),
+        TX.quality_score("text").cast("decimal(10,6)").alias("q"),
+        flags["keep"].alias("keep"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sum("q").cast("double") / F.count("*"), 6).alias("avg_quality"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
     )
 
 

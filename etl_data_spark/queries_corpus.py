@@ -15,9 +15,16 @@ from pyspark.sql import functions as F
 
 from etl_data_spark.operators import corpus as C
 from etl_data_spark.operators import dedup as D
+from etl_data_spark.operators import text as TX
 from etl_data_spark.operators.text import BPE_PATTERN
 from etl_data_spark.queries import load_table, register
-from etl_data_spark.queries_llm import _SQL_PAIR_JACCARD, _SQL_SHINGLES
+from etl_data_spark.queries_llm import _SQL_PAIR_JACCARD, _SQL_QUALITY, _SQL_SHINGLES
+
+# Whitespace token count, identical to text.py::token_count.
+_DUCK_NTOK = """
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END
+"""
 
 # --------------------------------------------------------------------------
 # PII redaction
@@ -161,13 +168,14 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _duck_bucket(col: str) -> str:
-    """DuckDB mirror of split_bucket: positional parse of the first 11 md5
+def _duck_bucket(col: str, salt: str = "") -> str:
+    """DuckDB mirror of hash_bucket: positional parse of the first 11 md5
     hex digits (DuckDB's md5_number_* are little-endian, unusable), mod
     SPLIT_BUCKETS. Exact int64 arithmetic — 16^11 < 2^44."""
+    s = f"CAST({col} AS VARCHAR)" + (f" || '{salt}'" if salt else "")
     return f"""
     CAST(list_sum(list_transform(range(1, 12),
-        i -> (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), i, 1)) - 1)
+        i -> (strpos('0123456789abcdef', substr(md5({s}), i, 1)) - 1)
              * CAST(power(16, 11 - i) AS BIGINT))) AS BIGINT) % {C.SPLIT_BUCKETS}
     """
 
@@ -266,6 +274,108 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return C.length_decile_stats(d, "lang")
+
+
+# --------------------------------------------------------------------------
+# Quality-stratified sampling & domain mixing
+# --------------------------------------------------------------------------
+
+_DUCK_QBUCKET = (
+    "CASE WHEN quality >= 0.7 THEN 'high' "
+    "WHEN quality >= 0.4 THEN 'medium' ELSE 'low' END"
+)
+
+_DUCK_SAMPLE_KEEP = (
+    "CASE "
+    + " ".join(
+        f"WHEN quality_bucket = '{name}' AND b < {rate} THEN TRUE"
+        for name, rate in C.QUALITY_SAMPLE_RATES.items()
+    )
+    + " ELSE FALSE END"
+)
+
+
+@register(
+    "quality_sample",
+    f"""
+    SELECT doc_id, quality_bucket, {_DUCK_SAMPLE_KEEP} AS keep
+    FROM (
+      SELECT q.doc_id, {_DUCK_QBUCKET} AS quality_bucket,
+             {_duck_bucket("q.doc_id", ":qs")} AS b
+      FROM ({_SQL_QUALITY}) q
+    )
+    """,
+    doc="Deterministic quality-stratified sampling: per-bucket keep rates "
+    "(high 100%, medium 50%, low 10%) decided by a salted id hash — "
+    "reproducible, repartition-stable, independent of the split hash.",
+)
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.quality_bucket("text").alias("quality_bucket"),
+        C.quality_sample_flag("doc_id", "text").alias("keep"),
+    )
+
+
+@register(
+    "corpus_mix",
+    f"""
+    SELECT source, n_docs, domain_tokens,
+           ROUND(least(1.0, (CAST(total_tokens AS DOUBLE) / n_domains)
+                            / domain_tokens), 6) AS sample_rate
+    FROM (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS domain_tokens
+      FROM (SELECT source, {_DUCK_NTOK} AS nt FROM documents)
+      GROUP BY source
+    ) p
+    CROSS JOIN (
+      SELECT CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_domains
+      FROM (SELECT source, {_DUCK_NTOK} AS nt FROM documents)
+    ) g
+    """,
+    doc="Domain-mixing rates that equalize token budgets across sources: "
+    "one-row global aggregate broadcast against per-domain rows.",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return C.mixing_rates(d, "source", "text")
+
+
+@register(
+    "corpus_report",
+    f"""
+    WITH q AS ({_SQL_QUALITY}),
+    r AS (
+      SELECT doc_id, source, lang, n_tok,
+             {_duck_dup_frac("g1")} AS d1,
+             {_duck_dup_frac("g3")} AS d3
+      FROM (
+        SELECT doc_id, source, lang, {_DUCK_NTOK} AS n_tok,
+               {_DUCK_NGRAMS[1]} AS g1, {_DUCK_NGRAMS[3]} AS g3
+        FROM (SELECT doc_id, source, lang, text,
+                     string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents)
+      )
+    )
+    SELECT r.source, r.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(q.quality AS DECIMAL(10,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN d1 <= 0.60 AND d3 <= 0.30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep
+    FROM r JOIN q ON r.doc_id = q.doc_id
+    GROUP BY r.source, r.lang
+    """,
+    doc="Per (source, lang) corpus report card: volume, decimal-exact "
+    "average quality, and repetition-gate survival counts.",
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return C.corpus_report(d)
 
 
 # --------------------------------------------------------------------------

@@ -136,3 +136,48 @@ def test_top_ngrams_ranked(spark):
     for a, b in zip(rows, rows[1:]):
         if a["n_occurrences"] == b["n_occurrences"]:
             assert a["ngram"] < b["ngram"]
+
+
+def test_quality_sample_rates(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    rows = d.select(
+        "doc_id",
+        F.col("doc_id").alias("id"),
+        C.quality_sample_flag("doc_id", "text").alias("keep"),
+    ).collect()
+    # deterministic: recompute equals first run
+    again = {
+        r["doc_id"]: r["keep"]
+        for r in d.repartition(16)
+        .select("doc_id", C.quality_sample_flag("doc_id", "text").alias("keep"))
+        .collect()
+    }
+    assert {r["doc_id"]: r["keep"] for r in rows} == again
+    # sampling is independent of the split hash: the sample salt must change
+    # the bucket for at least some ids
+    b0 = C.hash_bucket("doc_id")
+    b1 = C.hash_bucket("doc_id", ":qs")
+    diff = d.filter(b0 != b1).count()
+    assert diff > 0
+
+
+def test_mixing_rates_invariants(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    rows = C.mixing_rates(d, "source", "text").collect()
+    total = sum(r["domain_tokens"] for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert 0.0 < r["sample_rate"] <= 1.0
+        expected = min(1.0, target / r["domain_tokens"])
+        assert r["sample_rate"] == pytest.approx(expected, abs=1e-6)
+    # at least one under-represented domain keeps everything
+    assert any(r["sample_rate"] == 1.0 for r in rows)
+
+
+def test_corpus_report_totals(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    rows = C.corpus_report(d).collect()
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert 0.0 <= r["avg_quality"] <= 1.0

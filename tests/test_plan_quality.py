@@ -199,3 +199,10 @@ def test_pii_redact_single_scan_no_shuffle(spark):
     p = plan(q(spark, "pii_redact"))
     assert "Exchange" not in p
     assert p.count("documents.parquet") == 1
+
+
+def test_corpus_mix_single_scan(spark):
+    # global totals come from a window over the aggregated per-domain rows,
+    # so the corpus is scanned exactly once
+    p = plan(q(spark, "corpus_mix"))
+    assert p.count("documents.parquet") == 1
