@@ -1,0 +1,745 @@
+"""Remaining TPC-H query shapes, adapted to the slimmed testdata schema.
+
+Round 1 covered Q1/Q3/Q5/Q6/Q14/Q17/Q18/Q19/Q22 (queries.py / queries_ext.py).
+This module completes the suite: Q2, Q4, Q7, Q8, Q9, Q10, Q11, Q12, Q13,
+Q15, Q16, Q20, Q21 — each keeping the query's *structural* essence
+(correlated subqueries, EXISTS semi joins, outer-join distributions,
+conditional shares, multi-level aggregation) re-targeted at the columns the
+testdata actually has:
+
+- no ``partsupp`` table -> the (l_partkey, l_suppkey) pairs in lineitem act
+  as the part-supplier relation (MIN(l_extendedprice) as the supply cost);
+- no commit/receipt dates -> "late" is ``l_shipdate > o_orderdate + N days``;
+- no ``l_shipmode`` -> a deterministic derived mode (linenumber parity).
+
+Cross-engine determinism follows the catalog-wide rules (queries.py header):
+decimal-exact measure arithmetic, double casts only at the emit boundary,
+unique ORDER BY tiebreaks on every LIMIT.
+
+Scale notes (100 TB): every query aggregates the fact before or during its
+single keyed shuffle; dims (part/supplier/nation/region, and filtered
+customer where possible) are broadcast so lineitem never shuffles for a
+dim join. Window functions partition on high-cardinality keys (p_partkey,
+l_orderkey), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_data_spark.queries import _dec, load_table, register
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def _vol() -> F.Column:
+    """Revenue measure: extendedprice * (1 - discount), decimal-exact."""
+    return _dec("l_extendedprice", 12) * (F.lit(1) - _dec("l_discount", 12))
+
+
+_VOL_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+
+# --------------------------------------------------------------------------
+# Q2: minimum-cost supplier (correlated MIN subquery over the part-supp rel)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supply",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p.p_partkey, e.s_name, e.s_acctbal, e.n_name, ps.cost,
+             MIN(ps.cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM part p
+      JOIN ps ON p.p_partkey = ps.l_partkey
+      JOIN eu e ON ps.l_suppkey = e.s_suppkey
+      WHERE p.p_type = 'LARGE'
+    )
+    SELECT s_name, n_name, p_partkey,
+           CAST(cost AS DOUBLE) AS supply_cost,
+           s_acctbal AS acctbal
+    FROM cand WHERE cost = min_cost
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: correlated min-cost supplier (partsupp := lineitem pairs).",
+)
+def q_tpch_q2_min_cost_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # part-supplier relation: one shuffle on (partkey, suppkey), map-side combined
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice", 12)).alias("cost")
+    )
+    eu = (
+        s.join(
+            F.broadcast(
+                n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+                .filter(F.col("r_name") == "EUROPE")
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(
+            F.broadcast(p.filter(F.col("p_type") == "LARGE").select("p_partkey")),
+            ps["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eu), ps["l_suppkey"] == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")  # keyed window — no global sort
+    return (
+        cand.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").cast("double").alias("supply_cost"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4: order-priority checking (EXISTS -> left-semi join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_priority_queue",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated subquery as a left-semi join "
+    "('late' := shipped >30 days after order; no commit/receipt dates).",
+)
+def q_tpch_q4_priority_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Q7: volume shipping between two nations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           CAST(SUM({_VOL_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_12')
+        OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_8'))
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape: bidirectional two-nation trade volume by ship year.",
+)
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_12")
+    ) | ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_8"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation").isin("NATION_8", "NATION_12"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8: national market share (conditional-sum ratio per year)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    WITH all_nations AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             {_VOL_SQL} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p      ON l.l_partkey = p.p_partkey
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+      JOIN region r    ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN volume
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: supplier-nation market share within a customer region.",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_type") == "STANDARD").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("volume", _vol())
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_12", F.col("volume")).otherwise(zero))
+                .cast("double")
+                / F.sum("volume").cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9: product-type profit by nation and year
+# --------------------------------------------------------------------------
+# profit := volume - 0.1 * p_retailprice * l_quantity (supply-cost proxy; no
+# partsupp). Computed as (10*volume - retail*qty) in decimal, /10 at the
+# double emit boundary, so the 0.1 factor never leaves exact arithmetic.
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT sn.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(CAST(SUM(({_VOL_SQL}) * 10
+                         - CAST(p.p_retailprice AS DECIMAL(12,2))
+                           * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                / 10.0 AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY sn.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+    doc="TPC-H Q9 shape: profit (volume - 0.1*retail*qty) by supplier nation x year.",
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    amount10 = _vol() * 10 - _dec("p_retailprice", 12) * _dec("l_quantity", 12)
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(((F.sum(amount10).cast("double")) / F.lit(10.0)).cast("double").alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10: returned-item reporting (top-20 customers by lost revenue)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_VOL_SQL}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: per-customer returned-revenue ranking, top 20.",
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-10-01 00:00:00"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cust = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11: important supply (HAVING against a scalar share of the global total)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q11_important_supply",
+    f"""
+    WITH v AS (
+      SELECT l.l_partkey AS p_partkey, SUM({_VOL_SQL}) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    ), t AS (SELECT SUM(val) AS total FROM v)
+    SELECT p_partkey, CAST(val AS DOUBLE) AS val
+    FROM v, t
+    WHERE val * 200 > total
+    """,
+    doc="TPC-H Q11 shape: per-part supply value exceeding 1/200 of the "
+    "regional total (exact decimal val*n > total comparison).",
+)
+def q_tpch_q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_supp = (
+        s.join(
+            F.broadcast(
+                n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+                .filter(F.col("r_name") == "ASIA")
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        ).select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_vol()).alias("val"))
+    )
+    t = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("val") * 200 > F.col("total"))
+        .select("p_partkey", F.col("val").cast("double").alias("val"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12: shipping modes vs priority (conditional counts)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q12_ship_mode",
+    """
+    SELECT CASE WHEN l.l_linenumber % 2 = 0 THEN 'RAIL' ELSE 'MAIL' END AS ship_mode,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    GROUP BY CASE WHEN l.l_linenumber % 2 = 0 THEN 'RAIL' ELSE 'MAIL' END
+    """,
+    doc="TPC-H Q12 shape: late-line conditional priority counts by derived "
+    "ship mode (linenumber parity; schema has no l_shipmode).",
+)
+def q_tpch_q12_ship_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .withColumn(
+            "ship_mode",
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit("RAIL")).otherwise(F.lit("MAIL")),
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13: customer order-count distribution (outer join + double aggregation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) co
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left-outer join preserved in a count histogram.",
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier (scalar MAX subquery over a revenue view)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, SUM({_VOL_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: revenue view + scalar-max equality (decimal-exact, "
+    "so ties are preserved identically on both engines).",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_vol()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16: supplier count by part attributes (NOT IN -> anti join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier counts with a NOT-IN supplier "
+    "blacklist (acctbal < 2000 proxies the complaints filter).",
+)
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 2000.0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad_supp), ps["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20: potential part promotion (nested semi joins + correlated half-sum)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q20_promotion_supplier",
+    """
+    WITH psq AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l.l_quantity AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_1997,
+             SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty_total
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%rod%'
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM psq WHERE qty_1997 * 2 > qty_total
+    )
+    """,
+    doc="TPC-H Q20 shape: suppliers whose 1997 shipped quantity of matching "
+    "parts exceeds half their all-time total (exact 2*q > total).",
+)
+def q_tpch_q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    in_1997 = (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00")) & (
+        F.col("l_shipdate") < _ts("1998-01-01 00:00:00")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    psq = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_1997, _dec("l_quantity", 12)).otherwise(zero)).alias("qty_1997"),
+            F.sum(_dec("l_quantity", 12)).alias("qty_total"),
+        )
+    )
+    promo_supp = (
+        psq.filter(F.col("qty_1997") * 2 > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(promo_supp, s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# --------------------------------------------------------------------------
+# Adapted: a supplier is "blamed" for a finished multi-supplier order when it
+# is the unique supplier whose latest line ships last. The EXISTS (another
+# supplier on the order) and NOT EXISTS (another supplier shipped as late)
+# become n_supp >= 2 and a uniqueness HAVING over the max-shipdate set.
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH ls AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), om AS (
+      SELECT l_orderkey, MAX(s_max) AS o_max, COUNT(*) AS n_supp
+      FROM ls GROUP BY l_orderkey
+    ), late AS (
+      SELECT ls.l_orderkey, ls.l_suppkey
+      FROM ls JOIN om ON ls.l_orderkey = om.l_orderkey
+      WHERE ls.s_max = om.o_max AND om.n_supp >= 2
+    ), uniq AS (
+      SELECT l_orderkey FROM late GROUP BY l_orderkey HAVING COUNT(*) = 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late
+    JOIN uniq    ON late.l_orderkey = uniq.l_orderkey
+    JOIN orders o ON late.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON late.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape: unique-latest supplier on finished multi-supplier "
+    "orders (EXISTS/NOT-EXISTS via grouped uniqueness).",
+)
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ls = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("s_max"))
+    om = ls.groupBy("l_orderkey").agg(
+        F.max("s_max").alias("o_max"), F.count(F.lit(1)).alias("n_supp")
+    )
+    late = (
+        ls.join(om, "l_orderkey")
+        .filter((F.col("s_max") == F.col("o_max")) & (F.col("n_supp") >= 2))
+        .select("l_orderkey", "l_suppkey")
+    )
+    uniq = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == 1)
+        .select("l_orderkey")
+    )
+    fin = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(uniq, "l_orderkey", "left_semi")
+        .join(fin, late["l_orderkey"] == fin["o_orderkey"], "left_semi")
+        .join(F.broadcast(s), late["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
