@@ -46,11 +46,24 @@ HEADLINE = [
 # headline metric comparable across rounds while still tracking the full
 # TPC-H shape set per-round. pricing_summary (the Q1 shape) stays headline.
 TPCH = [
+    "tpch_q2_min_cost_supply",
     "tpch_q3_shipping",
+    "tpch_q4_priority_queue",
     "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_supply",
+    "tpch_q12_ship_mode",
+    "tpch_q13_custdist",
     "tpch_q14_promo_ratio",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
     "tpch_q18_large_orders",
     "tpch_q19_or_predicates",
+    "tpch_q20_promotion_supplier",
+    "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales",
 ]
 
