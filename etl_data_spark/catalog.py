@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 import etl_data_spark.queries as _rel
 import etl_data_spark.queries_corpus as _corpus  # noqa: F401  (registers on import)
 import etl_data_spark.queries_ext as _ext  # noqa: F401  (registers on import)
+import etl_data_spark.queries_incr as _incr  # noqa: F401  (registers on import)
 import etl_data_spark.queries_llm as _llm  # noqa: F401  (registers on import)
 import etl_data_spark.queries_tpch as _tpch  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401

@@ -316,3 +316,55 @@ def ann_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def brute_force_topk_vectorized(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched BLAS variant of ``brute_force_topk``.
+
+    Each Arrow batch is stacked into one (rows x dim) float64 matrix and
+    scored with a single matrix-vector product — at high dimension this is
+    the fast path (vectorized numpy beats the per-element JVM fold), while
+    staying fully distributed: every batch emits only its LOCAL top-k, so
+    the global TakeOrderedAndProject merges ≤ k rows per batch regardless
+    of corpus size.
+
+    Accumulation differs from the sequential JVM fold only in float
+    summation order (BLAS pairwise vs left fold) — equality to the exact
+    path is asserted in tests with a 1e-9 tolerance; the driver check is
+    rows-only for the same reason.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qn)
+            if len(sims) > k:
+                idx = np.argpartition(-sims, k)[:k]
+            else:
+                idx = np.arange(len(sims))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[idx],
+                    "cosine_sim": np.round(sims[idx], 6),
+                }
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(score, schema=f"{id_col} long, cosine_sim double")
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -168,3 +168,46 @@ def session_stats(
         ),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    by: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key (gaps-and-islands).
+
+    A new island starts where an interval's start exceeds the running
+    maximum end of every earlier interval in its partition; the island id
+    is the running count of such starts. Two windows over the same
+    (key, start, end) ordering — Catalyst evaluates them in one Window
+    node, so the whole merge is a single shuffle on ``by`` followed by a
+    partial-aggregated groupBy. Interval count per key is unbounded-safe:
+    no island state lives on the driver.
+
+    Output: one row per island with ``island_id``, island bounds, and the
+    number of source intervals merged into it.
+    """
+    order = (F.col(start_col).asc(), F.col(end_col).asc())
+    w_prev = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(by).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    new_island = (
+        F.col(start_col) > F.max(end_col).over(w_prev)
+    ).cast("int")
+    islands = df.withColumn(
+        "__new", F.coalesce(new_island, F.lit(1))
+    ).withColumn("island_id", F.sum("__new").over(w_run))
+    return islands.groupBy(by, "island_id").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

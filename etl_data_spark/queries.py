@@ -37,15 +37,35 @@ TABLES = [
 ]
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Physical unit of events.ts in this testdata generation ('ns'/'us').
+
+    The driver regenerates /root/testdata between rounds and has shipped
+    both nanosecond (round 1) and microsecond (round 2) encodings; a cheap
+    pyarrow footer read keeps the loader correct for either.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return getattr(t, "unit", "us") or "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with engine-normalized types."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if events_ts_unit(sf_dir) == "ns":
+            # Spark can't read parquet ns natively: surface as long, then
+            # ns -> us truncation via integer division (DuckDB's cast)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = spark.read.parquet(path)
-        # ns -> us truncation via integer division, same as DuckDB's cast
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # parquet NTZ micros reads as TIMESTAMP_NTZ; session tz is pinned
+        # UTC, so the cast to TIMESTAMP is value-preserving and keeps one
+        # timestamp type across the whole catalog
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,304 @@
+"""Incremental-warehouse queries: CDC diff, MERGE upsert, SCD2 history,
+mergeable distinct sketches, interval coalescing, Z-order layout stats.
+
+The reference's load path is truncate-and-reload (reference:
+data-pipeline/src/etl/load.py) — correct at 1 k rows, impossible at 100 TB.
+These queries exercise the incremental replacements in
+``operators/cdc.py`` / ``operators/sketches.py`` / ``operators/layout.py``
+/ ``operators/temporal.py::merge_intervals``, each with an exact DuckDB
+oracle. Snapshots and change feeds are derived deterministically from the
+shared testdata tables (key-modulo selections) so both engines construct
+byte-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_spark.operators import cdc as CDC
+from etl_data_spark.operators import layout as L
+from etl_data_spark.operators import sketches as SK
+from etl_data_spark.operators.temporal import merge_intervals
+from etl_data_spark.queries import load_table, register
+
+# --------------------------------------------------------------------------
+# Deterministic snapshot pair derived from orders:
+#   old  = orders with key % 7 != 0
+#   new  = orders with key % 5 != 0, price +1.00 where key % 3 == 0
+# so the diff contains all three op kinds with exactly computable rows.
+# --------------------------------------------------------------------------
+
+_SQL_OLD = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0"
+_SQL_NEW = """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return old, new
+
+
+@register(
+    "cdc_snapshot_diff",
+    f"""
+    WITH old AS ({_SQL_OLD}), new AS ({_SQL_NEW})
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+    doc="Change-data feed between two snapshots (operators/cdc.py::snapshot_diff).",
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    return CDC.snapshot_diff(old, new, ["o_orderkey"])
+
+
+@register(
+    "cdc_merge_upsert",
+    f"""
+    WITH old AS ({_SQL_OLD}),
+         src AS (SELECT * FROM ({_SQL_NEW}) WHERE o_orderkey % 3 = 0),
+         merged AS (
+           SELECT * FROM src
+           UNION ALL
+           SELECT * FROM old o
+           WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+         )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="MERGE (source wins) then rollup (operators/cdc.py::merge_upsert).",
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    src = new.filter(F.col("o_orderkey") % 3 == 0)
+    merged = CDC.merge_upsert(old, src, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "scd2_apply",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '1970-01-01 00:00:00' AS ts
+      FROM customer
+    ), b1 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal,
+             TIMESTAMP '2024-01-10 00:00:00' AS ts
+      FROM customer WHERE c_custkey % 4 = 0
+    ), b2 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 200.0 AS c_acctbal,
+             TIMESTAMP '2024-01-20 00:00:00' AS ts
+      FROM customer WHERE c_custkey % 6 = 0
+    ), hist AS (
+      SELECT * FROM base UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS effective_to,
+           LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) IS NULL AS is_current
+    FROM hist
+    """,
+    doc="SCD2 history fold of two change batches (operators/cdc.py::apply_scd2).",
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+    def batch(mod: int, bump: float, ts: str) -> DataFrame:
+        return (
+            c.filter(F.col("c_custkey") % mod == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(bump))
+            .withColumn("ts", F.lit(ts).cast("timestamp"))
+        )
+
+    changes = batch(4, 100.0, "2024-01-10 00:00:00").unionByName(
+        batch(6, 200.0, "2024-01-20 00:00:00")
+    )
+    return CDC.apply_scd2(c, changes, ["c_custkey"], "ts")
+
+
+# --------------------------------------------------------------------------
+# Mergeable distinct sketches over events (day increments -> week rollups)
+# --------------------------------------------------------------------------
+
+# NB: DuckDB int `/` is float division and CAST rounds-to-nearest, while
+# Spark's cast truncates — use explicit floor division on both engines.
+_SQL_WEEK = "CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS INT)"
+
+
+@register(
+    "bitmap_distinct_merge",
+    f"""
+    SELECT {_SQL_WEEK} AS week,
+           COUNT(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY 1
+    """,
+    doc="Exact mergeable distinct: daily bitmaps OR-merged to weeks "
+    "(operators/sketches.py::bitmap_daily/bitmap_rollup).",
+)
+def q_bitmap_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = SK.bitmap_daily(e, "ts", "user_id")
+    weekly = daily.withColumn(
+        "week", F.floor(F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) / 7).cast("int")
+    )
+    return SK.bitmap_rollup(weekly.drop("day"), F.col("week"))
+
+
+@register(
+    "hll_incremental_distinct",
+    f"""
+    SELECT {_SQL_WEEK} AS week,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY 1
+    """,
+    doc="Daily HLL sketches merged to weeks; the oracle pins the exact count "
+    "and expects the estimate within 6% (hll_ok) — a genuine accuracy gate, "
+    "since a degenerate sketch flips the flag and fails the hash.",
+)
+def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    daily = SK.hll_daily_sketches(e, "ts", "user_id")
+    weekly = daily.withColumn(
+        "week", F.floor(F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) / 7).cast("int")
+    )
+    est = SK.hll_rollup(weekly.drop("day"), F.col("week"))
+    exact = e.groupBy(week.alias("week")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(est, "week").select(
+        "week",
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("hll_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands) over event activity windows
+# --------------------------------------------------------------------------
+
+
+@register(
+    "interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s <= MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS newi
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             SUM(newi) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island_id, MIN(s) AS island_start, MAX(e) AS island_end,
+             COUNT(*) AS n_intervals
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(epoch_us(island_end) - epoch_us(island_start)) AS BIGINT)
+             AS covered_us,
+           MAX(n_intervals) AS max_merged
+    FROM merged GROUP BY user_id
+    """,
+    doc="Coalesce overlapping 5-minute activity intervals per user "
+    "(operators/temporal.py::merge_intervals).",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    islands = merge_intervals(iv, "user_id", "s", "e")
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(
+            F.unix_micros("island_end") - F.unix_micros("island_start")
+        ).alias("covered_us"),
+        F.max("n_intervals").alias("max_merged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout statistics over orders (custkey x orderdate-day)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "zorder_layout_stats",
+    """
+    WITH z AS (
+      SELECT o_custkey,
+             (CAST(o_orderdate AS DATE) - DATE '1995-01-01') AS day,
+             list_sum(list_transform(range(0, 16), i ->
+               ((( (o_custkey % 65536) >> i) & 1) << (2 * i))
+               + ((( ((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 65536) >> i) & 1)
+                  << (2 * i + 1))
+             )) AS zval
+      FROM orders
+    )
+    SELECT CAST(zval AS BIGINT) >> 24 AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(o_custkey) AS min_x, MAX(o_custkey) AS max_x,
+           MIN(day) AS min_y, MAX(day) AS max_y
+    FROM z GROUP BY 1
+    """,
+    doc="Morton-code bucket min/max spans — the file-skipping statistics a "
+    "Z-ordered write yields (operators/layout.py).",
+)
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    return L.zorder_bucket_stats(o, "o_custkey", "day", bits=16, bucket_shift=24)

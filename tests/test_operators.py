@@ -101,6 +101,21 @@ def test_brute_force_topk_self_first(spark):
     assert out[0]["vec_id"] == 0 and abs(out[0]["cosine_sim"] - 1.0) < 1e-9
 
 
+def test_vectorized_topk_matches_jvm_fold(spark):
+    """The BLAS path must agree with the exact JVM fold path: same ids in
+    the same order, similarities within float-reassociation tolerance."""
+    sf = "/root/testdata/sf0.001"
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = S.brute_force_topk(e, qvec, k=10).collect()
+    fast = S.brute_force_topk_vectorized(e, qvec, k=10).collect()
+    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in fast]
+    for a, b in zip(exact, fast):
+        assert abs(a["cosine_sim"] - b["cosine_sim"]) <= 1e-6
+
+
 def test_ann_recall_against_brute_force(spark):
     sf = "/root/testdata/sf0.001"
     from etl_data_spark.queries import load_table
