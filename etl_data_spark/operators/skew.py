@@ -54,6 +54,13 @@ def salted_join(
     key becomes (on..., salt), so each hot key's rows spread over n_salts
     reducers. Row-for-row equal to ``skewed.join(small, on, how)``.
 
+    Reach for this LAST: if the small side fits the broadcast threshold, a
+    plain ``F.broadcast`` join is strictly better (no n_salts replication,
+    no shuffle at all), and AQE's skew-join splitting handles moderate skew
+    automatically. Salting is for the residual case — a shuffle join whose
+    hot key AQE cannot split (e.g. a single key larger than one executor's
+    share joined against a not-broadcastable side).
+
     ``scatter_cols`` defaults to ROW IDENTITY (a hash over all of the
     skewed side's columns): hashing the join key alone would put every row
     of the hot key into one salt bucket, silently disabling the operator.

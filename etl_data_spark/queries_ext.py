@@ -185,15 +185,35 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentiles",
-    None,  # sketch-based; accuracy vs exact percentiles asserted in pytest
+    # tolerance-flag oracle: the exact quantiles hash-match and the *_ok
+    # booleans fail the hash if the sketch drifts out of tolerance — the
+    # driver now verifies the accuracy contract, not just row shape
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           TRUE AS median_ok, TRUE AS p90_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="approx_percentile (t-digest style sketch) — the at-scale quantile "
-    "path; mergeable across partitions.",
+    "path; mergeable across partitions. Emits exact quantiles plus "
+    "sketch-within-2%% flags so the driver hash checks accuracy.",
 )
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("a_med"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a_p90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "median_qty",
+        "p90_price",
+        (F.abs(F.col("a_med") - F.col("median_qty")) <= 0.02 * F.abs(F.col("median_qty"))).alias("median_ok"),
+        (F.abs(F.col("a_p90") - F.col("p90_price")) <= 0.02 * F.abs(F.col("p90_price"))).alias("p90_ok"),
     )
 
 
@@ -237,14 +257,31 @@ def q_distinct_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    None,  # HLL sketches are engine-specific; accuracy asserted in pytest
-    doc="approx_count_distinct (HyperLogLog++) — the at-scale distinct path.",
+    # exact counts hash-match; the *_ok flags turn HLL++ accuracy into a
+    # driver-verifiable contract (deterministic sketch, 10% tolerance vs
+    # the default rsd=0.05)
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_ok, TRUE AS orders_ok
+    FROM lineitem
+    """,
+    doc="approx_count_distinct (HyperLogLog++) — the at-scale distinct path; "
+    "emits exact counts plus within-tolerance flags for the driver hash.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (F.abs(F.col("a_parts") - F.col("exact_parts")) <= 0.1 * F.col("exact_parts")).alias("parts_ok"),
+        (F.abs(F.col("a_orders") - F.col("exact_orders")) <= 0.1 * F.col("exact_orders")).alias("orders_ok"),
     )
 
 
@@ -320,6 +357,43 @@ def q_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.rank().over(w).alias("bal_rank"),
         F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@register(
+    "window_function_surface",
+    """
+    SELECT c_nationkey, c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(c_custkey) OVER w2 AS richest,
+           NTH_VALUE(c_custkey, 2) OVER w2 AS second_richest,
+           LAST_VALUE(c_custkey) OVER w2 AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Remaining analytic-window surface: percent_rank / cume_dist / "
+    "ntile / first / nth / last over an explicit full-partition frame "
+    "(unique tie-break key keeps every function deterministic).",
+)
+def q_window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w2).alias("richest"),
+        F.nth_value("c_custkey", 2).over(w2).alias("second_richest"),
+        F.last("c_custkey").over(w2).alias("poorest"),
     )
 
 

@@ -714,30 +714,37 @@ def q_tpch_q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     "orders (EXISTS/NOT-EXISTS via grouped uniqueness).",
 )
 def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-shuffle shape: repartition lineitem by l_orderkey once; the
+    # (l_orderkey, l_suppkey) aggregate, both per-order window levels, and
+    # the uniqueness count are then all partition-local (ClusteredDistribution
+    # on a prefix is satisfied), so nothing in this pipeline shuffles again
+    # until the tiny s_name rollup. Replaces a 3-exchange groupBy/join/groupBy
+    # chain that also evaluated the lineitem aggregate twice.
     li = load_table(spark, sf_dir, "lineitem")
-    ls = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("s_max"))
-    om = ls.groupBy("l_orderkey").agg(
-        F.max("s_max").alias("o_max"), F.count(F.lit(1)).alias("n_supp")
+    ls = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
     )
+    w = Window.partitionBy("l_orderkey")
     late = (
-        ls.join(om, "l_orderkey")
+        ls.withColumn("o_max", F.max("s_max").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
         .filter((F.col("s_max") == F.col("o_max")) & (F.col("n_supp") >= 2))
         .select("l_orderkey", "l_suppkey")
     )
-    uniq = (
-        late.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    uniq_late = (
+        late.withColumn("cnt", F.count(F.lit(1)).over(w))
         .filter(F.col("cnt") == 1)
-        .select("l_orderkey")
+        .select("l_orderkey", "l_suppkey")
     )
     fin = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late.join(uniq, "l_orderkey", "left_semi")
-        .join(fin, late["l_orderkey"] == fin["o_orderkey"], "left_semi")
-        .join(F.broadcast(s), late["l_suppkey"] == s["s_suppkey"])
+        uniq_late.join(fin, uniq_late["l_orderkey"] == fin["o_orderkey"], "left_semi")
+        .join(F.broadcast(s), uniq_late["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -135,6 +135,20 @@ def stream_stream_join(
     ).select("p_user", "purchase_id", "click_id", "purchase_ts", "click_ts")
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich each event with dimension attributes.
+
+    The static side is broadcast per microbatch (hinted explicitly so the
+    plan survives statistics loss), and — unlike a stream-stream join — no
+    join state is kept between batches: the dim is re-resolved every batch,
+    so slowly-changing dimension updates are picked up automatically. This
+    is the streaming twin of the batch star join.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a finite streaming query to completion into a memory sink
     (local smoke-test harness; production uses kafka/delta sinks)."""

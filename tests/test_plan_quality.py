@@ -206,3 +206,65 @@ def test_corpus_mix_single_scan(spark):
     # so the corpus is scanned exactly once
     p = plan(q(spark, "corpus_mix"))
     assert p.count("documents.parquet") == 1
+
+
+def test_tpch_q21_single_lineitem_shuffle(spark):
+    """Q21's rewrite: one repartition on l_orderkey feeds the supplier-level
+    aggregate, both window levels, and the uniqueness count with no further
+    lineitem exchange — and no sort-merge join anywhere."""
+    p = plan(q(spark, "tpch_q21_waiting_supplier"))
+    assert "SortMergeJoin" not in p
+    assert p.count("Window") == 2
+    # exactly one hash-partitioning exchange on l_orderkey alone
+    import re
+
+    li_exchanges = [
+        m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        if "l_orderkey" in m and "l_suppkey" not in m and "s_name" not in m
+    ]
+    assert len(li_exchanges) == 1, li_exchanges
+
+
+def test_cdc_snapshot_diff_minimal_payload(spark):
+    """The CDC diff must scan only key + compared columns and join once."""
+    p = plan(q(spark, "cdc_snapshot_diff"))
+    assert "o_orderdate" not in p.split("ReadSchema")[-1]
+    assert "o_orderpriority" not in p.split("ReadSchema")[-1]
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_merge_upsert_broadcasts_batch_side(spark):
+    """With a small change batch, the anti join must broadcast the batch,
+    keeping the merge a map-only pass over the target."""
+    p = plan(q(spark, "cdc_merge_upsert"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_bitmap_rollup_partial_aggregation(spark):
+    """Daily bitmap construction partial-aggregates map-side before the
+    (day, bucket) exchange — raw events never shuffle."""
+    p = plan(q(spark, "bitmap_distinct_merge"))
+    assert "partial_bitmap_construct_agg" in p
+
+
+def test_interval_merge_single_user_shuffle(spark):
+    """Both islands windows and the island groupBy reuse one shuffle on
+    user_id: no second exchange on the same key."""
+    p = plan(q(spark, "interval_merge"))
+    import re
+
+    user_exchanges = [
+        m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        if "user_id" in m and "island_id" not in m
+    ]
+    assert len(user_exchanges) == 1, user_exchanges
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_zorder_stats_codegen_no_udf(spark):
+    """The Morton code is pure integer arithmetic: whole-stage codegen,
+    no Python evaluation anywhere in the plan."""
+    p = plan(q(spark, "zorder_layout_stats"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # pure shift/mask arithmetic lands in a single Project over the scan
+    assert "shiftright" in p and "Project" in p

@@ -129,3 +129,38 @@ def test_salted_join_always_equals_plain_join(spark, n_keys, n_rows, n_salts):
         )
     )
     assert plain == salted
+
+
+# --------------------------------------------------------------------------
+# CDC replay: for ANY pair of snapshots, old + snapshot_diff(old, new) == new
+# --------------------------------------------------------------------------
+
+_snapshot_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # key (small range to force I/U/D overlap)
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(0, 5),
+    ),
+    max_size=25,
+).map(lambda rows: list({k: (k, s, v) for k, s, v in rows}.values()))  # unique keys
+
+
+@given(old_rows=_snapshot_rows, new_rows=_snapshot_rows)
+@PROP_SETTINGS
+def test_cdc_replay_property(spark, old_rows, new_rows):
+    from etl_data_spark.operators.cdc import merge_upsert, snapshot_diff
+
+    schema = "k long, s string, v long"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+
+    feed = snapshot_diff(old, new, ["k"])
+    upserts = feed.filter(F.col("op").isin("I", "U")).select(
+        "k", F.col("new_s").alias("s"), F.col("new_v").alias("v")
+    )
+    deletes = feed.filter(F.col("op") == "D").select("k")
+    replayed = merge_upsert(
+        old.join(deletes, "k", "left_anti"), upserts, ["k"]
+    )
+    assert replayed.exceptAll(new).count() == 0
+    assert new.exceptAll(replayed).count() == 0

@@ -16,6 +16,13 @@ PICK = [
     "tpch_q22_global_sales",
     "winnow_fingerprints",
     "sliding_window_agg",
+    # round 2: incremental-warehouse + single-shuffle Q21 rewrite
+    "tpch_q21_waiting_supplier",
+    "cdc_snapshot_diff",
+    "cdc_merge_upsert",
+    "bitmap_distinct_merge",
+    "interval_merge",
+    "zorder_layout_stats",
 ]
 
 
