@@ -6,14 +6,14 @@ The driver verifies a bounded prefix of the registry (observed: the first
 50 registered entries). ``PRIORITY`` pins the ordering of ``queries()`` /
 ``oracle_sql()`` so that window always holds the highest-information set.
 
-Rotation policy: the catalog now exceeds 50 high-value entries (22 TPC-H
-shapes + 26 LLM-pipeline + 10 corpus-curation + the relational families),
-so the window rotates across rounds — entries that earned a driver-green
-CORRECTNESS row in a previous round are demoted to make room for entries
-that have never been driver-verified. Round 1 verified the first 50
-relational/pipeline queries; round 2 holds TPC-H + LLM + corpus entries;
-queries still waiting (10 of the 13 round-2 TPC-H additions) rotate in
-next round. All entries remain pytest-oracle-checked locally every round
+Rotation policy: the catalog exceeds 50 high-value entries, so the window
+rotates across rounds — entries that earned a driver-green CORRECTNESS row
+in a previous round are demoted to make room for entries that have never
+been driver-verified. Round 1 verified the first 50 relational/pipeline
+queries; round 2 verified TPC-H + LLM + corpus entries; round 3 holds the
+19 entries no round has verified yet, the queries repaired/upgraded this
+round, the 10 new analytics queries, and re-verification of touched code
+paths. All entries remain pytest-oracle-checked locally every round
 regardless of position (tests/test_queries_oracle.py enumerates REGISTRY).
 """
 
@@ -24,6 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import etl_data_spark.queries as _rel
+import etl_data_spark.queries_analytics as _analytics  # noqa: F401  (registers on import)
 import etl_data_spark.queries_corpus as _corpus  # noqa: F401  (registers on import)
 import etl_data_spark.queries_ext as _ext  # noqa: F401  (registers on import)
 import etl_data_spark.queries_incr as _incr  # noqa: F401  (registers on import)
@@ -31,68 +32,74 @@ import etl_data_spark.queries_llm as _llm  # noqa: F401  (registers on import)
 import etl_data_spark.queries_tpch as _tpch  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401
 
-# First-50 verification window, most valuable first.
+# First-50 verification window, most valuable first. Round-3 rotation:
+# (a) the 19 entries that have never received a driver CORRECTNESS row
+#     (10 round-2 TPC-H shapes, the 7 incremental-warehouse queries,
+#     embedding_topk_vectorized, window_function_surface);
+# (b) the 6 queries repaired/upgraded this round (multimodal_embed fix,
+#     dedup_simhash + frame_sample + the three ANN entries promoted from
+#     rows-only to full oracles);
+# (c) the 10 new round-3 analytics/retrieval queries;
+# (d) 15 re-verification slots for entries whose code paths this round
+#     touched (similarity/multimodal/dedup families) or that anchor the
+#     reference surface (star_join, tpch_q5).
 PRIORITY = [
-    # TPC-H query shapes (queries_ext.py + queries_tpch.py).
-    # pricing_summary (Q1) is driver-green from round 1 and is exercised by
-    # entry() every round, so it yields its slot to a round-2 shape.
-    "tpch_q3_shipping",
-    "tpch_q5_regional",
-    "tpch_q6_forecast",
-    "tpch_q14_promo_ratio",
-    "tpch_q18_large_orders",
-    "tpch_q19_or_predicates",
-    "tpch_q22_global_sales",
-    # round-2 TPC-H additions (queries_tpch.py) — the three structurally
-    # richest enter the window now; the other ten rotate in next round
-    "tpch_q2_min_cost_supply",
-    "tpch_q13_custdist",
-    "tpch_q21_waiting_supplier",
-    "scalar_subquery_above_avg",
-    "correlated_avg_filter",
-    # round-2 fixed queries / changed operators
-    "json_extract_agg",
-    "array_agg_ops",
-    # round-2 corpus-curation operators (queries_corpus.py)
-    "pii_redact",
-    "repetition_filter",
-    "train_split",
-    "sequence_pack",
-    "length_deciles",
-    "ngram_topk",
-    "split_leakage",
-    "quality_sample",
-    "corpus_mix",
-    "corpus_report",
-    # LLM training-data pipeline operators (queries_llm.py)
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "bpe_token_count",
-    "winnow_fingerprints",
-    "quality_scores",
+    # (a) never-driver-verified TPC-H shapes
+    "tpch_q4_priority_queue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_supply",
+    "tpch_q12_ship_mode",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promotion_supplier",
+    # (a) never-driver-verified incremental-warehouse family
+    "cdc_snapshot_diff",
+    "cdc_merge_upsert",
+    "scd2_apply",
+    "bitmap_distinct_merge",
+    "hll_incremental_distinct",
+    "interval_merge",
+    "zorder_layout_stats",
+    # (a) never-driver-verified misc
+    "embedding_topk_vectorized",
+    "window_function_surface",
+    # (b) repaired / oracle-upgraded this round
+    "multimodal_embed",
+    "multimodal_frame_sample",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup_lsh",
+    # (c) new round-3 analytics/retrieval queries
+    "tfidf_topk",
+    "bm25_search",
+    "unigram_logprob",
+    "hash_sample",
+    "stratified_sample",
+    "funnel_counts",
+    "cohort_retention",
+    "event_transitions",
+    "value_histogram",
+    "moments_merge",
+    # (d) re-verification of touched/anchor entries
+    "multimodal_decode",
+    "embedding_topk",
+    "knn_join_sample",
+    "embedding_near_dup",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_simhash",
-    "multimodal_decode",
-    "multimodal_embed",
-    "multimodal_frame_sample",
-    "embedding_topk",
-    "knn_join_sample",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
+    "winnow_fingerprints",
     "streaming_sessionize",
-    "resample_ffill_grid",
-    "asof_join_purchase_click",
-    "session_stats",
+    "star_join",
     "session_window_native",
-    "window_agg_5min",
-    # star_join and dq_checks_orders are driver-green from round 1
-    # (CORRECTNESS_r01) and rotated out in favor of round-2 TPC-H shapes.
+    "asof_join_purchase_click",
+    "tpch_q5_regional",
+    "scalar_subquery_above_avg",
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"

@@ -82,7 +82,24 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     batch is megabytes.
     """
     cols = target.columns
-    assert set(cols) == set(source.columns), "merge requires identical schemas"
+    if set(cols) != set(source.columns):
+        raise ValueError(
+            f"merge requires identical column sets; target-only="
+            f"{sorted(set(cols) - set(source.columns))} source-only="
+            f"{sorted(set(source.columns) - set(cols))}"
+        )
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+    s_types = {f.name: f.dataType for f in source.schema.fields}
+    mismatched = {n for n in t_types if t_types[n] != s_types[n]}
+    if mismatched:
+        raise ValueError(
+            "merge requires identical column types; mismatched: "
+            + ", ".join(
+                f"{n} (target={t_types[n].simpleString()}, "
+                f"source={s_types[n].simpleString()})"
+                for n in sorted(mismatched)
+            )
+        )
     untouched = target.join(source.select(*keys), keys, "left_anti")
     return source.select(*cols).unionByName(untouched.select(*cols))
 

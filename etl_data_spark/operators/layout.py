@@ -27,12 +27,16 @@ def z_value(x, y, bits: int = 16) -> F.Column:
     x occupies even bit positions, y odd. Columns are masked to ``bits``
     first, so out-of-range values wrap rather than corrupt high bits.
     """
-    xc = (F.col(x) if isinstance(x, str) else x).cast("long") % (1 << bits)
-    yc = (F.col(y) if isinstance(y, str) else y).cast("long") % (1 << bits)
+    # pmod, not %: Spark's % preserves sign, so a negative key would yield
+    # negative remainders, and shiftright(neg) % 2 returns -1 — corrupting
+    # the Morton code and diverging from the SQL mirror's & 1. pmod + a
+    # bitwise & keep every lane in {0,1} for any input sign.
+    xc = F.pmod((F.col(x) if isinstance(x, str) else x).cast("long"), F.lit(1 << bits))
+    yc = F.pmod((F.col(y) if isinstance(y, str) else y).cast("long"), F.lit(1 << bits))
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z + F.shiftleft(F.shiftright(xc, i) % 2, 2 * i) + F.shiftleft(
-            F.shiftright(yc, i) % 2, 2 * i + 1
+        z = z + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i) + (
+            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     return z
 

@@ -273,6 +273,9 @@ def ivf_topk(
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            # deterministic cell id in the output -> oracle checks the IVF
+            # assignment itself, not just the surviving top-k
+            F.col("cell").cast("int").alias("cell"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
@@ -312,6 +315,9 @@ def ann_topk(
         candidates.select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            # emit the deterministic bucket id so the oracle can verify the
+            # LSH assignment per result row, not just the final top-k
+            F.col("bucket").cast("int").alias("bucket"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
@@ -350,7 +356,12 @@ def brute_force_topk_vectorized(
             if not len(pdf):
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qn)
+            norms = np.linalg.norm(mat, axis=1)
+            # zero vectors have undefined cosine; score them 0 instead of
+            # letting 0/0 NaNs poison argpartition's ordering
+            denom = norms * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0.0, (mat @ q) / denom, 0.0)
             if len(sims) > k:
                 idx = np.argpartition(-sims, k)[:k]
             else:
@@ -362,9 +373,12 @@ def brute_force_topk_vectorized(
                 }
             )
 
+    # carry the id column's real type through the Arrow schema instead of
+    # hardcoding long (vec ids can be int/string in other corpora)
+    id_type = df.schema[id_col].dataType.simpleString()
     return (
         df.select(id_col, vec_col)
-        .mapInPandas(score, schema=f"{id_col} long, cosine_sim double")
+        .mapInPandas(score, schema=f"{id_col} {id_type}, cosine_sim double")
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )

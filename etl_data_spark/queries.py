@@ -57,9 +57,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         if events_ts_unit(sf_dir) == "ns":
             # Spark can't read parquet ns natively: surface as long, then
-            # ns -> us truncation via integer division (DuckDB's cast)
+            # ns -> us truncation via integer division (DuckDB's cast).
+            # The legacy flag is restored right after the read: the relation
+            # captures the conf into its hadoopConf at resolution time, so
+            # execution is unaffected, and the session doesn't leak a global
+            # schema-inference mode into unrelated reads (test order matters:
+            # a leaked conf changes OTHER queries' plans).
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = spark.read.parquet(path)
         # parquet NTZ micros reads as TIMESTAMP_NTZ; session tz is pinned

@@ -1,0 +1,530 @@
+"""Round-3 analytics + retrieval queries: TF-IDF/BM25 ranking, deterministic
+sampling, funnels, cohorts, histograms, unigram LM scoring, event Markov
+transitions, and mergeable moments.
+
+Every query is Spark-first (native Column expressions, no Python in the hot
+path) with an exact DuckDB oracle. Floating-point discipline, learned from
+rounds 1-2: any value that crosses a SUM of doubles is either decimal-cast
+before aggregation (exact, order-independent) or quantized per element
+(round -> decimal) so distributed fold order can never flip the driver's
+value hash.
+
+Scale notes are inline per query; the common theme: token/term pipelines
+explode to (doc, term) rows whose aggregations are partial-agg friendly
+(map-side combine), scalar corpus stats (N, avgdl, total tokens) ride along
+as broadcast one-row joins, and sampling is hash-deterministic so it needs
+no coordination — every executor can decide membership locally at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_data_spark.queries import load_table, register
+
+# --------------------------------------------------------------------------
+# Retrieval: TF-IDF / BM25 / unigram LM
+# --------------------------------------------------------------------------
+
+# Tokenization convention shared with the dedup/text families: single-space
+# split, empty tokens dropped. Keep both engines on the exact same rule.
+_SQL_TOKS = """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+"""
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+@register(
+    "tfidf_topk",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="Top-3 TF-IDF terms per document (smoothed idf). Scale shape: one "
+    "explode -> two partial-agg groupBys; corpus size N is a broadcast "
+    "scalar; ranking is a per-doc window (small partitions, no skew). "
+    "Ranking key is the 6dp-ROUNDED score so cross-engine 1-ulp ln() "
+    "differences cannot reorder ties.",
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+_BM25_TERMS = ("spark", "join", "hash")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT AVG(dl) FROM dl) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)))
+               AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 (k1=1.2, b=0.75) ranking of documents against a 3-term query. "
+    "Per-term partials sum at most |query| doubles per doc (tiny, "
+    "deterministic fold), corpus stats broadcast. Top-k is "
+    "TakeOrderedAndProject — no global sort.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    per_term = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    freq AS (SELECT term, COUNT(*) AS tf FROM toks2 GROUP BY term),
+    tot AS (SELECT SUM(tf) AS total FROM freq),
+    tok_scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(-ln(f.tf / (1.0 * tt.total)), 6) AS DECIMAL(18,6))
+               AS nll_q
+      FROM toks2 t JOIN freq f USING (term) CROSS JOIN tot tt
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(nll_q) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+           COUNT(*) AS n_tokens
+    FROM tok_scored
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model surprisal per document: avg -ln p(token) "
+    "under corpus frequencies — the classic cheap quality/novelty signal. "
+    "Per-token surprisal is quantized to 6dp DECIMAL before the sum, so "
+    "the distributed aggregation is exact integer math — immune to float "
+    "fold order at any partition count.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("total"))
+    tok_scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("tf") / (1.0 * F.col("total"))), 6)
+            .cast("decimal(18,6)")
+            .alias("nll_q"),
+        )
+    )
+    return tok_scored.groupBy("doc_id").agg(
+        F.round(F.sum("nll_q").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_nll"
+        ),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling (coordination-free at any scale)
+# --------------------------------------------------------------------------
+
+# Portable uniform hash in [0, 2^32): first 8 md5 hex digits, positionally
+# parsed (same device as the dedup/winnow mirrors — DuckDB's md5_number_*
+# are little-endian and unusable for prefix semantics).
+_SQL_MD5_32 = """
+    CAST(list_sum(list_transform(range(1, 9),
+        k -> (strpos('0123456789abcdef', substr(md5({key}), CAST(k AS INT), 1)) - 1)
+             * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT)
+"""
+
+
+_SAMPLE_P = 0.1
+
+
+@register(
+    "hash_sample",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE {_SQL_MD5_32.format(key="CAST(o_orderkey AS VARCHAR)")}
+          < {int(_SAMPLE_P * (1 << 32))}
+    """,
+    doc="Deterministic 10% Bernoulli sample: keep rows whose md5(key) "
+    "falls below p*2^32. Unlike rand()-based sampling this is stable "
+    "across retries/partitionings and needs zero coordination — each task "
+    "decides membership from the row alone; the filter pushes into the "
+    "scan's codegen stage.",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = F.expr(
+        "cast(conv(substr(md5(cast(o_orderkey as string)), 1, 8), 16, 10) "
+        "as bigint)"
+    )
+    return o.filter(h < int(_SAMPLE_P * (1 << 32))).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+    doc="Deterministic stratified sample: 5 docs per language, chosen by "
+    "md5 order (a reproducible shuffle). One window per stratum — "
+    "partitions are strata, so parallelism = #strata; for huge strata the "
+    "hash threshold (hash_sample) pattern pre-thins before ranking.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Behavioral analytics over events
+# --------------------------------------------------------------------------
+
+
+@register(
+    "funnel_counts",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+    doc="Ordered view->click->purchase funnel: users reaching each stage "
+    "in sequence. Three key-partitioned aggregations + equi-joins on "
+    "user_id — AQE reuses the user_id exchange; no window over the whole "
+    "event stream, so no single-partition stage at any scale.",
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT)
+             AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+    GROUP BY f.cohort_day, day_offset
+    """,
+    doc="Daily cohort retention (offsets 0..7): users active N days after "
+    "their first event. first_day is a user-keyed aggregate joined back on "
+    "user_id (same exchange), then one grouped distinct-count; cohorts "
+    "bound the result to days x 8 rows regardless of event volume.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    joined = e.join(first_day, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+    )
+    return (
+        joined.filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order Markov transition counts between consecutive event "
+    "types per user (ties broken by event_id for determinism). One "
+    "user-keyed window + one tiny (|types|^2-row) aggregation; per-user "
+    "partitions keep the window skew-free at any event volume.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution summaries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_total,
+           ROUND(MIN(o_totalprice), 2) AS min_total,
+           ROUND(MAX(o_totalprice), 2) AS max_total
+    FROM orders
+    GROUP BY bucket
+    """,
+    doc="Fixed-width value histogram of order totals. The bucket key is "
+    "computed in the scan's codegen stage; the aggregate is partial+final "
+    "with ~20 groups — a pure map-side-combine plan. Sums are decimal so "
+    "the hash is fold-order-independent.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_total"),
+            F.round(F.min("o_totalprice"), 2).alias("min_total"),
+            F.round(F.max("o_totalprice"), 2).alias("max_total"),
+        )
+    )
+
+
+@register(
+    "moments_merge",
+    """
+    WITH partials AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS s2
+      FROM events
+      GROUP BY day
+    ),
+    merged AS (
+      SELECT SUM(n) AS n, SUM(s1) AS s1, SUM(s2) AS s2 FROM partials
+    )
+    SELECT n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
+           ROUND((CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 / (n - 1), 6) AS var_value
+    FROM merged
+    """,
+    doc="Mergeable moments: per-day (n, sum, sum-of-squares) partials in "
+    "exact decimal, merged into global mean/variance — the incremental-"
+    "warehouse pattern for keeping statistics up to date without "
+    "rescanning history. Decimal partials make the merge associative AND "
+    "bit-exact, so incremental == from-scratch.",
+)
+def q_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,6)")
+    partials = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("value").alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    merged = partials.agg(
+        F.sum("n").alias("n"), F.sum("s1").alias("s1"), F.sum("s2").alias("s2")
+    )
+    return merged.select(
+        "n",
+        F.round(F.col("s1").cast("double") / F.col("n"), 6).alias("mean_value"),
+        F.round(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1),
+            6,
+        ).alias("var_value"),
+    )

@@ -22,6 +22,10 @@ SF_DIR = "/root/testdata/sf0.001"
 def plan(df) -> str:
     # default maxMetadataStringLength=100 truncates PushedFilters lists
     df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    # Plan pins assert the COLD plan: lingering cached subplans (operator
+    # persists, fixture .cache()s) would otherwise be substituted by the
+    # CacheManager and change exchange counts run-order-dependently.
+    df.sparkSession.catalog.clearCache()
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -162,3 +162,30 @@ def test_jdbc_windowed_migrate_and_promote(spark, tmp_path):
     assert n3 == window2.count()
     total = read_jdbc(spark, url, "t_dm_task").count()
     assert total == n_window + n3
+
+
+def test_ns_events_read_restores_conf_and_truncates(spark, tmp_path):
+    """load_table's ns-parquet path must (a) truncate ns -> us exactly like
+    DuckDB's cast and (b) restore the global nanosAsLong flag afterwards —
+    the relation captures the conf at resolution, so later execution still
+    works with the flag restored (no session-state leak into other reads).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_data_spark.queries import load_table
+
+    ts = pa.array(
+        [1700000000123456789, 1700000001987654999], type=pa.timestamp("ns")
+    )
+    t = pa.table({"event_id": pa.array([1, 2], type=pa.int64()), "ts": ts})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = load_table(spark, str(tmp_path), "events")
+    after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    assert after == before  # no leak
+
+    got = {r["event_id"]: r["ts"] for r in df.collect()}
+    assert got[1].microsecond == 123456  # 123456789ns -> 123456us (truncate)
+    assert got[2].microsecond == 987654  # truncation, not rounding
