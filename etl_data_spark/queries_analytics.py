@@ -528,3 +528,48 @@ def q_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Star-schema build at benchmark scale (registered after the verification
+# window; exercised by bench.py so regressions in the scale-mode fact path
+# are visible per-round)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "star_build",
+    None,  # write-path operator (current_date audit cols, generated ids):
+    # correctness is pinned by test_pipeline.py (id uniqueness, dim upsert
+    # idempotence, no-global-sort plan); this entry exists to BENCH the
+    # default scale-mode build at sf-scale fact volumes.
+    doc="Full star-schema build (4 dim upserts + broadcast fact load, "
+    "scale-mode shuffle-free fact ids) over an orders-derived silver frame.",
+)
+def q_star_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.star import build_star
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    silver = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("c_name").alias("user_name"),
+            F.col("o_orderpriority").alias("product_category"),
+            F.col("n_name").alias("region"),
+            F.col("o_orderstatus").alias("customer_status"),
+            (F.col("o_orderkey") % 60 + 20).cast("int").alias("age"),
+            F.col("o_totalprice").cast("decimal(15,2)").alias("salary"),
+            (F.col("o_totalprice") / 10)
+            .cast("decimal(15,2)")
+            .alias("purchase_amount"),
+            (F.col("o_orderkey") % 100).cast("int").alias("transaction_count"),
+            F.to_date("o_orderdate").alias("effective_from"),
+            F.date_add(F.to_date("o_orderdate"), 30).alias("effective_to"),
+            F.lit(True).alias("current_flag"),
+        )
+    )
+    return build_star(silver).fact
