@@ -23,6 +23,13 @@ PICK = [
     "bitmap_distinct_merge",
     "interval_merge",
     "zorder_layout_stats",
+    # round 3: analytics/retrieval + scale star build
+    "tfidf_topk",
+    "bm25_search",
+    "hash_sample",
+    "funnel_counts",
+    "event_transitions",
+    "star_build",
 ]
 
 
