@@ -98,6 +98,7 @@ SCALE_OPS = [
     "hll_incremental_distinct",
     "interval_merge",
     "zorder_layout_stats",
+    "streaming_window_counts",
 ]
 
 

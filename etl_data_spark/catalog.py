@@ -99,7 +99,9 @@ PRIORITY = [
     "session_window_native",
     "asof_join_purchase_click",
     "tpch_q5_regional",
-    "scalar_subquery_above_avg",
+    # hash-verified Structured Streaming entry (same oracle as its batch
+    # twin window_agg_5min — complete-mode state at stream end)
+    "streaming_window_counts",
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"
