@@ -97,7 +97,8 @@ PRIORITY = [
     "streaming_sessionize",
     "star_join",
     "session_window_native",
-    "asof_join_purchase_click",
+    # end-to-end dedup output (new r3, recursive-closure oracle)
+    "dedup_survivor_docs",
     "tpch_q5_regional",
     # hash-verified Structured Streaming entry (same oracle as its batch
     # twin window_agg_5min — complete-mode state at stream end)

@@ -236,12 +236,74 @@ def ivf_assign(
 def sample_centroids(
     df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid seed: the k lowest-id vectors. (A production
-    build would run a few Lloyd iterations distributed over a sample; the
-    IVF probe/partition mechanics — the part that must scale — are
-    identical.)"""
+    """Deterministic centroid seed: the k lowest-id vectors. Refine with
+    ``kmeans_refine`` for production-quality cells; the IVF
+    probe/partition mechanics — the part that must scale — are identical
+    either way."""
     rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd iterations over the full corpus (spherical
+    k-means: assign by cosine, recenter by element-wise mean).
+
+    Scale shape per iteration: ``ivf_assign`` is a narrow map (centroids
+    baked into the plan as literals — no join, no shuffle), then the
+    recenter is posexplode -> groupBy(cell, dim) SUM — scalar sums with
+    map-side partial aggregation, so the one shuffle moves at most
+    k*dim pre-combined rows per upstream partition, never vectors, and
+    only k*dim scalar rows reach the driver. (An array-typed collect_list
+    fold would buffer whole cells in executor memory — that is the
+    anti-pattern this formulation avoids.) Empty cells keep their
+    previous centroid (standard Lloyd degeneracy handling, keeps k
+    stable).
+    """
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col)
+        sums = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], {})[r["pos"]] = r["s"] / r["n"]
+        centroids = [
+            (
+                cid,
+                [acc[cid][p] for p in range(len(vec))] if cid in acc else vec,
+            )
+            for cid, vec in centroids
+        ]
+    return centroids
+
+
+def kmeans_objective(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine similarity of each vector to its assigned centroid —
+    the (maximized) spherical k-means objective."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    best_sim = None
+    for cid, vec in centroids:
+        c = F.array(*[F.lit(float(v)) for v in vec])
+        sim = F.when(F.col("cell") == cid, cosine(F.col(vec_col), c))
+        best_sim = sim if best_sim is None else F.coalesce(best_sim, sim)
+    return assigned.select(F.avg(best_sim).alias("obj")).collect()[0]["obj"]
 
 
 def ivf_topk(

@@ -265,3 +265,51 @@ def test_connected_components_and_survivors(spark):
     docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 5, 10, 11]], ["doc_id", "text"])
     kept = D.dedup_survivors(docs, D.connected_components(pairs), "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5, 10]
+
+
+def test_kmeans_refine_improves_objective(spark):
+    """Lloyd iterations must not decrease the spherical k-means objective
+    (mean cosine to assigned centroid), and usually strictly improve it
+    from the lowest-id seed."""
+    sf = "/root/testdata/sf0.001"
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    seed = S.sample_centroids(e, k=8)
+    obj0 = S.kmeans_objective(e, seed)
+    refined = S.kmeans_refine(e, seed, iters=3)
+    obj1 = S.kmeans_objective(e, refined)
+    assert obj1 >= obj0 - 1e-9
+    assert obj1 > obj0  # seed centroids are raw vectors; recentering helps
+
+    # refined centroids keep ids and dimensionality; every cell usable by
+    # ivf_topk unchanged
+    assert [cid for cid, _ in refined] == [cid for cid, _ in seed]
+    assert all(len(v) == len(seed[0][1]) for _, v in refined)
+    got = S.ivf_topk(e, list(e.first()["embedding"]), refined, k=5, n_probe=2)
+    assert got.count() == 5
+
+
+def test_kmeans_recenter_plan_is_scalar_partial_agg(spark):
+    """The recenter aggregation must be posexplode -> scalar SUM with
+    map-side partial aggregation — never an array collect that buffers
+    whole cells in memory."""
+    sf = "/root/testdata/sf0.001"
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    cents = S.sample_centroids(e, k=4)
+    assigned = S.ivf_assign(e, cents)
+    recenter = (
+        assigned.select(
+            "cell",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.sum("val"))
+    )
+    p = recenter._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in p
+    assert "collect_list" not in p
