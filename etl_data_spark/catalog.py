@@ -92,8 +92,12 @@ PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_clusters",
-    "winnow_fingerprints",
+    # deterministic Efraimidis-Spirakis weighted sampling (new r3);
+    # dedup_clusters' machinery is re-verified via the two composed
+    # entries below, so it yields its re-verify slot
+    "weighted_sample",
+    # composed curation pipeline (new r3): lang -> quality -> dedup -> split
+    "corpus_curate_end2end",
     "streaming_sessionize",
     "star_join",
     "session_window_native",

@@ -573,3 +573,51 @@ def q_star_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return build_star(silver).fact
+
+
+_WEIGHTED_K = 50
+
+# Efraimidis–Spirakis weighted sampling with a deterministic md5 uniform:
+# priority = u^(1/w); the top-K priorities ARE a weighted sample without
+# replacement. u derives from md5(doc_id) so membership is a pure function
+# of the row — reproducible at any partition count, mergeable across
+# shards (each shard keeps a local top-K; the global top-K of locals is
+# exact — the same TakeOrderedAndProject shape Spark already plans).
+_SQL_MD5_U = """
+    (CAST(list_sum(list_transform(range(1, 9),
+        k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+             * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) + 1.0) / 4294967297.0
+"""
+
+
+@register(
+    "weighted_sample",
+    f"""
+    SELECT doc_id, n_chars,
+           ROUND(pow({_SQL_MD5_U}, 1.0 / n_chars), 6) AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY ROUND(pow({_SQL_MD5_U}, 1.0 / n_chars), 6) DESC, doc_id
+    LIMIT {_WEIGHTED_K}
+    """,
+    doc="Deterministic weighted sample without replacement (Efraimidis-"
+    "Spirakis A-Res): priority = u^(1/weight) with an md5-derived uniform, "
+    "weight = n_chars. Top-k by priority == weighted sample; plans as "
+    "TakeOrderedAndProject (per-partition local top-k, k rows merged) — "
+    "coordination-free and reproducible at any scale.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+        )
+        + 1.0
+    ) / 4294967297.0
+    pr = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", pr.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(_WEIGHTED_K)
+    )

@@ -457,3 +457,70 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline (round 3)
+# --------------------------------------------------------------------------
+
+_CURATE_QUALITY_MIN = 0.5
+
+# The pair-generation SQL is written against the documents view; the
+# composed pipeline dedups only the language/quality-eligible subset, so
+# point it at the `eligible` CTE instead (single FROM occurrence, the
+# shingle fragment itself contains no FROM).
+_CURATE_PAIRS = _SQL_PAIR_JACCARD.format(
+    shingles=_SQL_SHINGLES, threshold=0.8
+).replace("FROM documents", "FROM eligible")
+
+
+@register(
+    "corpus_curate_end2end",
+    f"""
+    WITH RECURSIVE q AS ({_SQL_QUALITY}),
+    eligible AS (
+      SELECT d.doc_id, d.text, q.quality
+      FROM documents d JOIN q USING (doc_id)
+      WHERE d.lang = 'en' AND q.quality >= {_CURATE_QUALITY_MIN}
+    ),
+    base AS ({_CURATE_PAIRS}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM base
+      UNION
+      SELECT id_b, id_a FROM base
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    losers AS (
+      SELECT s AS doc_id FROM reach GROUP BY s
+      HAVING LEAST(MIN(d), s) <> s
+    )
+    SELECT e.doc_id, e.quality, {_DUCK_SPLIT_CASE} AS split
+    FROM (SELECT doc_id, quality, {_duck_bucket("doc_id")} AS bucket
+          FROM eligible) e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    doc="Composed curation pipeline: language gate -> quality gate "
+    "(>= 0.5) -> MinHash-LSH dedup among the eligible set -> "
+    "deterministic train/val/test split. One registry entry proving the "
+    "stages compose into the daily corpus-production job; every stage is "
+    "also individually oracle-verified. Scale shape: cheap codegen'd "
+    "gates run FIRST so the expensive dedup only sees eligible docs.",
+)
+def q_corpus_curate_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.select(
+        "doc_id", "text", TX.quality_score("text").alias("quality")
+    ).filter(
+        (F.col("quality") >= _CURATE_QUALITY_MIN) & (d["lang"] == "en")
+    )
+    pairs = D.minhash_lsh_pairs(
+        eligible, "doc_id", "text", shingle_n=3, num_hashes=64, bands=16,
+        threshold=0.8,
+    )
+    clusters = D.connected_components(pairs)
+    survivors = D.dedup_survivors(eligible, clusters, "doc_id")
+    return C.with_split(survivors, "doc_id").select("doc_id", "quality", "split")
