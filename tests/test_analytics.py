@@ -131,3 +131,51 @@ def test_value_histogram_partial_agg(spark):
     p = plan(q(spark, "value_histogram"))
     assert p.count("HashAggregate") >= 2
     assert "partial" in p
+
+
+def test_weighted_sample_stability_and_bias(spark):
+    """Same sample at any partition count; and weighting is real: the
+    sampled docs skew long (mean n_chars above corpus mean)."""
+    s1 = [(r["doc_id"], r["priority"]) for r in q(spark, "weighted_sample").collect()]
+    s2 = [
+        (r["doc_id"], r["priority"])
+        for r in q(spark, "weighted_sample").repartition(17).collect()
+    ]
+    assert sorted(s1) == sorted(s2)
+
+    from etl_data_spark.queries import load_table
+
+    d = load_table(spark, SF, "documents")
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    ids = [i for i, _ in s1]
+    sample_mean = (
+        d.filter(F.col("doc_id").isin(ids)).agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_curate_end2end_postconditions(spark):
+    """Composed pipeline output: only eligible docs, valid splits, and no
+    near-dup pair fully surviving."""
+    out = q(spark, "corpus_curate_end2end")
+    rows = out.collect()
+    assert rows, "pipeline produced an empty corpus"
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["quality"] >= 0.5 for r in rows)
+
+    # no surviving near-dup pair: every pair among survivors was dropped
+    surviving = {r["doc_id"] for r in rows}
+    from etl_data_spark.operators import dedup as D
+    from etl_data_spark.operators import text as TX
+    from etl_data_spark.queries import load_table
+
+    d = load_table(spark, SF, "documents")
+    eligible = d.select(
+        "doc_id", "text", TX.quality_score("text").alias("quality")
+    ).filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    pairs = D.minhash_lsh_pairs(
+        eligible, "doc_id", "text", shingle_n=3, num_hashes=64, bands=16,
+        threshold=0.8,
+    ).collect()
+    for p in pairs:
+        assert not (p["id_a"] in surviving and p["id_b"] in surviving), p
