@@ -99,6 +99,10 @@ SCALE_OPS = [
     "interval_merge",
     "zorder_layout_stats",
     "streaming_window_counts",
+    "dedup_minhash_lsh_native",
+    "weighted_sample",
+    "corpus_curate_end2end",
+    "dedup_survivor_docs",
 ]
 
 
