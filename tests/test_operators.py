@@ -313,3 +313,23 @@ def test_kmeans_recenter_plan_is_scalar_partial_agg(spark):
     p = recenter._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in p
     assert "collect_list" not in p
+
+
+def test_minhash_native_hash_same_output(spark):
+    """The xxHash64 production path must produce the exact same verified
+    pair set as the md5 oracle path — candidate generation differences are
+    recall-only and vanish at these band settings."""
+    sf = "/root/testdata/sf0.001"
+    from etl_data_spark.operators import dedup as D
+    from etl_data_spark.queries import load_table
+
+    d = load_table(spark, sf, "documents")
+    md5_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(d, "doc_id", "text").collect()
+    }
+    native_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(d, "doc_id", "text", hash_impl="native").collect()
+    }
+    assert md5_pairs == native_pairs and md5_pairs
