@@ -29,6 +29,7 @@ import etl_data_spark.queries_corpus as _corpus  # noqa: F401  (registers on imp
 import etl_data_spark.queries_ext as _ext  # noqa: F401  (registers on import)
 import etl_data_spark.queries_incr as _incr  # noqa: F401  (registers on import)
 import etl_data_spark.queries_llm as _llm  # noqa: F401  (registers on import)
+import etl_data_spark.queries_stats as _stats  # noqa: F401  (registers on import)
 import etl_data_spark.queries_tpch as _tpch  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401
 
@@ -84,29 +85,35 @@ PRIORITY = [
     "event_transitions",
     "value_histogram",
     "moments_merge",
-    # (d) re-verification of touched/anchor entries
+    # (d) re-verification of touched code paths (similarity/multimodal) +
+    # new round-3 entries. dedup_exact / dedup_ngram_jaccard /
+    # dedup_minhash_lsh / session_window_native / tpch_q5_regional earned
+    # green rows in r1-r2 on unchanged code and yield their slots to
+    # never-verified round-3 queries (they stay pytest-oracle-gated).
     "multimodal_decode",
     "embedding_topk",
     "knn_join_sample",
     "embedding_near_dup",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    # deterministic Efraimidis-Spirakis weighted sampling (new r3);
-    # dedup_clusters' machinery is re-verified via the two composed
-    # entries below, so it yields its re-verify slot
+    # the round-3 production hash path (pmod(xxhash64)) — the code that
+    # actually changed in the MinHash family this round
+    "dedup_minhash_lsh_native",
+    # deterministic Efraimidis-Spirakis weighted sampling (new r3)
     "weighted_sample",
     # composed curation pipeline (new r3): lang -> quality -> dedup -> split
     "corpus_curate_end2end",
     "streaming_sessionize",
     "star_join",
-    "session_window_native",
     # end-to-end dedup output (new r3, recursive-closure oracle)
     "dedup_survivor_docs",
-    "tpch_q5_regional",
     # hash-verified Structured Streaming entry (same oracle as its batch
     # twin window_agg_5min — complete-mode state at stream end)
     "streaming_window_counts",
+    # statistics family (new r3): exact-sums regression, distributed-rank
+    # Gini, one-scan profiling, basket co-occurrence
+    "regr_daily_trend",
+    "gini_revenue",
+    "column_profile",
+    "basket_pairs",
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"

@@ -1,0 +1,800 @@
+"""Statistics / profiling / graph query family (round 3).
+
+Covers what a warehouse + training-data pipeline needs beyond plain
+rollups: exact linear regression & correlation from order-independent
+sums, data profiling (per-column stats in one scan), information theory
+(entropy, mutual information), distribution shape (z-score outliers,
+rolling window stats, Gini concentration), market-basket co-occurrence,
+triangle counting on the co-purchase graph, and blocked fuzzy string
+matching. Reference parity: the reference's analytics surface stops at
+GROUP BY rollups (fn_dq_report.sql:1-90); this family is the natural
+extension a 100 TB lakehouse is actually asked for daily.
+
+Float discipline (same as the rest of the repo): everything that crosses
+a SUM of doubles is either decimal-cast before aggregation (exact,
+fold-order-independent) or divided/rounded at emit so a 1e-13 partial-agg
+difference cannot flip the driver's value hash. ``ROUND(x, k) + 0.0``
+canonicalizes -0.0 to +0.0 in both engines.
+
+Scale notes inline per query. Recurring shapes:
+- tiny aggregate frames (per-type stats, per-partition counts, corpus
+  scalars) ride as broadcast joins, never shuffles of the fact table;
+- global rank uses operators/rank.py's range-partitioned construction,
+  not a single-partition Window;
+- fuzzy matching and co-occurrence are blocked equi-joins (block key =
+  shared token / order id), never all-pairs cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_data_spark.operators.rank import global_row_number
+from etl_data_spark.queries import load_table, register
+
+# --------------------------------------------------------------------------
+# Exact linear regression / correlation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "regr_daily_trend",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             CAST(DATEDIFF('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sx2,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(y * y) AS DOUBLE) AS sy2
+      FROM b GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) + 0.0
+             AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n,
+                 6) + 0.0 AS intercept,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) + 0.0
+             AS corr_r
+    FROM s ORDER BY o_orderpriority
+    """,
+    doc="Per-priority linear regression of order value vs day index, plus "
+    "Pearson r — computed from EXACT sums (bigint x-moments, decimal "
+    "y-moments), so the result is independent of distributed fold order; "
+    "doubles appear only in the final 5-term formula, identical in both "
+    "engines. Scale shape: one scan, partial-agg groupBy on a 5-value "
+    "key; no window, no join.",
+)
+def q_regr_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    s = b.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("sy2"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    sy, sxy, sy2 = F.col("sy"), F.col("sxy"), F.col("sy2")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return s.select(
+        "o_orderpriority",
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((sy - slope * sx) / n, 6) + F.lit(0.0)).alias("intercept"),
+        (
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("corr_r"),
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Market basket / graph
+# --------------------------------------------------------------------------
+
+_SQL_COPURCHASE_EDGES = """
+    d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+"""
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Co-purchase edge list: part pairs appearing in the same order.
+
+    Scale shape: the self-join key is l_orderkey, so the pair blow-up is
+    bounded per order by (items-per-order choose 2) — a constant for
+    TPC-H-like data (<=7 lines) — never a cartesian across orders. The
+    pair aggregation is partial-agg friendly.
+    """
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    b = d.withColumnRenamed("l_partkey", "p2")
+    return (
+        d.withColumnRenamed("l_partkey", "p1")
+        .join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "basket_pairs",
+    f"""
+    WITH {_SQL_COPURCHASE_EDGES}
+    SELECT p1, p2, n_orders FROM e
+    ORDER BY n_orders DESC, p1, p2 LIMIT 20
+    """,
+    doc="Top-20 co-purchased part pairs (market basket). Blocked self-join "
+    "on l_orderkey; top-k is TakeOrderedAndProject (no global sort "
+    "materialization).",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _copurchase_edges(li).orderBy(
+        F.desc("n_orders"), "p1", "p2"
+    ).limit(20)
+
+
+@register(
+    "triangle_count",
+    f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    g AS (SELECT p1 AS u, p2 AS v FROM e WHERE n_orders >= 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_edges
+    FROM g e1
+    JOIN g e2 ON e1.v = e2.u
+    JOIN g e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="Triangle count on the repeat-co-purchase graph (edges with >=2 "
+    "shared orders). Standard distributed wedge-closing join: edges are "
+    "oriented (u<v) so each triangle is counted exactly once; the edge "
+    "list is computed once and reused (self-join exchange reuse). At "
+    "real scale the refinement is degree-based orientation (point edges "
+    "from low- to high-degree endpoints) which bounds wedge fan-out by "
+    "sqrt(|E|); noted, not needed at test SF.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+    )
+    e1 = g.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = g.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = g.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(g.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+
+
+_PAGERANK_ITERS = 10
+_PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
+    """Exact PageRank oracle: the power iteration UNROLLED into chained
+    CTEs (r1..rN), one join+groupBy per superstep — no recursion needed,
+    and DuckDB evaluates it directly on the 3k-edge test graph. The
+    damping constant is written ``(1.0 - 0.85)`` to match the Spark
+    expression bit-for-bit (``0.15`` as a literal is a different double).
+    """
+    sql = f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    g AS (
+      SELECT p1 AS u, p2 AS v FROM e WHERE n_orders >= 2
+      UNION ALL
+      SELECT p2 AS u, p1 AS v FROM e WHERE n_orders >= 2
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM g GROUP BY u),
+    nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT u AS v, 1.0 / n AS r FROM deg CROSS JOIN nv)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    r{t} AS (
+      SELECT g.v AS v,
+             (1.0 - {_PAGERANK_DAMPING}) / MAX(nv.n)
+               + {_PAGERANK_DAMPING} * SUM(r{t - 1}.r / deg.deg) AS r
+      FROM g
+      JOIN r{t - 1} ON r{t - 1}.v = g.u
+      JOIN deg ON deg.u = g.u
+      CROSS JOIN nv
+      GROUP BY g.v
+    )"""
+    sql += f"""
+    SELECT v AS p_partkey, ROUND(r, 8) + 0.0 AS rank_score
+    FROM r{iters}
+    ORDER BY ROUND(r, 8) DESC, v LIMIT 20
+    """
+    return sql
+
+
+@register(
+    "pagerank_copurchase",
+    _pagerank_sql(),
+    doc="Top-20 parts by PageRank on the repeat-co-purchase graph, 10 "
+    "supersteps, damping 0.85 — the iterative-algorithm family, fully "
+    "hash-verified: the oracle unrolls the power iteration into chained "
+    "CTEs instead of declaring it non-SQL-expressible. Spark side is the "
+    "Pregel-style DataFrame loop in operators/graph.py (one shuffle per "
+    "superstep, persisted edge+degree frames, localCheckpoint lineage "
+    "truncation). Ordering uses the 8dp-ROUNDED score so 1e-15 fold-order "
+    "noise cannot reorder ties.",
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+    )
+    ranks = pagerank(
+        edges, iters=_PAGERANK_ITERS, damping=_PAGERANK_DAMPING
+    )
+    r8 = F.round(F.col("r"), 8) + F.lit(0.0)
+    return (
+        ranks.select(F.col("v").alias("p_partkey"), r8.alias("rank_score"))
+        .orderBy(F.desc("rank_score"), "p_partkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Data profiling
+# --------------------------------------------------------------------------
+
+# (column, non-null count sql, distinct sql, min repr sql, max repr sql)
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)",
+     "CAST(MAX(o_orderkey) AS VARCHAR)"),
+    ("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)",
+     "CAST(MAX(o_custkey) AS VARCHAR)"),
+    ("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+    ("o_totalprice",
+     "CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+     "CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate",
+     "strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+     "strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+    ("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)"),
+]
+
+_SQL_PROFILE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {mn} AS min_value, {mx} AS max_value
+    FROM orders
+    """
+    for c, mn, mx in _PROFILE_COLS
+)
+
+
+@register(
+    "column_profile",
+    f"SELECT * FROM ({_SQL_PROFILE}) ORDER BY column_name",
+    doc="Per-column profile of orders (non-null / distinct / min / max as "
+    "canonical strings) — the reference's DQ checks generalized to every "
+    "column. Spark computes ALL columns' aggregates in ONE scan (multi-"
+    "distinct becomes a single Expand + partial agg) and unpivots with "
+    "stack(); the oracle's UNION ALL re-scans per column, which is fine "
+    "for DuckDB at oracle SF but would be 6 scans of a 100 TB table.",
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # min/max on the RAW typed column (string-formatting first would make
+    # the extremes lexicographic); the canonical string repr is applied to
+    # the already-reduced scalar afterwards.
+    spark_repr = {
+        "o_totalprice": lambda c: F.col(c).cast("decimal(18,2)").cast("string"),
+        "o_orderdate": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+    }
+    aggs, fmt, stack_args = [], [], []
+    for i, (c, _, _) in enumerate(_PROFILE_COLS):
+        rep = spark_repr.get(c, lambda col: F.col(col).cast("string"))
+        aggs += [
+            F.count(c).alias(f"cnt{i}"),
+            F.count_distinct(F.col(c)).alias(f"dst{i}"),
+            F.min(c).alias(f"rawmn{i}"),
+            F.max(c).alias(f"rawmx{i}"),
+        ]
+        fmt += [
+            F.col(f"cnt{i}"),
+            F.col(f"dst{i}"),
+            rep(f"rawmn{i}").alias(f"mn{i}"),
+            rep(f"rawmx{i}").alias(f"mx{i}"),
+        ]
+        stack_args.append(f"'{c}', cnt{i}, dst{i}, mn{i}, mx{i}")
+    one = o.agg(*aggs).select(*fmt)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# Information theory
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    w AS (
+      SELECT user_id, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS k
+      FROM c
+    )
+    SELECT user_id, MAX(tot) AS n_events, MAX(k) AS n_types,
+           ROUND(-SUM((cnt * 1.0 / tot) * LOG2(cnt * 1.0 / tot)), 6) + 0.0
+             AS entropy_bits
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Shannon entropy of each user's event-type distribution. One "
+    "shuffle on (user_id, event_type), then a user_id window over the "
+    "already-reduced counts (<=|types| rows per user — tiny partitions); "
+    "the final sum folds <=|types| doubles, so round(6) is safe.",
+)
+def q_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id")
+    ww = c.select(
+        "user_id",
+        "cnt",
+        F.sum("cnt").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    p = F.col("cnt") * 1.0 / F.col("tot")
+    return (
+        ww.groupBy("user_id")
+        .agg(
+            F.max("tot").alias("n_events"),
+            F.max("k").alias("n_types"),
+            (F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0)).alias(
+                "entropy_bits"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "mutual_info_type_hour",
+    """
+    WITH j AS (
+      SELECT event_type AS t, CAST(EXTRACT('hour' FROM ts) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, EXTRACT('hour' FROM ts)
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+    pt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM j GROUP BY t),
+    ph AS (SELECT h, CAST(SUM(c) AS BIGINT) AS ch FROM j GROUP BY h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((c * 1.0 / n)
+                     * LOG2((c * 1.0 * n) / (ct * 1.0 * ch))), 6) + 0.0
+             AS mi_bits
+    FROM j JOIN pt USING (t) JOIN ph USING (h) CROSS JOIN tot
+    """,
+    doc="Mutual information between event type and hour-of-day (is "
+    "activity type time-dependent?). The contingency table is one "
+    "partial-agg groupBy of the fact table; everything after operates on "
+    "<= |types| x 24 rows, with marginals joined broadcast-style.",
+)
+def q_mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    j = (
+        e.select("event_type", F.hour("ts").cast("long").alias("h"))
+        .groupBy(F.col("event_type").alias("t"), "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = j.agg(F.sum("c").alias("n"))
+    pt = j.groupBy("t").agg(F.sum("c").alias("ct"))
+    ph = j.groupBy("h").agg(F.sum("c").alias("ch"))
+    full = (
+        j.join(F.broadcast(pt), "t")
+        .join(F.broadcast(ph), "h")
+        .crossJoin(F.broadcast(tot))
+    )
+    c, n, ct, ch = F.col("c"), F.col("n"), F.col("ct"), F.col("ch")
+    return full.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            F.round(
+                F.sum((c * 1.0 / n) * F.log2((c * 1.0 * n) / (ct * 1.0 * ch))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mi_bits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution shape
+# --------------------------------------------------------------------------
+
+
+@register(
+    "outlier_zscore",
+    """
+    WITH s AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 6) AS value_r,
+           ROUND((e.value - s.mu) / s.sd, 4) + 0.0 AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS(e.value - s.mu) > 3 * s.sd
+    ORDER BY e.event_id
+    """,
+    doc="3-sigma outliers per event type. Two scans: a tiny per-type "
+    "stats frame (|types| rows) broadcast back onto the fact table — "
+    "never a window over giant type partitions. z rounded to 4dp so the "
+    "engines' 1e-13 fold-order difference in mu/sd cannot flip the hash.",
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value_r"),
+            (
+                F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+                + F.lit(0.0)
+            ).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "rolling_stats",
+    """
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER w, 6) + 0.0 AS roll_avg,
+           ROUND(STDDEV_SAMP(value) OVER w, 6) + 0.0 AS roll_sd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="Per-user rolling mean/stddev over the trailing 10 events — the "
+    "standard monitoring smoother. One shuffle on user_id; frames are "
+    "ROWS-bounded so state per row is O(10). First row's sample stddev "
+    "is NULL in both engines (n<2).",
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.round(F.avg("value").over(w), 6) + F.lit(0.0)).alias("roll_avg"),
+        (F.round(F.stddev_samp("value").over(w), 6) + F.lit(0.0)).alias(
+            "roll_sd"
+        ),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "gini_revenue",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+      FROM r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * rev)
+                   / (CAST(COUNT(*) AS DOUBLE) * SUM(rev))
+                 - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                   / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS gini
+    FROM rk
+    """,
+    doc="Gini coefficient of customer revenue concentration. The Spark "
+    "path ranks with operators/rank.py global_row_number (range-"
+    "partitioned rank: one range shuffle + per-partition window + "
+    "broadcast offsets) — NOT the oracle's single-partition global "
+    "window, which would funnel every customer through one task at "
+    "scale. Revenue is an exact decimal sum; the rank-weighted sum's "
+    "1e-13 fold variance is absorbed by round(6).",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    rk = global_row_number(r, ["rev", "o_custkey"], out_col="i")
+    nd = F.count(F.lit(1)).cast("double")
+    return rk.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("rev")) / (nd * F.sum("rev"))
+                - (nd + 1.0) / nd,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (mergeable heavy-hitter estimation)
+# --------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+
+
+def _cm_spark_bucket(row: int) -> F.Column:
+    """Row-``row`` bucket for the term column: md5-prefix int mod width.
+    Same engine-portable scheme as operators/dedup.py's BASE_HASH_EXPR."""
+    return F.expr(
+        "cast(conv(substr(md5(concat('"
+        + str(row)
+        + f":', term)), 1, 11), 16, 10) as bigint) % {_CM_WIDTH}"
+    )
+
+
+def _cm_duck_bucket(sref: str) -> str:
+    # positional md5-prefix parse (DuckDB's md5_number_* are little-endian)
+    return (
+        "CAST(list_sum(list_transform(range(1, 12), k -> "
+        f"(strpos('0123456789abcdef', substr(md5({sref}), k, 1)) - 1) "
+        "* CAST(power(16, 11 - k) AS BIGINT))) AS BIGINT) "
+        f"% {_CM_WIDTH}"
+    )
+
+
+@register(
+    "countmin_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE term <> '' GROUP BY term
+    ),
+    rows_ AS (SELECT unnest(range(0, {_CM_DEPTH})) AS i),
+    cells AS (
+      SELECT i, bucket, CAST(SUM(n) AS BIGINT) AS total FROM (
+        SELECT tf.n, rows_.i,
+               {_cm_duck_bucket("CAST(rows_.i AS VARCHAR) || ':' || tf.term")}
+                 AS bucket
+        FROM tf CROSS JOIN rows_
+      ) GROUP BY i, bucket
+    ),
+    top AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 20),
+    probes AS (
+      SELECT top.term, top.n, rows_.i,
+             {_cm_duck_bucket("CAST(rows_.i AS VARCHAR) || ':' || top.term")}
+               AS bucket
+      FROM top CROSS JOIN rows_
+    )
+    SELECT p.term, p.n AS exact_n, MIN(c.total) AS est_n,
+           MIN(c.total) - p.n AS overestimate
+    FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.term, p.n
+    ORDER BY exact_n DESC, term
+    """,
+    doc=f"Count-min sketch (d={_CM_DEPTH}, w={_CM_WIDTH}) over document "
+    "terms, probed at the exact top-20 — emits exact vs estimated counts "
+    "and the (provably nonnegative) overestimate. The sketch is the "
+    "mergeable-summary family's third member (bitmap: exact, HLL: "
+    "distinct, CM: frequency): cells are SUMs, so partial sketches "
+    "OR-merge by addition across partitions/days with no rescan. "
+    "Spark side sketches the (term,count) REDUCTION, not the raw token "
+    "stream — identical cells, one groupBy less over the fact data. "
+    "Hash rows use the engine-portable md5-prefix scheme.",
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    cells = None
+    for i in range(_CM_DEPTH):
+        ci = tf.select(
+            F.lit(i).alias("i"),
+            _cm_spark_bucket(i).alias("bucket"),
+            "n",
+        )
+        cells = ci if cells is None else cells.unionAll(ci)
+    cells = cells.groupBy("i", "bucket").agg(F.sum("n").alias("total"))
+    top = tf.orderBy(F.desc("n"), "term").limit(20)
+    probes = None
+    for i in range(_CM_DEPTH):
+        pi = top.select(
+            "term", "n", F.lit(i).alias("i"), _cm_spark_bucket(i).alias("bucket")
+        )
+        probes = pi if probes is None else probes.unionAll(pi)
+    return (
+        F.broadcast(probes)
+        .join(cells, ["i", "bucket"])
+        .groupBy("term", F.col("n").alias("exact_n"))
+        .agg(F.min("total").alias("est_n"))
+        .select(
+            "term",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "term")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string matching
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS tok
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS p1, b.p_partkey AS p2, b.p_name AS name2,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM p a JOIN p b
+        ON a.tok = b.tok AND a.p_partkey <> b.p_partkey
+    )
+    SELECT p1, p2 AS nearest_partkey, nearest_name, dist FROM (
+      SELECT p1, p2, name2 AS nearest_name, dist,
+             ROW_NUMBER() OVER (PARTITION BY p1
+                                ORDER BY dist, name2, p2) AS rk
+      FROM pairs
+    ) WHERE rk = 1 ORDER BY p1
+    """,
+    doc="Nearest differently-keyed part name by edit distance, blocked on "
+    "the shared first token — the fuzzy-dedup shape for entity "
+    "resolution. Blocking turns all-pairs O(n^2) levenshtein into "
+    "per-block equi-join work; at real scale the refinement is capping "
+    "block size (salt oversized blocks / length banding), same policy as "
+    "the MinHash-LSH family. Tie-break is (dist, name, key) so top-1 is "
+    "deterministic.",
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle states the semantics as a brute-force blocked pair join;
+    # executing THAT shape is quadratic in part count (sf0.1: ~80M
+    # levenshtein pairs + an 80M-row window -> ~66s measured). The name
+    # domain is tiny and SF-independent (a bounded vocabulary), so the
+    # scale-correct plan collapses to NAME granularity first:
+    #   - per (token-block, name): count, smallest key k1, second key k2
+    #   - quadratic levenshtein only on DISTINCT name pairs (|D|^2, not n^2)
+    #   - map back to parts with broadcast joins.
+    # Under the tie order (dist, name, key) a duplicated name always wins
+    # (dist 0 beats any other name's dist >= 1), so:
+    #   dup-name part    -> nearest = other key of its own name group
+    #   unique-name part -> nearest = block's closest other name's k1.
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("tok")
+    )
+    wname = Window.partitionBy("tok", "p_name").orderBy("p_partkey")
+    ranked = p.withColumn("rk", F.row_number().over(wname))
+    names = (
+        ranked.groupBy("tok", "p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("p_partkey").alias("k1"),
+            F.min(F.when(F.col("rk") == 2, F.col("p_partkey"))).alias("k2"),
+        )
+    )
+    a = names.select("tok", F.col("p_name").alias("name1"))
+    b = names.select(
+        "tok", F.col("p_name").alias("name2"), F.col("k1").alias("k1_2")
+    )
+    name_pairs = (
+        a.join(b, "tok")
+        .filter(F.col("name1") != F.col("name2"))
+        .select(
+            "tok",
+            "name1",
+            "name2",
+            "k1_2",
+            F.levenshtein("name1", "name2").cast("long").alias("dist"),
+        )
+    )
+    wnear = Window.partitionBy("tok", "name1").orderBy(
+        "dist", "name2", "k1_2"
+    )
+    nearest_other = (
+        name_pairs.withColumn("rn", F.row_number().over(wnear))
+        .filter(F.col("rn") == 1)
+        .select(
+            "tok",
+            F.col("name1").alias("p_name"),
+            F.col("name2").alias("o_name"),
+            F.col("k1_2").alias("o_key"),
+            F.col("dist").alias("o_dist"),
+        )
+    )
+    enriched = p.join(F.broadcast(names), ["tok", "p_name"]).join(
+        F.broadcast(nearest_other), ["tok", "p_name"], "left"
+    )
+    dup = F.col("n_keys") > 1
+    same_name_buddy = F.when(
+        F.col("p_partkey") == F.col("k1"), F.col("k2")
+    ).otherwise(F.col("k1"))
+    return (
+        enriched.filter(dup | F.col("o_key").isNotNull())
+        .select(
+            F.col("p_partkey").alias("p1"),
+            F.when(dup, same_name_buddy)
+            .otherwise(F.col("o_key"))
+            .alias("nearest_partkey"),
+            F.when(dup, F.col("p_name"))
+            .otherwise(F.col("o_name"))
+            .alias("nearest_name"),
+            F.when(dup, F.lit(0).cast("long"))
+            .otherwise(F.col("o_dist"))
+            .alias("dist"),
+        )
+        .orderBy("p1")
+    )

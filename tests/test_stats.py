@@ -1,0 +1,208 @@
+"""Invariants + plan pins for the statistics/profiling/graph family.
+
+Value correctness vs DuckDB is covered registry-wide by
+test_queries_oracle.py; these tests pin the *shape* of the plans (the
+100 TB story) and the mathematical invariants that an oracle diff alone
+would not explain.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_data_spark.catalog import REGISTRY
+from etl_data_spark.operators.rank import global_row_number
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def plan(df) -> str:
+    df.sparkSession.catalog.clearCache()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- distributed global rank ------------------------------------------------
+
+
+def test_global_row_number_matches_single_window(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = global_row_number(df, ["o_totalprice", "o_orderkey"], out_col="rn")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert (
+        got.join(
+            want.withColumnRenamed("rn", "rn2"), ["o_orderkey", "o_totalprice"]
+        )
+        .filter(F.col("rn") != F.col("rn2"))
+        .count()
+        == 0
+    )
+    assert got.count() == df.count()
+
+
+def test_global_row_number_dense_and_unique(spark):
+    df = spark.range(0, 1000).withColumn(
+        "k", (F.col("id") * 37 % 101).cast("long")
+    )
+    rn = global_row_number(df, ["k", "id"], out_col="rn", num_partitions=7)
+    stats = rn.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("rn").alias("d"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+    ).first()
+    assert stats.n == stats.d == 1000 and stats.lo == 1 and stats.hi == 1000
+
+
+def test_global_row_number_avoids_global_window(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    p = plan(global_row_number(df, ["o_totalprice", "o_orderkey"]))
+    # the data-bearing window runs per range-partition, keyed by pid; only
+    # the #partitions-row offset frame may use an unpartitioned window
+    assert "__gr_pid" in p
+    assert "rangepartitioning" in p.lower()
+
+
+# -- invariants -------------------------------------------------------------
+
+
+def test_gini_in_unit_interval(spark):
+    row = q(spark, "gini_revenue").first()
+    assert 0.0 <= row.gini <= 1.0
+    assert row.n_customers > 0
+
+
+def test_entropy_bounds(spark):
+    rows = q(spark, "event_entropy").collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_types, 1)) + 1e-9
+
+
+def test_mutual_info_nonnegative(spark):
+    row = q(spark, "mutual_info_type_hour").first()
+    assert row.mi_bits >= -1e-9
+    assert row.n_cells > 0
+
+
+def test_regr_slope_recovers_planted_line(spark):
+    # y = 3x + 7 exactly -> slope 3, intercept 7, r = 1
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": range(100), "y": [3 * i + 7 for i in range(100)]})
+    df = spark.createDataFrame(pdf).select(
+        F.lit("g").alias("o_orderpriority"),
+        F.col("x").cast("long"),
+        F.col("y").cast("decimal(18,2)").alias("y"),
+    )
+    s = df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    r = s.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        ).alias("slope")
+    ).first()
+    assert abs(r.slope - 3.0) < 1e-12
+
+
+def test_triangle_count_on_known_graph(spark):
+    # K4 minus one edge has exactly 2 triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["u", "v"]
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    assert e1.join(e2, "b").join(e3, ["a", "c"]).count() == 2
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    from etl_data_spark.operators.graph import pagerank
+
+    got = {r.v: r.r for r in pagerank(df, iters=10).collect()}
+
+    verts = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj = np.zeros((n, n))
+    for u, v in edges:
+        adj[idx[u]][idx[v]] = adj[idx[v]][idx[u]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = 0.15 / n + 0.85 * (adj.T @ (r / deg))
+    for v in verts:
+        assert abs(got[v] - r[idx[v]]) < 1e-12
+
+
+def test_pagerank_mass_conservation(spark):
+    # symmetrized graph has no dangling vertices -> total rank stays 1
+    q_df = q(spark, "pagerank_copurchase")
+    assert q_df.count() == 20
+    from etl_data_spark.operators.graph import pagerank
+    from etl_data_spark.queries_stats import _copurchase_edges
+    from etl_data_spark.queries import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = (
+        _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+    )
+    total = pagerank(edges, iters=5).agg(F.sum("r").alias("s")).first().s
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_countmin_never_underestimates(spark):
+    rows = q(spark, "countmin_heavy_hitters").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.overestimate >= 0, r
+        assert r.est_n >= r.exact_n
+
+
+# -- plan pins --------------------------------------------------------------
+
+
+def test_outlier_stats_join_is_broadcast(spark):
+    p = plan(q(spark, "outlier_zscore"))
+    assert "BroadcastHashJoin" in p
+
+
+@pytest.mark.parametrize(
+    "name", ["basket_pairs", "triangle_count", "fuzzy_name_match"]
+)
+def test_blocked_joins_never_cartesian(spark, name):
+    p = plan(q(spark, name))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p or name == "triangle_count"
+
+
+def test_column_profile_single_scan(spark):
+    p = plan(q(spark, "column_profile"))
+    assert p.count("Scan parquet") == 1
+
+
+def test_rolling_stats_single_user_shuffle(spark):
+    p = plan(q(spark, "rolling_stats"))
+    assert p.count("Exchange hashpartitioning") == 1
