@@ -105,6 +105,25 @@ SCALE_OPS = [
     "dedup_survivor_docs",
 ]
 
+# Round-3 statistics/profiling/graph family (queries_stats.py).
+STATS = [
+    "regr_daily_trend",
+    "basket_pairs",
+    "triangle_count",
+    "pagerank_copurchase",
+    "column_profile",
+    "event_entropy",
+    "mutual_info_type_hour",
+    "outlier_zscore",
+    "rolling_stats",
+    "gini_revenue",
+    "fuzzy_name_match",
+    "countmin_heavy_hitters",
+    "streaming_dedup_keys",
+    "streaming_stream_join",
+    "streaming_static_enrich",
+]
+
 
 def run_group(names: list[str], sf_dir: str, reps: int) -> dict[str, float]:
     """Time one group in a fresh, isolated Spark session."""
@@ -148,6 +167,7 @@ def main() -> None:
         ("headline", [n for n in HEADLINE if n in REGISTRY] + extra),
         ("tpch", [n for n in TPCH if n in REGISTRY]),
         ("scale_ops", [n for n in SCALE_OPS if n in REGISTRY]),
+        ("stats", [n for n in STATS if n in REGISTRY]),
     ]
 
     results: dict[str, dict[str, float]] = {}
@@ -158,6 +178,7 @@ def main() -> None:
     timings = results.get("headline", {})
     tpch_timings = results.get("tpch", {})
     ops_timings = results.get("scale_ops", {})
+    stats_timings = results.get("stats", {})
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -170,6 +191,8 @@ def main() -> None:
                 "tpch_queries": tpch_timings,
                 "scale_ops_total": round(sum(ops_timings.values()), 4),
                 "scale_ops_queries": ops_timings,
+                "stats_total": round(sum(stats_timings.values()), 4),
+                "stats_queries": stats_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "method": f"min-of-{reps} reps, isolated session per group, "
                 "cache cleared between queries, noop-write materialization",

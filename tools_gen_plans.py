@@ -30,6 +30,12 @@ PICK = [
     "funnel_counts",
     "event_transitions",
     "star_build",
+    # round 3 second wave: statistics/graph family
+    "regr_daily_trend",
+    "gini_revenue",
+    "column_profile",
+    "basket_pairs",
+    "outlier_zscore",
 ]
 
 
