@@ -90,10 +90,16 @@ PRIORITY = [
     # dedup_minhash_lsh / session_window_native / tpch_q5_regional earned
     # green rows in r1-r2 on unchanged code and yield their slots to
     # never-verified round-3 queries (they stay pytest-oracle-gated).
-    "multimodal_decode",
+    # multimodal_decode (green r2, decode path unchanged) and
+    # streaming_sessionize (rows-only declared + recorded r2) yield their
+    # slots to the two new hash-verified operator families below
     "embedding_topk",
     "knn_join_sample",
     "embedding_near_dup",
+    # iterative-algorithm family, hash-verified via unrolled-CTE oracle
+    "pagerank_copurchase",
+    # mergeable-sketch family member 3 (bitmap/HLL/count-min)
+    "countmin_heavy_hitters",
     # the round-3 production hash path (pmod(xxhash64)) — the code that
     # actually changed in the MinHash family this round
     "dedup_minhash_lsh_native",
@@ -101,7 +107,6 @@ PRIORITY = [
     "weighted_sample",
     # composed curation pipeline (new r3): lang -> quality -> dedup -> split
     "corpus_curate_end2end",
-    "streaming_sessionize",
     "star_join",
     # end-to-end dedup output (new r3, recursive-closure oracle)
     "dedup_survivor_docs",

@@ -7,15 +7,21 @@ whole dataset into one window partition — the classic Spark scale-killer
 1. ``repartitionByRange`` on the sort key — Spark's RangePartitioner
    samples boundaries (deterministic seed per partition index) and ships
    each row to the partition owning its key range; partition *i* holds
-   keys strictly below partition *i+1*.
-2. ``row_number`` within each range partition (``spark_partition_id`` is
-   the window key — partitions are small and balanced, no global funnel).
+   keys strictly below partition *i+1*'s. The explicit partition count
+   (``REPARTITION_BY_NUM``) also opts out of AQE coalescing, so both
+   consumers of the exchange see the identical layout.
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — the id
+   encodes (partition id << 33) | local row offset, so the per-partition
+   rank comes from a map-side projection: NO window over the data, no
+   second full-data shuffle (the first implementation used a
+   ``Window.partitionBy(spark_partition_id())``, which forced an extra
+   hashpartitioning exchange of every row; this form removes it).
 3. A tiny per-partition row-count aggregate (#partitions rows) becomes a
-   broadcast cumulative-offset table; global rank = local rank + offset.
+   broadcast cumulative-offset table; global rank = local offset + 1 +
+   offset of all earlier partitions.
 
-The per-partition counts are derived from the *same* ranged DataFrame, so
-Catalyst reuses the range exchange (one shuffle total) and both branches
-see identical partition boundaries.
+The count branch re-reads the same range exchange (identical canonical
+subplan -> ReusedExchange at runtime), so the data is ranged once.
 
 Reference parity: the reference engine ranks via its single-node sort
 (Nikitpolin/etl-data has no distributed rank); this operator exists for
@@ -28,7 +34,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__gr_pid"
-_LOCAL = "__gr_local"
+_MID = "__gr_mid"
+
+# monotonically_increasing_id layout: partition id in the upper bits,
+# per-partition record offset in the lower 33
+_OFFSET_BITS = 33
+_OFFSET_MASK = (1 << _OFFSET_BITS) - 1
 
 
 def global_row_number(
@@ -47,30 +58,36 @@ def global_row_number(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     keys = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(num_partitions, *keys).withColumn(
-        _PID, F.spark_partition_id()
+    parts = (
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .withColumn(
+            _PID, F.shiftrightunsigned(F.col(_MID), _OFFSET_BITS).cast("int")
+        )
     )
-    local = ranged.withColumn(
-        _LOCAL, F.row_number().over(Window.partitionBy(_PID).orderBy(*keys))
-    )
-    # #partitions rows -> cumulative offset of every partition. Window over
-    # this tiny frame is fine (bounded by num_partitions, not data size).
-    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
+    # #partitions rows -> cumulative offset of every earlier partition.
+    # The window here is over the tiny counts frame (bounded by
+    # num_partitions, not data size).
+    counts = parts.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
     offsets = counts.select(
         _PID,
-        (
-            F.coalesce(
-                F.sum("__gr_cnt").over(
-                    Window.orderBy(_PID).rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            )
+        F.coalesce(
+            F.sum("__gr_cnt").over(
+                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
         ).alias("__gr_off"),
     )
     return (
-        local.join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, (F.col(_LOCAL) + F.col("__gr_off")).cast("long"))
-        .drop(_PID, _LOCAL, "__gr_off")
+        parts.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            out_col,
+            (
+                F.col(_MID).bitwiseAND(F.lit(_OFFSET_MASK))
+                + F.lit(1)
+                + F.col("__gr_off")
+            ).cast("long"),
+        )
+        .drop(_PID, _MID, "__gr_off")
     )

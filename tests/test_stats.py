@@ -65,10 +65,13 @@ def test_global_row_number_dense_and_unique(spark):
 def test_global_row_number_avoids_global_window(spark):
     df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     p = plan(global_row_number(df, ["o_totalprice", "o_orderkey"]))
-    # the data-bearing window runs per range-partition, keyed by pid; only
-    # the #partitions-row offset frame may use an unpartitioned window
-    assert "__gr_pid" in p
+    # one range exchange for the data; the only hashpartitioning exchange
+    # is the tiny per-partition counts aggregate, and the only Window is
+    # the cumulative-offset fold over that #partitions-row frame — the
+    # ranked data itself is never windowed or re-shuffled
     assert "rangepartitioning" in p.lower()
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert p.count("Window") <= 1
 
 
 # -- invariants -------------------------------------------------------------
