@@ -108,6 +108,7 @@ SCALE_OPS = [
 # Round-3 statistics/profiling/graph family (queries_stats.py).
 STATS = [
     "regr_daily_trend",
+    "corr_matrix",
     "basket_pairs",
     "triangle_count",
     "pagerank_copurchase",

