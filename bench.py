@@ -123,6 +123,7 @@ STATS = [
     "streaming_dedup_keys",
     "streaming_stream_join",
     "streaming_static_enrich",
+    "streaming_dq_counts",
 ]
 
 

@@ -90,12 +90,13 @@ PRIORITY = [
     # dedup_minhash_lsh / session_window_native / tpch_q5_regional earned
     # green rows in r1-r2 on unchanged code and yield their slots to
     # never-verified round-3 queries (they stay pytest-oracle-gated).
-    # multimodal_decode (green r2, decode path unchanged) and
-    # streaming_sessionize (rows-only declared + recorded r2) yield their
-    # slots to the two new hash-verified operator families below
+    # multimodal_decode and knn_join_sample (green r2, code paths
+    # unchanged) yield their slots to the new hash-verified families below
     "embedding_topk",
-    "knn_join_sample",
     "embedding_near_dup",
+    # upgraded r3: rows-only -> full oracle (closed sessions = batch
+    # sessions minus each user's still-open final session)
+    "streaming_sessionize",
     # iterative-algorithm family, hash-verified via unrolled-CTE oracle
     "pagerank_copurchase",
     # mergeable-sketch family member 3 (bitmap/HLL/count-min)
