@@ -109,6 +109,8 @@ SCALE_OPS = [
 STATS = [
     "regr_daily_trend",
     "corr_matrix",
+    "calendar_dim",
+    "regex_surface",
     "basket_pairs",
     "triangle_count",
     "pagerank_copurchase",

@@ -702,6 +702,96 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Warehouse utilities: calendar dimension, regex scalar surface
+# --------------------------------------------------------------------------
+
+
+@register(
+    "calendar_dim",
+    """
+    WITH b AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL '1 day')) AS DATE)
+               AS day
+      FROM b
+    )
+    SELECT day,
+           CAST(year(day) AS BIGINT) AS y,
+           CAST(month(day) AS BIGINT) AS m,
+           CAST(quarter(day) AS BIGINT) AS q,
+           CAST(weekofyear(day) AS BIGINT) AS week_iso,
+           CAST(isodow(day) AS BIGINT) AS dow_iso,
+           isodow(day) >= 6 AS is_weekend,
+           CAST(date_trunc('month', day) AS DATE) AS month_start,
+           CAST(day(last_day(day)) AS BIGINT) AS days_in_month
+    FROM days ORDER BY day
+    """,
+    doc="Calendar dimension spanning the fact table's date range — the "
+    "standard star-schema date dim the reference hardcodes in its DDL, "
+    "generated declaratively: a 2-value aggregate bound frame, "
+    "sequence() + explode for the day spine (no driver-side loop), pure "
+    "codegen'd date attributes. ISO day-of-week (Mon=1) is computed as "
+    "weekday()+1 on the Spark side to match DuckDB's isodow exactly.",
+)
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = b.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    dow_iso = (F.expr("weekday(day)") + F.lit(1)).cast("long")
+    return days.select(
+        "day",
+        F.year("day").cast("long").alias("y"),
+        F.month("day").cast("long").alias("m"),
+        F.quarter("day").cast("long").alias("q"),
+        F.weekofyear("day").cast("long").alias("week_iso"),
+        dow_iso.alias("dow_iso"),
+        (dow_iso >= 6).alias("is_weekend"),
+        F.trunc("day", "month").alias("month_start"),
+        F.dayofmonth(F.last_day("day")).cast("long").alias("days_in_month"),
+    ).orderBy("day")
+
+
+@register(
+    "regex_surface",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{7,})', 1) AS first_long_word,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT)
+             AS n_vowels,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '', 'g')
+             AS devoweled_prefix
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Regex scalar surface (extract / count / global replace) — the "
+    "text-wrangling functions the reference's plpgsql layer lacks but "
+    "any curation pipeline needs. All three are JVM-side codegen'd "
+    "expressions (no Python); patterns are POSIX-class only, the "
+    "portable subset of Java regex vs RE2.",
+)
+def q_regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]{7,})", 1).alias("first_long_word"),
+        F.regexp_count("text", F.lit("[aeiou]"))
+        .cast("long")
+        .alias("n_vowels"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "").alias(
+            "devoweled_prefix"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Count-min sketch (mergeable heavy-hitter estimation)
 # --------------------------------------------------------------------------
 

@@ -164,3 +164,33 @@ def test_cdc_replay_property(spark, old_rows, new_rows):
     )
     assert replayed.exceptAll(new).count() == 0
     assert new.exceptAll(replayed).count() == 0
+
+
+# -- distributed global rank == sorted index, for ANY data/partitioning -----
+
+@PROP_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200
+    ),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+def test_global_row_number_equals_sorted_index(spark, vals, nparts):
+    from etl_data_spark.operators.rank import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["uid", "v"]
+    )
+    got = {
+        r.uid: r.rn
+        for r in global_row_number(
+            df, ["v", "uid"], out_col="rn", num_partitions=nparts
+        ).collect()
+    }
+    want = {
+        uid: i + 1
+        for i, (v, uid) in enumerate(
+            sorted((v, uid) for uid, v in enumerate(vals))
+        )
+    }
+    assert got == want
