@@ -111,6 +111,8 @@ STATS = [
     "corr_matrix",
     "calendar_dim",
     "regex_surface",
+    "rfm_segments",
+    "abc_analysis",
     "basket_pairs",
     "triangle_count",
     "pagerank_copurchase",

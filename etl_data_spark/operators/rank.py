@@ -42,6 +42,64 @@ _OFFSET_BITS = 33
 _OFFSET_MASK = (1 << _OFFSET_BITS) - 1
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``SUM(val) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+
+    Same decomposition as :func:`global_row_number`: range-partition on the
+    sort key, fold within partitions, add broadcast offsets of all earlier
+    partitions' totals. The within-partition fold needs a sequential
+    window, so this costs one extra hashpartitioning exchange on the
+    partition id (each range partition moves as a unit) — still bounded
+    parallelism over every partition, vs. the single task a global window
+    would use. Use an exact (decimal/integer) ``val_col`` if the running
+    sum must be reproducible bit-for-bit: the fold order within and
+    across partitions is fixed by the sort, but exact types make the
+    result independent of the decomposition by construction.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    keys = [F.col(c) for c in order_cols]
+    parts = (
+        df.repartitionByRange(num_partitions, *keys)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .withColumn(
+            _PID, F.shiftrightunsigned(F.col(_MID), _OFFSET_BITS).cast("int")
+        )
+        .drop(_MID)
+    )
+    local = parts.withColumn(
+        "__gr_local_sum",
+        F.sum(val_col).over(
+            Window.partitionBy(_PID)
+            .orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = parts.groupBy(_PID).agg(F.sum(val_col).alias("__gr_tot"))
+    offsets = totals.select(
+        _PID,
+        F.coalesce(
+            F.sum("__gr_tot").over(
+                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("__gr_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.col("__gr_local_sum") + F.col("__gr_off"))
+        .drop(_PID, "__gr_local_sum", "__gr_off")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],

@@ -899,6 +899,166 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Customer analytics: RFM segmentation, Pareto/ABC
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(DATEDIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                           DATE '1998-12-31') AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS qr,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS qf,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
+      FROM m
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           1 + CAST(recency_days > qr[1] AS INT)
+             + CAST(recency_days > qr[2] AS INT)
+             + CAST(recency_days > qr[3] AS INT) AS r_score,
+           1 + CAST(frequency > qf[1] AS INT)
+             + CAST(frequency > qf[2] AS INT)
+             + CAST(frequency > qf[3] AS INT) AS f_score,
+           1 + CAST(monetary > qm[1] AS INT)
+             + CAST(monetary > qm[2] AS INT)
+             + CAST(monetary > qm[3] AS INT) AS m_score
+    FROM m CROSS JOIN q
+    ORDER BY o_custkey
+    """,
+    doc="RFM segmentation: per-customer recency/frequency/monetary plus "
+    "quartile scores. Scale shape: one fact groupBy, then the three "
+    "quartile thresholds ride as a broadcast 1-row frame — bucketing by "
+    "threshold comparison, NOT a global ntile window (which would funnel "
+    "all customers through one task). Quartile positions (n-1)*q have "
+    "exactly-representable fractional parts, and metric gaps dwarf the "
+    "1-ulp interpolation-formula difference between engines, so the "
+    "comparisons are deterministic. Recency scores low=recent=1 "
+    "(mechanical bucketing; interpretation inverts it).",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    q = m.agg(
+        F.percentile("recency_days", probs).alias("qr"),
+        F.percentile("frequency", probs).alias("qf"),
+        F.percentile("monetary", probs).alias("qm"),
+    )
+
+    def score(col: str, thresholds: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.element_at(thresholds, 1)).cast("int")
+            + (F.col(col) > F.element_at(thresholds, 2)).cast("int")
+            + (F.col(col) > F.element_at(thresholds, 3)).cast("int")
+        )
+
+    return (
+        m.crossJoin(F.broadcast(q))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            score("recency_days", "qr").alias("r_score"),
+            score("frequency", "qf").alias("f_score"),
+            score("monetary", "qm").alias("m_score"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "abc_analysis",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT CAST(SUM(rev) AS DECIMAL(28,2)) AS total FROM r),
+    c AS (
+      SELECT o_custkey, rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(28,2)) AS cum_rev
+      FROM r
+    )
+    SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+             AS cum_share,
+           CASE WHEN cum_rev * 5 <= total * 4 THEN 'A'
+                WHEN cum_rev * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN t
+    ORDER BY o_custkey
+    """,
+    doc="Pareto/ABC classification of customers by cumulative revenue "
+    "share (A: first 80%, B: to 95%, C: tail). The Spark path computes "
+    "the running sum with operators/rank.py global_running_sum (range "
+    "partition on (-rev, custkey), per-partition fold, broadcast "
+    "offsets) — not the oracle's single-partition global window. Class "
+    "boundaries compare EXACT decimals (cum*5 <= total*4), so no float "
+    "boundary can misclassify; only the reported cum_share is a rounded "
+    "double.",
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.rank import global_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    r2 = r.withColumn("neg_rev", -F.col("rev"))
+    c = global_running_sum(
+        r2, ["neg_rev", "o_custkey"], "rev", out_col="cum_rev_raw"
+    )
+    t = r.agg(F.sum("rev").cast("decimal(28,2)").alias("total"))
+    cum = F.col("cum_rev_raw").cast("decimal(28,2)")
+    five = F.lit(5).cast("decimal(2,0)")
+    four = F.lit(4).cast("decimal(2,0)")
+    twenty = F.lit(20).cast("decimal(2,0)")
+    nineteen = F.lit(19).cast("decimal(2,0)")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "o_custkey",
+            F.col("rev").cast("double").alias("revenue"),
+            (
+                F.round(
+                    cum.cast("double") / F.col("total").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cum_share"),
+            F.when(cum * five <= F.col("total") * four, "A")
+            .when(cum * twenty <= F.col("total") * nineteen, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Fuzzy string matching
 # --------------------------------------------------------------------------
 

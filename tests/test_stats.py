@@ -176,6 +176,47 @@ def test_pagerank_mass_conservation(spark):
     assert abs(total - 1.0) < 1e-9
 
 
+def test_global_running_sum_matches_single_window(spark):
+    from etl_data_spark.operators.rank import global_running_sum
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    got = global_running_sum(
+        df, ["o_orderkey"], "v", out_col="run", num_partitions=7
+    )
+    w = (
+        Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("run2", F.sum("v").over(w))
+    assert (
+        got.join(want, ["o_orderkey", "v"])
+        .filter(F.col("run").cast("decimal(38,2)") != F.col("run2"))
+        .count()
+        == 0
+    )
+
+
+def test_abc_analysis_invariants(spark):
+    rows = q(spark, "abc_analysis").collect()
+    classes = {r.abc_class for r in rows}
+    assert classes <= {"A", "B", "C"} and "A" in classes and "C" in classes
+    assert abs(max(r.cum_share for r in rows) - 1.0) < 1e-9
+    # A-class customers' combined share stays within the 80% boundary
+    a_share = max(r.cum_share for r in rows if r.abc_class == "A")
+    assert a_share <= 0.8 + 1e-9
+
+
+def test_rfm_scores_in_range(spark):
+    rows = q(spark, "rfm_segments").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 4
+        assert 1 <= r.f_score <= 4
+        assert 1 <= r.m_score <= 4
+
+
 def test_countmin_never_underestimates(spark):
     rows = q(spark, "countmin_heavy_hitters").collect()
     assert len(rows) == 20
