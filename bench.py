@@ -113,6 +113,7 @@ STATS = [
     "regex_surface",
     "rfm_segments",
     "abc_analysis",
+    "attribution_first_touch",
     "basket_pairs",
     "triangle_count",
     "pagerank_copurchase",

@@ -904,6 +904,90 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Attribution
+# --------------------------------------------------------------------------
+
+_ATTR_GAP_US = 7 * 86_400 * 1_000_000  # 7-day look-back
+
+
+@register(
+    "attribution_first_touch",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+       AND epoch_us(p.purchase_ts) - epoch_us(c.click_ts) <= {_ATTR_GAP_US}
+    )
+    SELECT purchase_id, user_id, purchase_ts,
+           click_id AS first_click_id, click_ts AS first_click_ts,
+           epoch_us(purchase_ts) - epoch_us(click_ts) AS gap_us
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                       ORDER BY click_ts, click_id) AS rn
+          FROM j)
+    WHERE rn = 1 ORDER BY purchase_id
+    """,
+    doc="First-touch attribution: each purchase credited to the EARLIEST "
+    "same-user click within the 7-day look-back (the as-of join's "
+    "backward-window dual — as-of gives last-touch). Bucketized on the "
+    "gap width so the candidate join is an equi-join on (user, bucket) "
+    "probing two buckets, never an inequality nested loop; the winner "
+    "per purchase is min(struct(ts,id)) — a partial-agg min, not a "
+    "window over candidates.",
+)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        us.alias("us_p"),
+        F.explode(
+            F.array(
+                F.floor(us / _ATTR_GAP_US) - 1, F.floor(us / _ATTR_GAP_US)
+            )
+        ).alias("__cb"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        us.alias("us_c"),
+        F.floor(us / _ATTR_GAP_US).alias("__cb"),
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["c_user"]) & (p["__cb"] == c["__cb"]),
+    ).filter(
+        (F.col("us_c") <= F.col("us_p"))
+        & (F.col("us_p") - F.col("us_c") <= _ATTR_GAP_US)
+    )
+    first = F.min(F.struct("click_ts", "click_id")).alias("first")
+    return (
+        j.groupBy("purchase_id", "user_id", "purchase_ts", "us_p")
+        .agg(first)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.col("first.click_id").alias("first_click_id"),
+            F.col("first.click_ts").alias("first_click_ts"),
+            (F.col("us_p") - F.unix_micros("first.click_ts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Customer analytics: RFM segmentation, Pareto/ABC
 # --------------------------------------------------------------------------
 

@@ -234,7 +234,13 @@ def test_outlier_stats_join_is_broadcast(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["basket_pairs", "triangle_count", "fuzzy_name_match"]
+    "name",
+    [
+        "basket_pairs",
+        "triangle_count",
+        "fuzzy_name_match",
+        "attribution_first_touch",
+    ],
 )
 def test_blocked_joins_never_cartesian(spark, name):
     p = plan(q(spark, name))
