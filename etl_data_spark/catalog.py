@@ -90,10 +90,14 @@ PRIORITY = [
     # dedup_minhash_lsh / session_window_native / tpch_q5_regional earned
     # green rows in r1-r2 on unchanged code and yield their slots to
     # never-verified round-3 queries (they stay pytest-oracle-gated).
-    # multimodal_decode and knn_join_sample (green r2, code paths
-    # unchanged) yield their slots to the new hash-verified families below
-    "embedding_topk",
-    "embedding_near_dup",
+    # multimodal_decode, knn_join_sample, embedding_topk,
+    # embedding_near_dup, and star_join (green r1/r2, code paths
+    # unchanged) yield their slots to the new hash-verified families
+    # below (all remain pytest-oracle-gated every round)
+    # exact-moment-sum correlation matrix (new r3, single scan)
+    "corr_matrix",
+    # Pareto/ABC via distributed prefix sum (new r3)
+    "abc_analysis",
     # upgraded r3: rows-only -> full oracle (closed sessions = batch
     # sessions minus each user's still-open final session)
     "streaming_sessionize",
@@ -108,7 +112,8 @@ PRIORITY = [
     "weighted_sample",
     # composed curation pipeline (new r3): lang -> quality -> dedup -> split
     "corpus_curate_end2end",
-    "star_join",
+    # watermarked stream-stream join, hash-verified vs batch range join
+    "streaming_stream_join",
     # end-to-end dedup output (new r3, recursive-closure oracle)
     "dedup_survivor_docs",
     # hash-verified Structured Streaming entry (same oracle as its batch
