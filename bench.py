@@ -114,6 +114,7 @@ STATS = [
     "rfm_segments",
     "abc_analysis",
     "attribution_first_touch",
+    "benford_deviation",
     "basket_pairs",
     "triangle_count",
     "pagerank_copurchase",

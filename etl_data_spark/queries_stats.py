@@ -903,6 +903,61 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "benford_deviation",
+    """
+    WITH d AS (
+      SELECT CAST(regexp_extract(
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               '^([1-9])', 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           ROUND(n * 1.0 / total, 6) + 0.0 AS share,
+           ROUND(log10(1 + 1.0 / digit), 6) + 0.0 AS benford_expected,
+           ROUND(ABS(n * 1.0 / total - log10(1 + 1.0 / digit)), 6) + 0.0
+             AS abs_deviation
+    FROM c CROSS JOIN t ORDER BY digit
+    """,
+    doc="Benford's-law screen on order totals: observed first-significant-"
+    "digit shares vs log10(1+1/d) — the classic anomaly/fraud DQ check, "
+    "extending the reference's validity family. The leading digit comes "
+    "from the DECIMAL's string form (regexp on '^[1-9]'), never from "
+    "floor(log10(x)) float math, so digit assignment is exact in both "
+    "engines. One scan, 9-row result, total rides as a broadcast scalar.",
+)
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            "^([1-9])",
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    share = F.col("n") * 1.0 / F.col("total")
+    expected = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            (F.round(share, 6) + F.lit(0.0)).alias("share"),
+            (F.round(expected, 6) + F.lit(0.0)).alias("benford_expected"),
+            (F.round(F.abs(share - expected), 6) + F.lit(0.0)).alias(
+                "abs_deviation"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
 # --------------------------------------------------------------------------
 # Attribution
 # --------------------------------------------------------------------------

@@ -36,6 +36,9 @@ PICK = [
     "column_profile",
     "basket_pairs",
     "outlier_zscore",
+    "corr_matrix",
+    "abc_analysis",
+    "attribution_first_touch",
 ]
 
 
