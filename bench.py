@@ -115,6 +115,8 @@ STATS = [
     "abc_analysis",
     "attribution_first_touch",
     "benford_deviation",
+    "mad_value",
+    "bag_set_ops",
     "basket_pairs",
     "triangle_count",
     "pagerank_copurchase",

@@ -904,6 +904,96 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mad_value",
+    """
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+    dev AS (SELECT ABS(value - med.m) AS d FROM events CROSS JOIN med)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(med.m), 6) + 0.0 AS median_value,
+           ROUND(quantile_cont(d, 0.5), 6) + 0.0 AS mad
+    FROM dev CROSS JOIN med
+    """,
+    doc="Median absolute deviation of event values — the robust-statistics "
+    "twin of outlier_zscore (MAD survives the very outliers stddev "
+    "absorbs). Two passes: exact interpolated median (broadcast 1-row "
+    "frame), then the median of absolute deviations. Spark's percentile "
+    "and DuckDB's quantile_cont agree to 1 ulp on interpolation; round 6 "
+    "absorbs it.",
+)
+def q_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    med = e.agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    dev = e.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("value") - F.col("m")).alias("d"), "m"
+    )
+    return dev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.max("m"), 6) + F.lit(0.0)).alias("median_value"),
+        (F.round(F.percentile("d", F.lit(0.5)), 6) + F.lit(0.0)).alias(
+            "mad"
+        ),
+    )
+
+
+@register(
+    "bag_set_ops",
+    """
+    WITH f AS (
+      SELECT l_partkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    o AS (
+      SELECT l_partkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'O'
+    ),
+    ea AS (SELECT * FROM f EXCEPT ALL SELECT * FROM o),
+    ia AS (SELECT * FROM f INTERSECT ALL SELECT * FROM o)
+    SELECT * FROM (
+      SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+      FROM ea
+      UNION ALL
+      SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+      FROM ia
+    ) ORDER BY op
+    """,
+    doc="Multiset EXCEPT ALL / INTERSECT ALL — the bag-semantics set ops "
+    "the DISTINCT-based family (§2.6) doesn't cover, over part "
+    "references in finished vs open orders. Both engines implement bag "
+    "semantics identically (occurrence-count arithmetic). The two "
+    "input bags are persisted: they feed both ops, and plan branches "
+    "do not share subplan results otherwise (SCALE.md §11).",
+)
+def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    j = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+    f = (
+        j.filter(F.col("o_orderstatus") == "F").select("l_partkey").persist()
+    )
+    o = (
+        j.filter(F.col("o_orderstatus") == "O").select("l_partkey").persist()
+    )
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("l_partkey")).alias("n_distinct"),
+        ).select(F.lit(label).alias("op"), "n_rows", "n_distinct")
+
+    return (
+        summarize(f.exceptAll(o), "except_all")
+        .unionAll(summarize(f.intersectAll(o), "intersect_all"))
+        .orderBy("op")
+    )
+
+
+@register(
     "benford_deviation",
     """
     WITH d AS (
