@@ -217,6 +217,31 @@ def test_rfm_scores_in_range(spark):
         assert 1 <= r.m_score <= 4
 
 
+def test_benford_shares_sum_to_one(spark):
+    rows = q(spark, "benford_deviation").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4  # 6dp rounding x9
+
+
+def test_mad_nonnegative_and_bounded(spark):
+    r = q(spark, "mad_value").first()
+    assert r.mad >= 0
+    assert r.n > 0
+
+
+def test_bag_set_ops_counts_conserve(spark):
+    rows = {r.op: r for r in q(spark, "bag_set_ops").collect()}
+    assert set(rows) == {"except_all", "intersect_all"}
+    assert rows["except_all"].n_rows >= 0
+    assert rows["intersect_all"].n_distinct <= rows["intersect_all"].n_rows
+
+
+@pytest.mark.parametrize("name", ["outlier_zscore", "mad_value", "benford_deviation"])
+def test_stats_broadcast_not_shuffle_join(spark, name):
+    p = plan(q(spark, name))
+    assert "SortMergeJoin" not in p
+
+
 def test_countmin_never_underestimates(spark):
     rows = q(spark, "countmin_heavy_hitters").collect()
     assert len(rows) == 20
