@@ -120,6 +120,7 @@ STATS = [
     "basket_pairs",
     "triangle_count",
     "pagerank_copurchase",
+    "lpa_communities",
     "column_profile",
     "event_entropy",
     "mutual_info_type_hour",

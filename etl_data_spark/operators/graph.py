@@ -36,6 +36,47 @@ def symmetrize(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (community detection); returns (v, label).
+
+    Labels start as vertex ids; each superstep every vertex adopts the
+    most frequent label among its neighbors, ties broken by the SMALLEST
+    label — a fully integer-exact update rule, so results are
+    bit-identical across engines and partitionings with no rounding at
+    all. Fixed ``iters`` synchronous supersteps (the deterministic spec;
+    convergence detection would add a count action per step).
+
+    Same execution shape as :func:`pagerank`: one shuffle per superstep
+    (the neighbor-label histogram groupBy), persisted symmetrized edges,
+    ``localCheckpoint`` lineage truncation.
+    """
+    g = symmetrize(edges, src, dst).persist()
+    labels = g.select(F.col(src).alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for it in range(1, iters + 1):
+        hist = (
+            g.join(labels.withColumnRenamed("v", src), src)
+            .groupBy(F.col(dst).alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # most frequent neighbor label, smallest label on ties — as a
+        # partial-agg min over (-cnt, label), not a per-vertex window
+        labels = hist.groupBy("v").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), "label"))
+            .getField("label")
+            .alias("label")
+        )
+        if it % CHECKPOINT_EVERY == 0 and it < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,

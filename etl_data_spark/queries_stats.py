@@ -705,6 +705,72 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ITERS = 5
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    """Unrolled synchronous-LPA oracle: per superstep, a neighbor-label
+    histogram + per-vertex argmax (ties -> smallest label), expressed with
+    a window in SQL and a min-over-(-cnt,label) struct in Spark — the two
+    formulations pick the identical label because the update rule is pure
+    integer arithmetic."""
+    sql = f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    g AS (
+      SELECT p1 AS u, p2 AS v FROM e WHERE n_orders >= 2
+      UNION ALL
+      SELECT p2 AS u, p1 AS v FROM e WHERE n_orders >= 2
+    ),
+    l0 AS (SELECT DISTINCT u AS v, u AS label FROM g)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    h{t} AS (
+      SELECT g.v AS v, l{t - 1}.label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g JOIN l{t - 1} ON l{t - 1}.v = g.u
+      GROUP BY g.v, l{t - 1}.label
+    ),
+    l{t} AS (
+      SELECT v, label FROM (
+        SELECT v, label,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM h{t}
+      ) WHERE rn = 1
+    )"""
+    sql += f"""
+    SELECT v AS p_partkey, label AS community
+    FROM l{iters} ORDER BY v
+    """
+    return sql
+
+
+@register(
+    "lpa_communities",
+    _lpa_sql(),
+    doc="Community detection by synchronous label propagation (5 "
+    "supersteps, ties to smallest label) on the repeat-co-purchase "
+    "graph — the second iterative-algorithm entry, and a FULLY "
+    "integer-exact one: no rounding anywhere, the oracle unrolls the "
+    "supersteps into chained CTEs. Spark picks each vertex's label with "
+    "a partial-agg min over (-count, label) instead of a per-vertex "
+    "window.",
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+    )
+    return (
+        label_propagation(edges, iters=_LPA_ITERS)
+        .select(F.col("v").alias("p_partkey"), F.col("label").alias("community"))
+        .orderBy("p_partkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Warehouse utilities: calendar dimension, regex scalar surface
 # --------------------------------------------------------------------------

@@ -124,6 +124,18 @@ def test_regr_slope_recovers_planted_line(spark):
     assert abs(r.slope - 3.0) < 1e-12
 
 
+def test_label_propagation_finds_disjoint_components(spark):
+    # two disjoint triangles -> every vertex converges to its triangle's
+    # smallest label
+    from etl_data_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)], ["u", "v"]
+    )
+    got = {r.v: r.label for r in label_propagation(edges, iters=5).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
 def test_triangle_count_on_known_graph(spark):
     # K4 minus one edge has exactly 2 triangles
     edges = spark.createDataFrame(
