@@ -116,6 +116,7 @@ STATS = [
     "attribution_first_touch",
     "benford_deviation",
     "mad_value",
+    "outlier_robust_z",
     "bag_set_ops",
     "basket_pairs",
     "triangle_count",

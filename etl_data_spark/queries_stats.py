@@ -1060,6 +1060,63 @@ def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "outlier_robust_z",
+    """
+    WITH s AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value, s.med,
+             ABS(e.value - s.med) AS dev
+      FROM events e JOIN s USING (event_type)
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           ROUND(d.value, 6) AS value_r,
+           ROUND(0.6745 * (d.value - d.med) / m.mad, 4) + 0.0 AS modified_z
+    FROM d JOIN m USING (event_type)
+    WHERE ABS(0.6745 * (d.value - d.med)) > 3.5 * m.mad
+    ORDER BY d.event_id
+    """,
+    doc="Robust outliers by modified z-score (Iglewicz-Hoaglin: 0.6745 * "
+    "(x - median)/MAD > 3.5) per event type — the MAD-based twin of "
+    "outlier_zscore that contamination cannot mask. Two grouped "
+    "exact-percentile passes; both tiny per-type stats frames broadcast "
+    "back onto the fact scan. The threshold predicate multiplies "
+    "instead of dividing so a zero MAD cannot produce NULL/inf rows.",
+)
+def q_outlier_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    d = e.join(F.broadcast(s), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    m = d.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    out = d.join(F.broadcast(m), "event_type")
+    score = 0.6745 * (F.col("value") - F.col("med"))
+    return (
+        out.filter(F.abs(score) > 3.5 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value_r"),
+            (F.round(score / F.col("mad"), 4) + F.lit(0.0)).alias(
+                "modified_z"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "benford_deviation",
     """
     WITH d AS (

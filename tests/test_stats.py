@@ -248,7 +248,10 @@ def test_bag_set_ops_counts_conserve(spark):
     assert rows["intersect_all"].n_distinct <= rows["intersect_all"].n_rows
 
 
-@pytest.mark.parametrize("name", ["outlier_zscore", "mad_value", "benford_deviation"])
+@pytest.mark.parametrize(
+    "name",
+    ["outlier_zscore", "mad_value", "benford_deviation", "outlier_robust_z"],
+)
 def test_stats_broadcast_not_shuffle_join(spark, name):
     p = plan(q(spark, name))
     assert "SortMergeJoin" not in p
