@@ -114,6 +114,7 @@ STATS = [
     "rfm_segments",
     "abc_analysis",
     "attribution_first_touch",
+    "funnel_strict_sequence",
     "benford_deviation",
     "mad_value",
     "outlier_robust_z",

@@ -970,6 +970,67 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_strict_sequence",
+    """
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts >= a.t1
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= b.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_then_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_then_purchase
+    """,
+    doc="Strictly-ordered funnel: click, then a view AT OR AFTER the "
+    "first click, then a purchase at or after that view — the "
+    "sequence-constrained variant of funnel_counts (which only requires "
+    "stage presence). Each stage is one filtered scan joined to the "
+    "previous stage's per-user earliest-time frame on user_id; stage "
+    "frames scale with |users|, so the joins stay keyed shuffles "
+    "(partial-agg min both sides), not forced broadcasts.",
+)
+def q_funnel_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "view")
+        .join(a, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        a.agg(F.count(F.lit(1)).alias("n_click"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_then_view"))))
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+        )
+    )
+
+
+@register(
     "mad_value",
     """
     WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),

@@ -306,3 +306,8 @@ def test_corr_matrix_diagonal_identity(spark):
 def test_rolling_stats_single_user_shuffle(spark):
     p = plan(q(spark, "rolling_stats"))
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_strict_funnel_monotone(spark):
+    r = q(spark, "funnel_strict_sequence").first()
+    assert r.n_click >= r.n_then_view >= r.n_then_purchase >= 0
