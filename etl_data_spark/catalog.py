@@ -11,10 +11,16 @@ rotates across rounds — entries that earned a driver-green CORRECTNESS row
 in a previous round are demoted to make room for entries that have never
 been driver-verified. Round 1 verified the first 50 relational/pipeline
 queries; round 2 verified TPC-H + LLM + corpus entries; round 3 holds the
-19 entries no round has verified yet, the queries repaired/upgraded this
-round, the 10 new analytics queries, and re-verification of touched code
-paths. All entries remain pytest-oracle-checked locally every round
-regardless of position (tests/test_queries_oracle.py enumerates REGISTRY).
+19 entries no round had verified yet, the queries repaired/upgraded this
+round (multimodal_embed, dedup_simhash, the ANN family,
+streaming_sessionize's new oracle), the new analytics/statistics/
+streaming entries, and re-verification of touched code paths. Round-3
+additions past slot 50 (the remaining statistics/streaming/graph
+queries) are next round's rotation. All entries remain
+pytest-oracle-checked locally every round regardless of position
+(tests/test_queries_oracle.py enumerates REGISTRY), and the full
+registry was driver-simulated green at sf0.01 six times this round
+(vanilla session, .claude/skills/verify recipe).
 """
 
 from __future__ import annotations
