@@ -124,6 +124,7 @@ STATS = [
     "pagerank_copurchase",
     "lpa_communities",
     "column_profile",
+    "document_profile",
     "event_entropy",
     "mutual_info_type_hour",
     "outlier_zscore",

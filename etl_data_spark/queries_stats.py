@@ -475,6 +475,52 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+_DOC_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+_SQL_DOC_PROFILE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM documents
+    """
+    for c in _DOC_PROFILE_COLS
+)
+
+
+@register(
+    "document_profile",
+    f"SELECT * FROM ({_SQL_DOC_PROFILE}) ORDER BY column_name",
+    doc="column_profile's machinery applied to the corpus table (the "
+    "curation-side intake report): every column's stats in ONE scan via "
+    "a multi-distinct aggregate + stack() unpivot.",
+)
+def q_document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aggs, fmt, stack_args = [], [], []
+    for i, c in enumerate(_DOC_PROFILE_COLS):
+        aggs += [
+            F.count(c).alias(f"cnt{i}"),
+            F.count_distinct(F.col(c)).alias(f"dst{i}"),
+            F.min(c).alias(f"rawmn{i}"),
+            F.max(c).alias(f"rawmx{i}"),
+        ]
+        fmt += [
+            F.col(f"cnt{i}"),
+            F.col(f"dst{i}"),
+            F.col(f"rawmn{i}").cast("string").alias(f"mn{i}"),
+            F.col(f"rawmx{i}").cast("string").alias(f"mx{i}"),
+        ]
+        stack_args.append(f"'{c}', cnt{i}, dst{i}, mn{i}, mx{i}")
+    one = d.agg(*aggs).select(*fmt)
+    return one.selectExpr(
+        f"stack({len(_DOC_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")
+
+
 # --------------------------------------------------------------------------
 # Information theory
 # --------------------------------------------------------------------------

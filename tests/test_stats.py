@@ -288,7 +288,9 @@ def test_blocked_joins_never_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in p or name == "triangle_count"
 
 
-@pytest.mark.parametrize("name", ["column_profile", "corr_matrix"])
+@pytest.mark.parametrize(
+    "name", ["column_profile", "document_profile", "corr_matrix"]
+)
 def test_profile_queries_single_scan(spark, name):
     p = plan(q(spark, name))
     assert p.count("Scan parquet") == 1
