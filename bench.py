@@ -103,6 +103,13 @@ SCALE_OPS = [
     "weighted_sample",
     "corpus_curate_end2end",
     "dedup_survivor_docs",
+    "hypertable_rollup",
+    "sliding_distinct_users",
+    "embedding_gram_matrix",
+    "rrf_hybrid_search",
+    "passage_overlap",
+    "setsim_join_prefix",
+    "doc_chunking",
 ]
 
 # Round-3 statistics/profiling/graph family (queries_stats.py).
@@ -136,6 +143,12 @@ STATS = [
     "streaming_stream_join",
     "streaming_static_enrich",
     "streaming_dq_counts",
+    "bfs_hops",
+    "chi_square_independence",
+    "welch_t_test",
+    "quantile_normalize",
+    "seasonal_anomaly",
+    "weighted_median",
 ]
 
 

@@ -16,7 +16,11 @@ round (multimodal_embed, dedup_simhash, the ANN family,
 streaming_sessionize's new oracle), the new analytics/statistics/
 streaming entries, and re-verification of touched code paths. Round-3
 additions past slot 50 (the remaining statistics/streaming/graph
-queries) are next round's rotation. All entries remain
+queries, plus the late-round-3 families: BFS hops, hypothesis tests,
+hypertable rollup, sliding bitmap distinct, the Gram matrix, RRF hybrid
+search, passage overlap, the prefix-filtered set-similarity join,
+quantile normalization, the seasonal anomaly screen, the weighted
+median) are next round's rotation. All entries remain
 pytest-oracle-checked locally every round regardless of position
 (tests/test_queries_oracle.py enumerates REGISTRY), and the full
 registry was driver-simulated green at sf0.01 six times this round

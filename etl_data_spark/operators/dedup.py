@@ -464,3 +464,71 @@ def simhash_pairs(
         cand.select("id_a", "id_b", hamming("sig_a", "sig_b").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- prefix-filtered set-similarity join ------------------------------------
+
+
+def setsim_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PPJoin-style prefix filtering.
+
+    Candidate generation indexes only each document's PREFIX — its
+    p = n - ceil(t*n) + 1 rarest shingles under a global
+    document-frequency order — instead of all n (the inverted-index
+    formulation in :func:`ngram_jaccard_pairs`). Completeness is the
+    standard prefix-filter lemma: J(a,b) >= t implies
+    |a ∩ b| >= t*max(|a|,|b|), so an intersection avoiding both prefixes
+    would fit inside suffixes smaller than t*n — contradiction. Rare-first
+    ordering makes surviving index entries the LOW-fanout shingles, which
+    is what bounds candidate blow-up at corpus scale (hot boilerplate
+    shingles land in suffixes and are never joined on).
+
+    Verification is one array_intersect/array_union per candidate pair —
+    exact, so output equals the exhaustive all-pairs answer at any scale.
+    """
+    from pyspark.sql import Window
+
+    docs = _shingled_docs(df, id_col, text_col, shingle_n)
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    tok_df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("tok_df"))
+    w = Window.partitionBy("doc_id").orderBy("tok_df", "shingle")
+    ranked = (
+        inv.join(tok_df, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rk") <= plen).select("doc_id", "shingle")
+
+    a = prefix.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -100,10 +100,9 @@ _BM25_TERMS = ("spark", "join", "hash")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "bm25_search",
-    f"""
-    WITH toks AS ({_SQL_TOKS}),
+# The CTE chain through `scored` is shared verbatim by bm25_search and
+# rrf_hybrid_search so the two oracles cannot drift.
+_SQL_BM25_SCORED = f"""toks AS ({_SQL_TOKS}),
     toks2 AS (SELECT * FROM toks WHERE term <> ''),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
     stats AS (
@@ -128,7 +127,13 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       JOIN dl USING (doc_id)
       CROSS JOIN stats s
       GROUP BY tf.doc_id
-    )
+    )"""
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH {_SQL_BM25_SCORED}
     SELECT doc_id, ROUND(score, 6) AS bm25
     FROM scored
     ORDER BY ROUND(score, 6) DESC, doc_id
@@ -141,6 +146,15 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(d)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, bm25 rounded 6dp) for every doc matching >=1 query term."""
     toks = _tokens(d)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
@@ -173,11 +187,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term_score"),
         )
     )
-    return (
-        per_term.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(20)
+    return per_term.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("bm25")
     )
 
 
@@ -620,4 +631,117 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", pr.alias("priority"))
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(_WEIGHTED_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of lexical + semantic lists
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 50  # candidates taken from each modality before fusion
+
+# Same element-wise construction as queries_llm._SQL_COSINE (sequential
+# left fold, 6dp round) — inlined rather than imported so this module's
+# import cannot reorder registration of the llm family.
+_SQL_COS_RRF = """
+    ROUND(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 6)
+"""
+
+
+@register(
+    "rrf_hybrid_search",
+    f"""
+    WITH {_SQL_BM25_SCORED},
+    lex_top AS (
+      SELECT doc_id, ROUND(score, 6) AS s FROM scored
+      ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    lexr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM lex_top
+    ),
+    sem AS (
+      SELECT e.vec_id AS doc_id, {_SQL_COS_RRF} AS s
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ),
+    sem_top AS (
+      SELECT doc_id, s FROM sem ORDER BY s DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    semr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM sem_top
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + l.r), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + sm.r), 0.0), 6) + 0.0 AS rrf
+    FROM lexr l FULL JOIN semr sm USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="Hybrid retrieval: BM25 lexical ranks fused with embedding-cosine "
+    "semantic ranks by reciprocal rank fusion (k=60). Each modality "
+    "contributes its top-50 via TakeOrderedAndProject (per-partition "
+    "heaps, no global sort of the corpus); the ROW_NUMBER windows then "
+    "run on 50-row bounded frames — single-partition by construction of "
+    "the pool size, not of the data. Fusion is a full outer join of two "
+    "k-row frames. Ranks are taken on 6dp-ROUNDED scores with id "
+    "tie-break so both engines order identically.",
+)
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.similarity import cosine
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        _bm25_scored(d)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    lexr = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lr"),
+    )
+
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qarr = F.array(*[F.lit(float(v)) for v in qvec])
+    sem_top = (
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), qarr), 6).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    semr = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cs"), F.asc("doc_id")))
+        .alias("sr"),
+    )
+
+    fused = lexr.join(semr, ["doc_id"], "full")
+    rrf = (
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lr")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sr")), F.lit(0.0)),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        fused.select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
     )

@@ -302,3 +302,72 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return L.zorder_bucket_stats(o, "o_custkey", "day", bits=16, bucket_shift=24)
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup (operators/rollup.py)
+# --------------------------------------------------------------------------
+
+_SQL_GRAIN = """
+    SELECT '{g}' AS grain,
+           time_bucket(INTERVAL '{iv}', ts) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 2
+"""
+
+
+@register(
+    "hypertable_rollup",
+    " UNION ALL ".join(
+        _SQL_GRAIN.format(g=g, iv=iv)
+        for g, iv in [("5min", "5 minutes"), ("1h", "1 hour"), ("1d", "1 day")]
+    ),
+    doc="Continuous-aggregate grain chain: 5-minute partials scanned ONCE "
+    "from raw events, hourly folded from the persisted partials, daily "
+    "folded from hourly (operators/rollup.py::grain_chain) — the oracle "
+    "recomputes every grain directly from raw rows, proving the partial "
+    "re-aggregation is exact (decimal sums make fold order irrelevant). "
+    "At 100 TB this pattern turns N resolution queries into one fact scan "
+    "plus kilobyte-scale folds, and incremental refresh only touches the "
+    "fine buckets new data lands in.",
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.rollup import grain_chain
+
+    return grain_chain(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_distinct_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS hr, user_id
+      FROM events
+    ),
+    s AS (
+      SELECT unnest(generate_series(hr - INTERVAL '5 hours', hr,
+                                    INTERVAL '1 hour')) AS window_start,
+             user_id
+      FROM h
+    )
+    SELECT window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM s GROUP BY 1
+    """,
+    doc="Exact distinct users per 6-hour SLIDING window (1-hour step) "
+    "from tumbling hourly bitmap partials "
+    "(operators/sketches.py::bitmap_sliding_distinct): each hourly "
+    "bitmap is exploded to the 6 windows containing it and OR-merged — "
+    "the overlap factor touches only kilobyte bitmaps, never raw "
+    "events, vs the naive plan's 6x re-scan of the fact table. The "
+    "oracle recomputes each window's COUNT(DISTINCT) directly; equality "
+    "proves bitmap merge is exact under arbitrary row splits.",
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return SK.bitmap_sliding_distinct(
+        SK.bitmap_hourly(e, "ts", "user_id"), window_hours=6
+    )

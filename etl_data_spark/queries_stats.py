@@ -1633,3 +1633,421 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p1")
     )
+
+
+# --------------------------------------------------------------------------
+# BFS shortest-path hop distances (iterative-algorithm family, member 3)
+# --------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 6
+
+
+def _bfs_sql(max_hops: int = _BFS_MAX_HOPS) -> str:
+    """BFS oracle: the frontier expansion UNROLLED into chained CTEs
+    (d0..dN), one join + anti-membership check per level — the same
+    no-recursion construction as the PageRank and label-propagation
+    oracles, and integer-exact (no floats anywhere)."""
+    sql = f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    g AS (
+      SELECT p1 AS u, p2 AS v FROM e WHERE n_orders >= 2
+      UNION ALL
+      SELECT p2 AS u, p1 AS v FROM e WHERE n_orders >= 2
+    ),
+    d0 AS (SELECT MIN(u) AS v, 0 AS hops FROM g)"""
+    for t in range(1, max_hops + 1):
+        sql += f""",
+    d{t} AS (
+      SELECT v, hops FROM d{t - 1}
+      UNION ALL
+      SELECT DISTINCT g.v, {t} AS hops
+      FROM g JOIN d{t - 1} f ON f.v = g.u AND f.hops = {t - 1}
+      WHERE g.v NOT IN (SELECT v FROM d{t - 1})
+    )"""
+    sql += f"""
+    SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           MIN(v) AS min_part, MAX(v) AS max_part
+    FROM d{max_hops}
+    GROUP BY hops ORDER BY hops
+    """
+    return sql
+
+
+@register(
+    "bfs_hops",
+    _bfs_sql(),
+    doc="BFS hop-distance histogram from the smallest vertex of the "
+    "repeat-co-purchase graph, 6 levels — third member of the iterative-"
+    "algorithm family (PageRank, label propagation, BFS), hash-verified "
+    "via an unrolled-CTE oracle. Spark side is frontier expansion in "
+    "operators/graph.py::bfs_hops: one join+distinct per level against "
+    "the persisted symmetrized edge list, anti-join against the reached "
+    "set, localCheckpoint per level. Integer-exact, so no rounding "
+    "discipline is needed at all.",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.graph import bfs_hops, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+    )
+    # deterministic seed: the smallest vertex id in the (symmetrized)
+    # graph — one scalar to the driver, same discipline as pagerank's N
+    src_id = (
+        symmetrize(edges).agg(F.min("u").alias("m")).collect()[0]["m"]
+    )
+    dist = bfs_hops(edges, F.col("v") == F.lit(src_id), max_hops=_BFS_MAX_HOPS)
+    return (
+        dist.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("v").alias("min_part"),
+            F.max("v").alias("max_part"),
+        )
+        .orderBy("hops")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypothesis testing: chi-square independence + Welch two-sample t
+# --------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_independence",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus AS st, o_orderpriority AS pr,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT st, CAST(SUM(obs) AS BIGINT) AS row_n FROM cells GROUP BY st),
+    ct AS (SELECT pr, CAST(SUM(obs) AS BIGINT) AS col_n FROM cells GROUP BY pr),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT rt.st, ct.pr, rt.row_n, ct.col_n,
+             COALESCE(cells.obs, 0) AS obs
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.st = rt.st AND cells.pr = ct.pr
+    ),
+    terms AS (
+      SELECT (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+              / (SELECT CAST(n AS DOUBLE) FROM tot)) AS exp_cnt, obs
+      FROM grid
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT CAST((COUNT(DISTINCT st) - 1) AS BIGINT) FROM rt)
+             * (SELECT CAST((COUNT(DISTINCT pr) - 1) AS BIGINT) FROM ct)
+             AS dof,
+           ROUND(SUM((obs - exp_cnt) * (obs - exp_cnt) / exp_cnt), 6) + 0.0
+             AS chi2
+    FROM terms
+    """,
+    doc="Chi-square test of independence between order status and "
+    "priority. The contingency table is built from integer cell counts "
+    "(partial-agg groupBy on a 100 TB fact = one exchange of <20 rows "
+    "per mapper); marginals and the expected-count grid are kilobyte "
+    "frames composed with broadcast joins, including zero-observed cells "
+    "via the marginal cross join. Floats appear only in the final "
+    "closed-form terms over exact integers, rounded at emit.",
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .persist()
+    )
+    rt = cells.groupBy("st").agg(F.sum("obs").alias("row_n"))
+    ct = cells.groupBy("pr").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(cells), ["st", "pr"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    exp_cnt = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = grid.select(
+        "n", "obs", exp_cnt.alias("exp_cnt"),
+    )
+    dof = (
+        rt.agg((F.countDistinct("st") - 1).alias("r1"))
+        .crossJoin(ct.agg((F.countDistinct("pr") - 1).alias("c1")))
+        .select((F.col("r1") * F.col("c1")).alias("dof"))
+    )
+    chi = terms.groupBy("n").agg(
+        (
+            F.round(
+                F.sum(
+                    (F.col("obs") - F.col("exp_cnt"))
+                    * (F.col("obs") - F.col("exp_cnt"))
+                    / F.col("exp_cnt")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("chi2")
+    )
+    return chi.crossJoin(F.broadcast(dof)).select("n", "dof", "chi2")
+
+
+@register(
+    "welch_t_test",
+    """
+    WITH b AS (
+      SELECT o_orderstatus AS st,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS d
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN st = 'F' THEN d END) AS DOUBLE) AS s1,
+        CAST(SUM(CASE WHEN st = 'F' THEN d * d END) AS DOUBLE) AS q1,
+        CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN st = 'O' THEN d END) AS DOUBLE) AS s2,
+        CAST(SUM(CASE WHEN st = 'O' THEN d * d END) AS DOUBLE) AS q2
+      FROM b
+    ),
+    m AS (
+      SELECT n1, n2,
+             s1 / n1 AS m1, s2 / n2 AS m2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+      FROM s
+    )
+    SELECT n1, n2,
+           ROUND(m1, 4) + 0.0 AS mean_f,
+           ROUND(m2, 4) + 0.0 AS mean_o,
+           ROUND((m1 - m2) / SQRT(se1 + se2), 6) + 0.0 AS t_stat,
+           ROUND((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 4) + 0.0
+             AS df_welch
+    FROM m
+    """,
+    doc="Welch two-sample t-test (unequal variances) comparing total "
+    "price between finished and open orders — ONE scan with conditional "
+    "exact decimal moment sums (the corr_matrix discipline), then the "
+    "closed-form t statistic and Welch-Satterthwaite degrees of freedom "
+    "on the 1-row frame. Every float derives from exact sums through an "
+    "expression mirrored verbatim in the oracle, so the hash cannot "
+    "drift with partitioning or fold order.",
+)
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(12,2)")
+    st = F.col("o_orderstatus")
+    b = o.filter(st.isin("F", "O")).select(st.alias("st"), d.alias("d"))
+    is_f = F.col("st") == "F"
+    is_o = F.col("st") == "O"
+    s = b.agg(
+        F.sum(F.when(is_f, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is_f, F.col("d"))).cast("double").alias("s1"),
+        F.sum(F.when(is_f, F.col("d") * F.col("d"))).cast("double").alias("q1"),
+        F.sum(F.when(is_o, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is_o, F.col("d"))).cast("double").alias("s2"),
+        F.sum(F.when(is_o, F.col("d") * F.col("d"))).cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m = s.select(
+        n1,
+        n2,
+        (F.col("s1") / n1).alias("m1"),
+        (F.col("s2") / n2).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1) / n1).alias("se1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1) / n2).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    return m.select(
+        "n1",
+        "n2",
+        (F.round(F.col("m1"), 4) + F.lit(0.0)).alias("mean_f"),
+        (F.round(F.col("m2"), 4) + F.lit(0.0)).alias("mean_o"),
+        (F.round((F.col("m1") - F.col("m2")) / F.sqrt(se), 6) + F.lit(0.0)).alias(
+            "t_stat"
+        ),
+        (
+            F.round(
+                se * se
+                / (
+                    F.col("se1") * F.col("se1") / (n1 - 1)
+                    + F.col("se2") * F.col("se2") / (n2 - 1)
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("df_welch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank transforms / weighted quantiles / seasonal anomalies
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quantile_normalize",
+    """
+    SELECT o_orderkey, o_totalprice,
+           ROUND(CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) + 0.0
+             AS quantile
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    """,
+    doc="Quantile normalization (rank transform to [0,1]) of order totals "
+    "— the distribution-free feature scaling step. The oracle's "
+    "ROW_NUMBER()/COUNT() OVER () is the single-partition formulation "
+    "Spark must NOT run at 100 TB; the engine side uses "
+    "operators/rank.py::global_row_number (range shuffle + map-side "
+    "offsets, no global window) plus a broadcast count. The quantile is "
+    "an exact-integer ratio, so both engines divide identical numbers.",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rk = global_row_number(o, ["o_totalprice", "o_orderkey"], out_col="rn")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    return rk.crossJoin(F.broadcast(n)).select(
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.round(
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("quantile"),
+    )
+
+
+_SEASONAL_Z = 1.5
+
+
+@register(
+    "seasonal_anomaly",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    dw AS (
+      SELECT day, cnt,
+             ((CAST(day - DATE '2024-01-01' AS INT) % 7) + 7) % 7 AS dow
+      FROM d
+    ),
+    base AS (
+      SELECT dow,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(cnt) AS DOUBLE) AS s,
+             CAST(SUM(cnt * cnt) AS DOUBLE) AS q
+      FROM dw GROUP BY dow
+    )
+    SELECT dw.day, dw.dow, dw.cnt,
+           ROUND((dw.cnt - s / k)
+                 / SQRT((q - s * s / k) / (k - 1)), 6) + 0.0 AS z
+    FROM dw JOIN base USING (dow)
+    WHERE k > 1
+      AND (q - s * s / k) > 0
+      AND ABS((dw.cnt - s / k) / SQRT((q - s * s / k) / (k - 1)))
+            > {_SEASONAL_Z}
+    """,
+    doc="Seasonal anomaly screen: each day's event count z-scored against "
+    "its own DAY-OF-WEEK baseline, so weekly periodicity is not flagged "
+    "as anomalous (the plain z-score screen would flag every weekend). "
+    "Day-of-week comes from pure epoch-day arithmetic (pmod of a "
+    "datediff), identical cross-engine; baselines are exact integer "
+    "moment sums per dow (7 rows, broadcast back onto days). The z "
+    "expression is mirrored verbatim including the guard predicates.",
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dw = d.withColumn(
+        "dow",
+        F.pmod(F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")), 7),
+    )
+    base = dw.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("cnt").cast("double").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("q"),
+    )
+    j = dw.join(F.broadcast(base), "dow")
+    mean = F.col("s") / F.col("k")
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("k")) / (F.col("k") - 1)
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        j.filter((F.col("k") > 1) & (var > 0) & (F.abs(z) > _SEASONAL_Z))
+        .select(
+            "day",
+            "dow",
+            "cnt",
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        )
+    )
+
+
+@register(
+    "weighted_median",
+    """
+    WITH b AS (
+      SELECT l_extendedprice AS p,
+             CAST(l_quantity AS DECIMAL(12,2)) AS w,
+             l_orderkey AS ok, l_linenumber AS ln
+      FROM lineitem
+    ),
+    t AS (SELECT SUM(w) AS tw FROM b),
+    r AS (
+      SELECT p, SUM(w) OVER (ORDER BY p, ok, ln) AS run FROM b
+    )
+    SELECT CAST(t.tw AS DOUBLE) AS total_weight,
+           MIN(r.p) AS weighted_median
+    FROM r CROSS JOIN t
+    WHERE 2 * r.run >= t.tw
+    GROUP BY t.tw
+    """,
+    doc="Quantity-weighted median price: smallest price whose running "
+    "weight reaches half the total. The oracle's global running SUM "
+    "window is single-partition; the engine side uses "
+    "operators/rank.py::global_running_sum (range partition + broadcast "
+    "per-partition offsets). Weights are exact decimals, so the "
+    "half-total comparison (2*run >= total, multiply-not-divide) is "
+    "bit-exact in both engines.",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.rank import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("w"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    r = global_running_sum(li, ["p", "ok", "ln"], "w", out_col="run")
+    t = li.agg(F.sum("w").alias("tw"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .filter(F.col("run") * 2 >= F.col("tw"))
+        .groupBy("tw")
+        .agg(F.min("p").alias("weighted_median"))
+        .select(
+            F.col("tw").cast("double").alias("total_weight"),
+            "weighted_median",
+        )
+    )

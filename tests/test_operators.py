@@ -333,3 +333,182 @@ def test_minhash_native_hash_same_output(spark):
         for r in D.minhash_lsh_pairs(d, "doc_id", "text", hash_impl="native").collect()
     }
     assert md5_pairs == native_pairs and md5_pairs
+
+
+# --------------------------------------------------------------------------
+# PCA / Gram matrix (operators/pca.py)
+# --------------------------------------------------------------------------
+
+
+def test_gram_blas_matches_exact_decimal(spark):
+    """The production BLAS partial-Gram path must agree with the exact
+    decimal (oracle-verified) construction within float-reassociation
+    tolerance on every upper-triangle entry."""
+    from etl_data_spark.operators.pca import gram_matrix, gram_matrix_blas
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["i"], r["j"]): r["gram"] for r in gram_matrix(e).collect()
+    }
+    fast = {
+        (r["i"], r["j"]): r["gram"] for r in gram_matrix_blas(e).collect()
+    }
+    assert set(exact) == set(fast)
+    for k, v in exact.items():
+        assert abs(v - fast[k]) <= 1e-6 * max(1.0, abs(v))
+
+
+def test_pca_project_matches_numpy_reference(spark):
+    """Distributed two-pass PCA equals a single-machine numpy PCA on the
+    collected matrix: same per-component projections (sign-fixed) within
+    float tolerance, components ordered by descending eigenvalue."""
+    import numpy as np
+
+    from etl_data_spark.operators.pca import pca_project
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 3
+    got = {
+        r["vec_id"]: [r[f"pc{c}"] for c in range(k)]
+        for r in pca_project(e, k=k).collect()
+    }
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    centered = mat - mat.mean(axis=0)
+    cov = centered.T @ centered / len(mat)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]
+    for c in range(k):
+        pivot = np.argmax(np.abs(comps[:, c]))
+        if comps[pivot, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ref = centered @ comps
+
+    assert set(got) == set(ids)
+    for idx, vid in enumerate(ids):
+        for c in range(k):
+            assert abs(got[vid][c] - ref[idx, c]) <= 1e-5, (vid, c)
+
+
+def test_bfs_hops_toy_graph(spark):
+    """Path graph 0-1-2-3 plus isolated edge 8-9: hop counts are exact,
+    unreachable component absent, max_hops truncation respected."""
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (8, 9)], ["u", "v"]
+    )
+    got = {
+        r["v"]: r["hops"]
+        for r in bfs_hops(edges, F.col("v") == 0, max_hops=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}  # 3 is 3 hops away: truncated
+
+
+def test_bitmap_sliding_distinct_matches_naive(spark):
+    """Sliding distinct from OR-merged hourly bitmaps equals the naive
+    per-window COUNT(DISTINCT) — bitmap merge is exact under splits."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.operators.sketches import (
+        bitmap_hourly,
+        bitmap_sliding_distinct,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 30)
+    rows = [
+        (base + dt.timedelta(hours=h, minutes=m % 17), 100 + (h * 3 + m) % 7)
+        for h in range(10)
+        for m in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        r["window_start"]: r["exact_distinct"]
+        for r in bitmap_sliding_distinct(
+            bitmap_hourly(df, "ts", "user_id"), window_hours=6
+        ).collect()
+    }
+    naive = {
+        r["window_start"]: r["n"]
+        for r in df.select(
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", "ts") - F.expr("INTERVAL 5 HOURS"),
+                    F.date_trunc("hour", "ts"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("window_start"),
+            "user_id",
+        )
+        .groupBy("window_start")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == naive
+
+
+def test_grain_chain_reuses_partials(spark):
+    """The hourly/daily grains must fold the persisted 5-minute partials
+    (InMemoryTableScan branches), and every grain must equal a direct
+    aggregation of the raw rows."""
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.operators.rollup import grain_chain
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = grain_chain(e)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+    daily = {
+        (r["bucket_start"], r["n_events"], r["sum_value"])
+        for r in out.filter(F.col("grain") == "1d").collect()
+    }
+    direct = {
+        (r["bucket_start"], r["n_events"], r["sum_value"])
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert daily == direct
+
+
+def test_setsim_prefix_equals_inverted_index(spark):
+    """Prefix filtering must lose nothing: the PPJoin-style plan returns
+    exactly the same verified pair set as the full inverted-index join at
+    the same threshold (the prefix-filter completeness lemma)."""
+    from etl_data_spark.operators import dedup as D
+    from etl_data_spark.queries import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            d, "doc_id", "text", shingle_n=3, threshold=0.4
+        ).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.setsim_prefix_pairs(
+            d, "doc_id", "text", shingle_n=3, threshold=0.4
+        ).collect()
+    }
+    assert full == pruned
+    assert len(full) > 0  # non-vacuous

@@ -272,3 +272,46 @@ def test_zorder_stats_codegen_no_udf(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # pure shift/mask arithmetic lands in a single Project over the scan
     assert "shiftright" in p and "Project" in p
+
+
+def test_passage_overlap_no_cartesian(spark):
+    # candidate generation is the fingerprint inverted-index equi-join;
+    # the df-cap filter joins on fp too — no nested-loop plan anywhere
+    p = plan(q(spark, "passage_overlap"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bfs_lineage_truncated_and_no_cartesian(spark):
+    # the per-level localCheckpoint must truncate the 6-level union/join
+    # lineage: the returned frame plans as a bounded scan over the
+    # checkpointed RDD (plus the final histogram agg), not a 6-deep
+    # join mega-plan — and no level may fall back to a nested loop
+    p = plan(q(spark, "bfs_hops"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p  # all level joins happened pre-checkpoint
+
+
+def test_chi_square_marginals_broadcast(spark):
+    # the expected-count grid composes kilobyte marginal frames: every
+    # join in the plan must be broadcast, never a shuffle join
+    p = plan(q(spark, "chi_square_independence"))
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+
+
+def test_welch_single_scan_single_agg(spark):
+    # ONE scan of orders, one grouping-less aggregate: no join at all
+    p = plan(q(spark, "welch_t_test"))
+    assert p.count("orders.parquet") == 1
+    assert "Join" not in p.replace("joinOutputRows", "")
+
+
+def test_doc_chunking_no_shuffle(spark):
+    # chunking is a per-row array expansion: one scan, no exchange of
+    # any kind — it must pipeline into the scan stage
+    p = plan(q(spark, "doc_chunking"))
+    assert "Exchange" not in p
+    assert p.count("documents.parquet") == 1
