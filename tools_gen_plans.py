@@ -39,6 +39,16 @@ PICK = [
     "corr_matrix",
     "abc_analysis",
     "attribution_first_touch",
+    # round 3 third wave: rollup chain, sliding sketches, retrieval fusion,
+    # set-similarity join, rank transforms, chunking
+    "hypertable_rollup",
+    "sliding_distinct_users",
+    "rrf_hybrid_search",
+    "setsim_join_prefix",
+    "quantile_normalize",
+    "weighted_median",
+    "doc_chunking",
+    "chi_square_independence",
 ]
 
 
