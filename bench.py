@@ -149,6 +149,11 @@ STATS = [
     "quantile_normalize",
     "seasonal_anomaly",
     "weighted_median",
+    "entity_resolution",
+    "forecast_backtest",
+    "equidepth_histogram",
+    "session_paths",
+    "dq_expectations",
 ]
 
 

@@ -20,7 +20,9 @@ queries, plus the late-round-3 families: BFS hops, hypothesis tests,
 hypertable rollup, sliding bitmap distinct, the Gram matrix, RRF hybrid
 search, passage overlap, the prefix-filtered set-similarity join,
 quantile normalization, the seasonal anomaly screen, the weighted
-median) are next round's rotation. All entries remain
+median, entity resolution, the forecast backtest, the equi-depth
+histogram, session paths, the DQ expectations suite, the RAG chunker)
+are next round's rotation. All entries remain
 pytest-oracle-checked locally every round regardless of position
 (tests/test_queries_oracle.py enumerates REGISTRY), and the full
 registry was driver-simulated green at sf0.01 six times this round

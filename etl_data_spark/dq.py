@@ -253,3 +253,39 @@ def run_reference_dq(
     end_date: dt.date | str | None = None,
 ) -> DataFrame:
     return run_checks(spark, reference_checks(silver, fact, start_date, end_date))
+
+
+def run_expectations(df, expectations, unique_cols=()):
+    """Config-driven expectations suite in ONE scan.
+
+    ``expectations`` is a list of (name, violation_condition Column);
+    every violation count is a conditional sum inside a single
+    grouping-less aggregate, so adding a check costs one expression, not
+    one pass — at 100 TB the whole suite is one partial-agg reduction.
+    ``unique_cols`` adds COUNT(*) - COUNT(DISTINCT col) uniqueness checks
+    (multi-distinct rides the same one-scan Expand the profiler uses).
+    Returns (expectation, n_violations) rows.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(f"e_{i}")
+        for i, (_, cond) in enumerate(expectations)
+    ]
+    for j, col in enumerate(unique_cols):
+        aggs.append(
+            (F.count(col) - F.countDistinct(col)).alias(f"u_{j}")
+        )
+    row = df.agg(*aggs)
+    names = [n for n, _ in expectations] + [
+        f"unique:{c}" for c in unique_cols
+    ]
+    cols = [f"e_{i}" for i in range(len(expectations))] + [
+        f"u_{j}" for j in range(len(unique_cols))
+    ]
+    stack = ", ".join(
+        f"'{n}', {c}" for n, c in zip(names, cols)
+    )
+    return row.selectExpr(
+        f"stack({len(names)}, {stack}) AS (expectation, n_violations)"
+    )

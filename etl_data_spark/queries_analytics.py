@@ -745,3 +745,58 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral path analysis
+# --------------------------------------------------------------------------
+
+_PATH_LEN, _PATH_TOPK = 5, 10
+
+
+@register(
+    "session_paths",
+    f"""
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{_PATH_LEN}], '>')
+               AS path
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM s GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}
+    """,
+    doc="Top user journeys: each (user, day) session's first 5 events "
+    "joined into a path string, ranked by frequency. Event order inside "
+    "a session is pinned by (ts, event_id) — collect_list is "
+    "partition-order-nondeterministic, so the Spark side array_sorts "
+    "structs keyed the same way before slicing, making both engines "
+    "deterministic. Two partial-agg reductions + TakeOrdered; per-key "
+    "state is one bounded day of events.",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.array_sort(F.collect_list("s")).alias("seq"))
+    )
+    path = F.array_join(
+        F.transform(
+            F.slice("seq", 1, _PATH_LEN), lambda x: x["event_type"]
+        ),
+        ">",
+    )
+    return (
+        seq.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )

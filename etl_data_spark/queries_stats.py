@@ -2051,3 +2051,238 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution / forecasting / equi-depth histograms
+# --------------------------------------------------------------------------
+
+
+@register(
+    "entity_resolution",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS tok
+      FROM part
+    ),
+    n AS (SELECT DISTINCT p_name, tok FROM p),
+    e0 AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM n a JOIN n b
+        ON a.tok = b.tok AND a.p_name < b.p_name
+       AND levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (
+      SELECT na AS s, nb AS d FROM e0
+      UNION
+      SELECT nb, na FROM e0
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    lbl AS (SELECT s AS name, LEAST(MIN(d), s) AS root FROM reach GROUP BY s),
+    resolved AS (
+      SELECT p.p_partkey, COALESCE(lbl.root, p.p_name) AS root
+      FROM p LEFT JOIN lbl ON lbl.name = p.p_name
+    )
+    SELECT root AS entity_root,
+           MIN(p_partkey) AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM resolved GROUP BY root
+    """,
+    doc="End-to-end entity resolution over part names: block on the first "
+    "token, link names within edit distance 2, close the link graph into "
+    "entities (iterative min-label connected components), and emit one "
+    "canonical record per entity (min member key). Linking runs on the "
+    "DISTINCT NAME domain — bounded vocabulary, SF-independent — and "
+    "parts map in by broadcast-scale joins, the same value-domain rule "
+    "that made fuzzy_name_match 67x faster (SCALE.md §10). Oracle is a "
+    "recursive-CTE transitive closure, so the component labels are "
+    "ground truth, not an approximation.",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.dedup import connected_components
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ")[0].alias("tok"),
+    )
+    names = p.select("p_name", "tok").distinct().persist()
+    a = names.select(F.col("p_name").alias("id_a"), "tok")
+    b = names.select(F.col("p_name").alias("id_b"), "tok")
+    pairs = a.join(b, "tok").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.levenshtein("id_a", "id_b") <= 2)
+    )
+    cc = connected_components(pairs)
+    resolved = p.join(
+        F.broadcast(cc), p["p_name"] == cc["doc_id"], "left"
+    ).select(
+        "p_partkey",
+        F.coalesce("cluster_id", "p_name").alias("root"),
+    )
+    return resolved.groupBy(F.col("root").alias("entity_root")).agg(
+        F.min("p_partkey").alias("entity_id"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@register(
+    "forecast_backtest",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.day, a.cnt AS actual, b.cnt AS forecast
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type
+       AND b.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(ABS(actual - forecast)) AS DOUBLE) / COUNT(*), 6)
+             AS mae,
+           ROUND(CAST(SUM(ABS(actual - forecast)) AS DOUBLE)
+                 / SUM(actual), 6) AS wape
+    FROM j GROUP BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest: forecast(day) = actual(day-7) "
+    "per event type; scored with MAE and weighted absolute percentage "
+    "error over every day with a week-old observation. The error sums "
+    "are exact integers (counts), so the two final ratios are the only "
+    "floats — deterministic division of identical numbers. The shape "
+    "is one partial-agg reduction plus a self-join on (type, day) keys "
+    "— kilobyte frames at any fact scale; the standard baseline every "
+    "forecasting pipeline must beat (and the daily-count reduction is "
+    "what a real model trains on).",
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    a, b = d.alias("a"), d.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") == F.date_sub(F.col("a.day"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.cnt").alias("actual"),
+        F.col("b.cnt").alias("forecast"),
+    )
+    err = F.sum(F.abs(F.col("actual") - F.col("forecast")))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(err.cast("double") / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(err.cast("double") / F.sum("actual"), 6).alias("wape"),
+    )
+
+
+_EQUIDEPTH_BINS = 10
+
+
+@register(
+    "equidepth_histogram",
+    f"""
+    WITH r AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(((rn - 1) * {_EQUIDEPTH_BINS}) // n AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM r GROUP BY 1
+    """,
+    doc="Equi-depth (equal-count) histogram of order totals: bin = "
+    "floor(rank*B/n) over the distributed rank, so every bin holds "
+    "n/B rows regardless of skew — the histogram query optimizers keep "
+    "in statistics, and the right binning for long-tailed measures "
+    "where equi-width bins collapse into one bucket. No global window: "
+    "rank comes from operators/rank.py; bin arithmetic is exact "
+    "integer, bounds are exact MIN/MAX per bin.",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rk = global_row_number(o, ["o_totalprice", "o_orderkey"], out_col="rn")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    binned = rk.crossJoin(F.broadcast(n)).select(
+        "o_totalprice",
+        F.floor(
+            ((F.col("rn") - 1) * _EQUIDEPTH_BINS) / F.col("n")
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT expectation, n_violations FROM (
+      SELECT 'not_null:o_custkey' AS expectation,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations FROM orders
+      UNION ALL
+      SELECT 'range:o_totalprice>0',
+             CAST(SUM(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'in_set:o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             OR o_orderstatus IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'regex:o_orderpriority',
+             CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                             OR o_orderpriority IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'unique:o_orderkey',
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+    )
+    """,
+    doc="Config-driven data-quality expectations suite "
+    "(dq.py::run_expectations): not-null, range, set-membership, regex, "
+    "and uniqueness checks over orders, ALL evaluated in one scan — "
+    "row-wise checks as conditional sums in a single grouping-less "
+    "partial aggregate, uniqueness as count-minus-distinct on the same "
+    "pass. The generalization of the reference's fixed fn_dq_checks "
+    "surface into a declarative check list: adding an expectation adds "
+    "an expression, never a pass over the fact table.",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.dq import run_expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    exps = [
+        ("not_null:o_custkey", F.col("o_custkey").isNull()),
+        (
+            "range:o_totalprice>0",
+            ~(F.col("o_totalprice") > 0) | F.col("o_totalprice").isNull(),
+        ),
+        (
+            "in_set:o_orderstatus",
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull(),
+        ),
+        (
+            "regex:o_orderpriority",
+            ~F.col("o_orderpriority").rlike("^[1-5]-")
+            | F.col("o_orderpriority").isNull(),
+        ),
+    ]
+    return run_expectations(o, exps, unique_cols=("o_orderkey",))

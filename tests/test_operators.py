@@ -512,3 +512,28 @@ def test_setsim_prefix_equals_inverted_index(spark):
     }
     assert full == pruned
     assert len(full) > 0  # non-vacuous
+
+
+def test_run_expectations_counts(spark):
+    """Known violations on a toy frame: each expectation counts exactly its
+    planted rows; uniqueness counts duplicates, not distinct keys."""
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.dq import run_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (1, -5.0, "O"), (2, 0.0, "X"), (3, None, "F")],
+        ["k", "amt", "st"],
+    )
+    out = {
+        r["expectation"]: r["n_violations"]
+        for r in run_expectations(
+            df,
+            [
+                ("amt_positive", ~(F.col("amt") > 0) | F.col("amt").isNull()),
+                ("st_known", ~F.col("st").isin("O", "F")),
+            ],
+            unique_cols=("k",),
+        ).collect()
+    }
+    assert out == {"amt_positive": 3, "st_known": 1, "unique:k": 1}

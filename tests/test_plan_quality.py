@@ -315,3 +315,10 @@ def test_doc_chunking_no_shuffle(spark):
     p = plan(q(spark, "doc_chunking"))
     assert "Exchange" not in p
     assert p.count("documents.parquet") == 1
+
+
+def test_dq_expectations_single_scan(spark):
+    # the whole expectations suite must cost ONE pass over the fact table
+    p = plan(q(spark, "dq_expectations"))
+    assert p.count("orders.parquet") == 1
+    assert "Join" not in p.replace("joinOutputRows", "")
