@@ -154,6 +154,9 @@ STATS = [
     "equidepth_histogram",
     "session_paths",
     "dq_expectations",
+    "target_encoding",
+    "drift_psi",
+    "feature_hashing",
 ]
 
 

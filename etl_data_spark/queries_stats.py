@@ -2286,3 +2286,203 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return run_expectations(o, exps, unique_cols=("o_orderkey",))
+
+
+# --------------------------------------------------------------------------
+# ML feature preparation: target encoding, feature hashing, drift
+# --------------------------------------------------------------------------
+
+
+@register(
+    "target_encoding",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS pr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS gm FROM g
+    )
+    SELECT o_orderkey,
+           ROUND(CASE WHEN g.n > 1 THEN
+                   CAST(g.s - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                     / (g.n - 1)
+                 ELSE (SELECT gm FROM tot) END, 6) + 0.0 AS target_enc
+    FROM orders JOIN g ON g.pr = o_orderpriority
+    """,
+    doc="Leave-one-out target encoding of order priority by mean total "
+    "price — the category encoder that avoids leaking each row's own "
+    "label: enc = (group_sum - own) / (group_n - 1), singleton groups "
+    "falling back to the global mean. Group sums are exact decimals "
+    "(fold-order-free) broadcast back onto the fact scan; the per-row "
+    "subtraction stays in decimal until the final division. One scan "
+    "plus a kilobyte broadcast at any scale.",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    # g feeds two branches (the broadcast join and the global-mean fold);
+    # without persist the second branch re-runs the fact aggregation
+    # (plan-branch reuse rule, SCALE.md §11)
+    g = (
+        o.groupBy(F.col("o_orderpriority").alias("pr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s"))
+        .persist()
+    )
+    tot = g.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("gm")
+    )
+    j = o.join(
+        F.broadcast(g), g["pr"] == o["o_orderpriority"]
+    ).crossJoin(F.broadcast(tot))
+    enc = F.when(
+        F.col("n") > 1,
+        (F.col("s") - dec).cast("double") / (F.col("n") - 1),
+    ).otherwise(F.col("gm"))
+    return j.select(
+        "o_orderkey", (F.round(enc, 6) + F.lit(0.0)).alias("target_enc")
+    )
+
+
+_PSI_BINS = 10
+_PSI_CUTOFF = "1998-01-01"
+
+
+@register(
+    "drift_psi",
+    f"""
+    WITH s AS (
+      SELECT o_totalprice AS x,
+             o_orderdate < TIMESTAMP '{_PSI_CUTOFF} 00:00:00' AS is_a
+      FROM orders
+    ),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM s),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((x - mn) * 10.0 / (mx - mn)) AS INT),
+                   {_PSI_BINS - 1}) AS bin,
+             is_a
+      FROM s CROSS JOIN mm
+    ),
+    c AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM b GROUP BY bin
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c)
+    SELECT bin, ca, cb,
+           ROUND(((ca + 0.5) / (na + {_PSI_BINS * 0.5})
+                  - (cb + 0.5) / (nb + {_PSI_BINS * 0.5}))
+                 * ln(((ca + 0.5) / (na + {_PSI_BINS * 0.5}))
+                      / ((cb + 0.5) / (nb + {_PSI_BINS * 0.5}))), 6) + 0.0
+             AS psi_contrib
+    FROM c CROSS JOIN t
+    """,
+    doc="Population-stability-index drift screen: order-value distribution "
+    "before vs after a cutoff date, 10 equi-width bins over the pooled "
+    "range, Laplace-smoothed (+0.5) bin shares, per-bin PSI "
+    "contribution. Everything up to the final closed form is integer "
+    "counts; the bin formula is the identical float expression in both "
+    "engines. Shape: one scan + a 2-value broadcast (min/max) + a "
+    "10-row reduce — the always-on monitor between a training snapshot "
+    "and serving data.",
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderdate") < F.lit(_PSI_CUTOFF).cast("timestamp")).alias(
+            "is_a"
+        ),
+    )
+    mm = s.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    binned = s.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))
+            ).cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        "is_a",
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb"),
+    )
+    t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    sm = _PSI_BINS * 0.5
+    pa = (F.col("ca") + 0.5) / (F.col("na") + sm)
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + sm)
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "ca",
+        "cb",
+        (F.round((pa - pb) * F.log(pa / pb), 6) + F.lit(0.0)).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+_FEATHASH_DIM = 64
+
+_SQL_MD5_32_STATS = """
+    CAST(list_sum(list_transform(range(1, 9),
+        k -> (strpos('0123456789abcdef', substr(md5({key}), CAST(k AS INT), 1)) - 1)
+             * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT)
+"""
+
+
+@register(
+    "feature_hashing",
+    f"""
+    SELECT o_orderkey, feature, idx FROM (
+      SELECT o_orderkey, 'status' AS feature,
+             CAST({_SQL_MD5_32_STATS.format(key="concat('status:', o_orderstatus)")}
+                  % {_FEATHASH_DIM} AS INT) AS idx
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'priority',
+             CAST({_SQL_MD5_32_STATS.format(key="concat('priority:', o_orderpriority)")}
+                  % {_FEATHASH_DIM} AS INT)
+      FROM orders
+    )
+    """,
+    doc="Hashing-trick categorical encoding: each (column, value) maps to "
+    "a bucket in a fixed 64-dim feature space via the portable "
+    "md5-prefix integer (the repo's cross-engine hash convention), "
+    "emitted in sparse long form (row, feature, index). No vocabulary "
+    "pass, no fit state — every executor encodes rows independently, "
+    "which is the property that lets the encoder run inside the scan "
+    "stage on unbounded category domains at 100 TB.",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def bucket(prefix: str, col: str) -> F.Column:
+        h = F.expr(
+            f"cast(conv(substr(md5(concat('{prefix}:', {col})), 1, 8), 16, 10) "
+            "as bigint)"
+        )
+        return (h % _FEATHASH_DIM).cast("int")
+
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("status").alias("feature"),
+                    bucket("status", "o_orderstatus").alias("idx"),
+                ),
+                F.struct(
+                    F.lit("priority").alias("feature"),
+                    bucket("priority", "o_orderpriority").alias("idx"),
+                ),
+            )
+        ).alias("f"),
+    ).select(
+        "o_orderkey",
+        F.col("f.feature").alias("feature"),
+        F.col("f.idx").alias("idx"),
+    )

@@ -322,3 +322,19 @@ def test_dq_expectations_single_scan(spark):
     p = plan(q(spark, "dq_expectations"))
     assert p.count("orders.parquet") == 1
     assert "Join" not in p.replace("joinOutputRows", "")
+
+
+def test_target_encoding_broadcasts_group_stats(spark):
+    # the group-stats frame is kilobytes: it must broadcast onto the fact
+    # scan, never shuffle the fact table
+    p = plan(q(spark, "target_encoding"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_feature_hashing_no_shuffle(spark):
+    # the hashing trick needs no vocabulary pass: pure projection, one
+    # scan, no exchange
+    p = plan(q(spark, "feature_hashing"))
+    assert "Exchange" not in p
+    assert p.count("orders.parquet") == 1
