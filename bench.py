@@ -105,6 +105,7 @@ SCALE_OPS = [
     "dedup_survivor_docs",
     "hypertable_rollup",
     "sliding_distinct_users",
+    "pit_scd2_join",
     "embedding_gram_matrix",
     "rrf_hybrid_search",
     "passage_overlap",
@@ -157,6 +158,7 @@ STATS = [
     "target_encoding",
     "drift_psi",
     "feature_hashing",
+    "graph_clustering_coeff",
 ]
 
 

@@ -371,3 +371,82 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.bitmap_sliding_distinct(
         SK.bitmap_hourly(e, "ts", "user_id"), window_hours=6
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (as-of) join against SCD2 history
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pit_scd2_join",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '1970-01-01 00:00:00' AS ts
+      FROM customer
+    ), b1 AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+             TIMESTAMP '1997-01-01 00:00:00' AS ts
+      FROM customer WHERE c_custkey % 4 = 0
+    ), b2 AS (
+      SELECT c_custkey, c_acctbal + 200.0 AS c_acctbal,
+             TIMESTAMP '1999-01-01 00:00:00' AS ts
+      FROM customer WHERE c_custkey % 6 = 0
+    ), hist AS (
+      SELECT * FROM base UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    ), scd AS (
+      SELECT c_custkey, c_acctbal, ts AS effective_from,
+             LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts)
+               AS effective_to
+      FROM hist
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           s.c_acctbal AS acctbal_at_order,
+           s.effective_from
+    FROM orders o JOIN scd s
+      ON s.c_custkey = o.o_custkey
+     AND s.effective_from <= o.o_orderdate
+     AND (s.effective_to IS NULL OR o.o_orderdate < s.effective_to)
+    """,
+    doc="Point-in-time join: each order picks the SCD2 customer version "
+    "valid AT ITS ORDER DATE (effective_from <= t < effective_to) — the "
+    "temporal-correctness join every feature store and restated report "
+    "needs, where joining the current version would leak the future. "
+    "Executed as an equi-join on the entity key with the validity "
+    "window as a post-join filter: per-key version chains are tiny by "
+    "construction, so the join never degenerates to a range explosion "
+    "and shuffles only on the key — the 100 TB-safe PIT shape.",
+)
+def q_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    def batch(mod: int, bump: float, ts: str) -> DataFrame:
+        return (
+            c.filter(F.col("c_custkey") % mod == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(bump))
+            .withColumn("ts", F.lit(ts).cast("timestamp"))
+        )
+
+    changes = batch(4, 100.0, "1997-01-01 00:00:00").unionByName(
+        batch(6, 200.0, "1999-01-01 00:00:00")
+    )
+    scd = CDC.apply_scd2(c, changes, ["c_custkey"], "ts").select(
+        "c_custkey", "c_acctbal", "effective_from", "effective_to"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = o.join(scd, scd["c_custkey"] == o["o_custkey"]).filter(
+        (F.col("effective_from") <= F.col("o_orderdate"))
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("o_orderdate") < F.col("effective_to"))
+        )
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("c_acctbal").alias("acctbal_at_order"),
+        "effective_from",
+    )

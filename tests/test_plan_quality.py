@@ -338,3 +338,12 @@ def test_feature_hashing_no_shuffle(spark):
     p = plan(q(spark, "feature_hashing"))
     assert "Exchange" not in p
     assert p.count("orders.parquet") == 1
+
+
+def test_pit_join_is_keyed_equi_join(spark):
+    # the point-in-time join must plan as a hash join on the entity key
+    # (validity window as post-filter), never a range-explosion
+    # nested-loop plan
+    p = plan(q(spark, "pit_scd2_join"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
