@@ -106,6 +106,9 @@ SCALE_OPS = [
     "hypertable_rollup",
     "sliding_distinct_users",
     "pit_scd2_join",
+    "accumulating_snapshot",
+    "late_arriving_dim",
+    "junk_dimension",
     "embedding_gram_matrix",
     "rrf_hybrid_search",
     "passage_overlap",

@@ -450,3 +450,145 @@ def q_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal_at_order"),
         "effective_from",
     )
+
+
+# --------------------------------------------------------------------------
+# Kimball warehouse patterns: accumulating snapshot, late-arriving dim,
+# junk dimension
+# --------------------------------------------------------------------------
+
+
+@register(
+    "accumulating_snapshot",
+    """
+    SELECT o.o_orderkey,
+           o.o_orderdate AS placed,
+           MIN(l.l_shipdate) AS first_ship,
+           MAX(l.l_shipdate) AS last_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                         CAST(MIN(l.l_shipdate) AS DATE)) AS BIGINT)
+             AS days_to_first_ship,
+           MIN(l.l_linestatus) = 'F' AND MAX(l.l_linestatus) = 'F'
+             AS fully_shipped
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    doc="Accumulating-snapshot fact: one row per order carrying its "
+    "lifecycle milestones (placed, first/last ship) and derived lags — "
+    "the Kimball pattern for pipeline-progress facts, maintained here "
+    "as a single keyed join + partial-agg groupBy (milestone updates at "
+    "scale are MERGEs touching only in-flight orders; completed rows "
+    "never change, which is what makes the table incrementally cheap).",
+)
+def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    j = o.join(li, li["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy("o_orderkey", "o_orderdate").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.datediff(
+            F.min("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_first_ship"),
+        ((F.min("l_linestatus") == "F") & (F.max("l_linestatus") == "F")).alias(
+            "fully_shipped"
+        ),
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("placed"),
+        "first_ship",
+        "last_ship",
+        "n_lines",
+        "days_to_first_ship",
+        "fully_shipped",
+    )
+
+
+@register(
+    "late_arriving_dim",
+    """
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0
+    ),
+    orphans AS (
+      SELECT o.o_custkey, o.o_orderdate
+      FROM orders o LEFT JOIN dim ON dim.c_custkey = o.o_custkey
+      WHERE dim.c_custkey IS NULL
+    )
+    SELECT o_custkey AS inferred_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderdate) AS first_seen,
+           'INFERRED' AS member_status
+    FROM orphans GROUP BY o_custkey
+    """,
+    doc="Late-arriving dimension handling: facts referencing keys the "
+    "dimension has not delivered yet (simulated by withholding every "
+    "13th customer) produce INFERRED placeholder members instead of "
+    "dropped or failed rows — the warehouse pattern that keeps fact "
+    "loads running when dim feeds lag. One anti-join (left join + null "
+    "filter) and a partial-agg groupBy; when the real member arrives, "
+    "the SCD2 MERGE path (cdc.py) replaces the placeholder version.",
+)
+def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    dim = c.filter(F.col("c_custkey") % 13 != 0)
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    orphans = o.join(dim, dim["c_custkey"] == o["o_custkey"], "left_anti")
+    return orphans.groupBy(
+        F.col("o_custkey").alias("inferred_custkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_seen"),
+        F.lit("INFERRED").alias("member_status"),
+    )
+
+
+@register(
+    "junk_dimension",
+    """
+    WITH combos AS (
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ),
+    keyed AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderstatus, o_orderpriority)
+                  AS BIGINT) AS junk_key
+      FROM combos
+    )
+    SELECT k.junk_key, k.o_orderstatus, k.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_facts
+    FROM orders o
+    JOIN keyed k ON k.o_orderstatus = o.o_orderstatus
+                AND k.o_orderpriority = o.o_orderpriority
+    GROUP BY 1, 2, 3
+    """,
+    doc="Junk dimension: the cross product of low-cardinality flags "
+    "actually observed in the fact (status x priority) collapsed into "
+    "one surrogate-keyed dimension, plus fact counts per combo. The "
+    "combo domain is bounded (~15 rows), so the surrogate ROW_NUMBER "
+    "window runs on a kilobyte frame and the key-assignment join "
+    "broadcasts — the fact table is scanned, never shuffled by the "
+    "combo key twice.",
+)
+def q_junk_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    combos = o.distinct()
+    keyed = combos.withColumn(
+        "junk_key",
+        F.row_number()
+        .over(Window.orderBy("o_orderstatus", "o_orderpriority"))
+        .cast("long"),
+    )
+    return (
+        o.join(F.broadcast(keyed), ["o_orderstatus", "o_orderpriority"])
+        .groupBy("junk_key", "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_facts"))
+    )
