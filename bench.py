@@ -162,6 +162,8 @@ STATS = [
     "drift_psi",
     "feature_hashing",
     "graph_clustering_coeff",
+    "impute_group_median",
+    "interpolate_linear",
 ]
 
 

@@ -2549,3 +2549,163 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("tri"), F.lit(0)).alias("n_triangles"),
         (F.round(cc, 6) + F.lit(0.0)).alias("clustering_coeff"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data repair: group-median imputation, time-weighted interpolation
+# --------------------------------------------------------------------------
+
+# Deterministic null injection (testdata has no missing values): every
+# 17th event loses its measure, identically in both engines.
+_IMPUTE_NULL = "event_id % 17 = 0"
+
+
+@register(
+    "impute_group_median",
+    f"""
+    WITH holes AS (
+      SELECT event_id, event_type,
+             CASE WHEN {_IMPUTE_NULL} THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m
+      FROM holes GROUP BY event_type
+    )
+    SELECT h.event_id,
+           ROUND(COALESCE(h.v, med.m), 6) + 0.0 AS value_imputed,
+           h.v IS NULL AS was_imputed
+    FROM holes h JOIN med USING (event_type)
+    """,
+    doc="Group-median imputation: missing measures (every 17th event, "
+    "injected deterministically since testdata is complete) filled with "
+    "their event type's exact interpolated median. The per-group median "
+    "frame is a handful of rows broadcast onto the fact scan; rows keep "
+    "a was_imputed flag so downstream consumers can weight or exclude "
+    "repairs. Median-not-mean is the robust default for skewed "
+    "telemetry measures.",
+)
+def q_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    holes = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    med = holes.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("m")
+    )
+    return holes.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        (F.round(F.coalesce(F.col("v"), F.col("m")), 6) + F.lit(0.0)).alias(
+            "value_imputed"
+        ),
+        F.col("v").isNull().alias("was_imputed"),
+    )
+
+
+@register(
+    "interpolate_linear",
+    f"""
+    WITH holes AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN {_IMPUTE_NULL} THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    nb AS (
+      SELECT event_id, user_id, ts, v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS t_prev,
+             LAST_VALUE(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS v_prev,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS t_next,
+             FIRST_VALUE(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS v_next
+      FROM holes
+    )
+    SELECT event_id,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN v_prev IS NOT NULL AND v_next IS NOT NULL
+                  AND epoch(t_next) > epoch(t_prev) THEN
+               v_prev + (v_next - v_prev)
+                 * (epoch(ts) - epoch(t_prev))
+                 / (epoch(t_next) - epoch(t_prev))
+             ELSE COALESCE(v_prev, v_next)
+           END, 6) + 0.0 AS value_filled,
+           v IS NULL AS was_filled
+    FROM nb
+    """,
+    doc="Time-weighted linear interpolation of missing measures inside "
+    "each user's series: v_prev + (v_next - v_prev) * dt_ratio between "
+    "the nearest non-null neighbors (IGNORE NULLS window frames), "
+    "falling back to forward/backward fill at series edges. One shuffle "
+    "on the series key; per-user frames are bounded. The interpolation "
+    "expression is the identical double formula in both engines over "
+    "epoch seconds, rounded at emit.",
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    holes = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    prev = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nxt = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    vts = F.when(F.col("v").isNotNull(), F.col("ts"))
+    nb = holes.select(
+        "event_id",
+        "ts",
+        "v",
+        F.last(vts, ignorenulls=True).over(prev).alias("t_prev"),
+        F.last("v", ignorenulls=True).over(prev).alias("v_prev"),
+        F.first(vts, ignorenulls=True).over(nxt).alias("t_next"),
+        F.first("v", ignorenulls=True).over(nxt).alias("v_next"),
+    )
+    # cast-to-double keeps fractional seconds (unix_timestamp truncates),
+    # matching DuckDB's epoch()
+    ep = lambda c: F.col(c).cast("double")  # noqa: E731
+    interp = F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * (
+        ep("ts") - ep("t_prev")
+    ) / (ep("t_next") - ep("t_prev"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("v_prev").isNotNull()
+            & F.col("v_next").isNotNull()
+            & (ep("t_next") > ep("t_prev")),
+            interp,
+        )
+        .otherwise(F.coalesce("v_prev", "v_next"))
+    )
+    return nb.select(
+        "event_id",
+        (F.round(filled, 6) + F.lit(0.0)).alias("value_filled"),
+        F.col("v").isNull().alias("was_filled"),
+    )
