@@ -109,6 +109,7 @@ SCALE_OPS = [
     "accumulating_snapshot",
     "late_arriving_dim",
     "junk_dimension",
+    "drill_across",
     "embedding_gram_matrix",
     "rrf_hybrid_search",
     "passage_overlap",
@@ -164,6 +165,8 @@ STATS = [
     "graph_clustering_coeff",
     "impute_group_median",
     "interpolate_linear",
+    "winsorized_stats",
+    "mann_whitney_u",
 ]
 
 

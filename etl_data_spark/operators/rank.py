@@ -67,6 +67,13 @@ def global_running_sum(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     keys = [F.col(c) for c in order_cols]
+    # localCheckpoint PINS the range exchange: Spark 4's RangePartitioner
+    # draws a fresh sampling seed per job, so re-executing this subplan in
+    # the offsets branch can produce DIFFERENT partition boundaries than
+    # the data branch saw (observed: per-trial boundary drift, offsets
+    # joined onto the wrong _PIDs, running sums exceeding the total).
+    # ReusedExchange hides this for some plan shapes but is not guaranteed
+    # — the checkpoint makes both branches read one concrete RDD.
     parts = (
         df.repartitionByRange(num_partitions, *keys)
         .withColumn(_MID, F.monotonically_increasing_id())
@@ -74,6 +81,7 @@ def global_running_sum(
             _PID, F.shiftrightunsigned(F.col(_MID), _OFFSET_BITS).cast("int")
         )
         .drop(_MID)
+        .localCheckpoint(eager=True)
     )
     local = parts.withColumn(
         "__gr_local_sum",
@@ -116,6 +124,10 @@ def global_row_number(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     keys = [F.col(c) for c in order_cols]
+    # localCheckpoint pins the range exchange — same rationale as
+    # global_running_sum: per-job sampling-seed drift in the range
+    # partitioner must not let the counts branch see different partition
+    # boundaries than the rank branch.
     parts = (
         df.repartitionByRange(num_partitions, *keys)
         .sortWithinPartitions(*keys)
@@ -123,6 +135,7 @@ def global_row_number(
         .withColumn(
             _PID, F.shiftrightunsigned(F.col(_MID), _OFFSET_BITS).cast("int")
         )
+        .localCheckpoint(eager=True)
     )
     # #partitions rows -> cumulative offset of every earlier partition.
     # The window here is over the tiny counts frame (bounded by

@@ -592,3 +592,93 @@ def q_junk_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("junk_key", "o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_facts"))
     )
+
+
+@register(
+    "drill_across",
+    """
+    WITH a AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month, n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS order_value
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS month, n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS shipped_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT COALESCE(a.month, b.month) AS month,
+           COALESCE(a.nation, b.nation) AS nation,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(a.order_value, 0.0) + 0.0 AS order_value,
+           COALESCE(b.n_lines, 0) AS n_lines,
+           COALESCE(b.shipped_value, 0.0) + 0.0 AS shipped_value
+    FROM a FULL JOIN b ON b.month = a.month AND b.nation = a.nation
+    """,
+    doc="Drill-across report: two separately-grained fact processes "
+    "(orders by customer nation; shipments by supplier nation) each "
+    "aggregated to the CONFORMED (month, nation) grain, then merged "
+    "with a full outer join — the Kimball integration pattern that "
+    "never joins fact-to-fact at row grain (which would explode). Each "
+    "branch is its own partial-agg star join with broadcast dims; the "
+    "final join touches only the two small aggregate frames. Decimal "
+    "sums keep both engines bit-identical.",
+)
+def q_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+
+    a = (
+        o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("order_value"),
+        )
+    )
+    b = (
+        li.join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("month"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("shipped_value"),
+        )
+    )
+    j = a.join(b, ["month", "nation"], "full")
+    return j.select(
+        "month",
+        "nation",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        (F.coalesce("order_value", F.lit(0.0)) + F.lit(0.0)).alias(
+            "order_value"
+        ),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        (F.coalesce("shipped_value", F.lit(0.0)) + F.lit(0.0)).alias(
+            "shipped_value"
+        ),
+    )

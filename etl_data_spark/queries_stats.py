@@ -2709,3 +2709,161 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(filled, 6) + F.lit(0.0)).alias("value_filled"),
         F.col("v").isNull().alias("was_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust aggregation: winsorized/trimmed stats, rank-sum test
+# --------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_stats",
+    """
+    WITH b AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders),
+    p AS (
+      -- round in DOUBLE first: a direct double->decimal cast resolves
+      -- .xx5 interpolation boundaries by different half-rules in the two
+      -- engines; ROUND(,2) leaves no boundary for the cast to decide
+      SELECT CAST(ROUND(quantile_cont(CAST(x AS DOUBLE), 0.05), 2)
+                  AS DECIMAL(18,2)) AS p05,
+             CAST(ROUND(quantile_cont(CAST(x AS DOUBLE), 0.95), 2)
+                  AS DECIMAL(18,2)) AS p95
+      FROM b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CASE WHEN x < p.p05 THEN p.p05
+                               WHEN x > p.p95 THEN p.p95
+                               ELSE x END) AS DOUBLE) / COUNT(*), 6) + 0.0
+             AS winsorized_mean,
+           ROUND(CAST(SUM(CASE WHEN x >= p.p05 AND x <= p.p95 THEN x END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN x >= p.p05 AND x <= p.p95 THEN 1 ELSE 0 END),
+                 6) + 0.0 AS trimmed_mean,
+           CAST(SUM(CASE WHEN x < p.p05 OR x > p.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped
+    FROM b CROSS JOIN p
+    """,
+    doc="Robust location estimates: winsorized mean (outliers clipped to "
+    "the exact p5/p95) and 90% trimmed mean (outliers dropped), plus the "
+    "clip count. The percentile pair is a 2-value broadcast; clipped "
+    "values stay DECIMAL through the sum so the aggregate is fold-order "
+    "exact, with doubles only in the final division — the robust "
+    "reporting pair for skewed revenue-like measures where a plain mean "
+    "follows the tail.",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    b = o.select(x.alias("x"))
+    p = b.agg(
+        F.round(F.percentile(F.col("x").cast("double"), F.lit(0.05)), 2)
+        .cast("decimal(18,2)")
+        .alias("p05"),
+        F.round(F.percentile(F.col("x").cast("double"), F.lit(0.95)), 2)
+        .cast("decimal(18,2)")
+        .alias("p95"),
+    )
+    j = b.crossJoin(F.broadcast(p))
+    clipped = (
+        F.when(F.col("x") < F.col("p05"), F.col("p05"))
+        .when(F.col("x") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("x"))
+    )
+    inside = (F.col("x") >= F.col("p05")) & (F.col("x") <= F.col("p95"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.round(F.sum(clipped).cast("double") / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("winsorized_mean"),
+        (
+            F.round(
+                F.sum(F.when(inside, F.col("x"))).cast("double")
+                / F.sum(F.when(inside, 1).otherwise(0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("trimmed_mean"),
+        F.sum(F.when(~inside, 1).otherwise(0)).alias("n_clipped"),
+    )
+
+
+@register(
+    "mann_whitney_u",
+    """
+    WITH b AS (
+      SELECT o_totalprice AS x, o_orderstatus = 'F' AS is_f
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    v AS (
+      SELECT x,
+             CAST(SUM(CASE WHEN is_f THEN 1 ELSE 0 END) AS BIGINT) AS cf,
+             CAST(SUM(CASE WHEN is_f THEN 0 ELSE 1 END) AS BIGINT) AS co
+      FROM b GROUP BY x
+    ),
+    r AS (
+      SELECT x, cf, co,
+             COALESCE(SUM(co) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS co_below
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(SUM(cf) AS BIGINT) AS n1,
+             CAST(SUM(co) AS BIGINT) AS n2,
+             CAST(SUM(cf * (2 * co_below + co)) AS BIGINT) AS u2x
+      FROM r
+    )
+    SELECT n1, n2,
+           ROUND(u2x / 2.0, 1) + 0.0 AS u_stat,
+           ROUND((u2x / 2.0 - n1 * n2 / 2.0)
+                 / SQRT(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) + 0.0
+             AS z_approx
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test (finished vs open orders by total "
+    "price) — the distribution-free counterpart to welch_t_test. "
+    "Computed WITHOUT ranking rows: U = sum over distinct values of "
+    "cf*(co_below + co/2), i.e. pair counting with half-credit ties, "
+    "which needs only a per-value count reduce and a prefix sum over "
+    "the value domain (operators/rank.py machinery on the engine side) "
+    "— exact integers doubled to avoid fractions until emit. The "
+    "normal z approximation is emitted alongside (no tie correction; "
+    "ties are a measure-zero artifact for continuous prices).",
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.rank import global_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+    )
+    v = b.groupBy("x").agg(
+        F.sum(F.when(F.col("is_f"), 1).otherwise(0)).alias("cf"),
+        F.sum(F.when(F.col("is_f"), 0).otherwise(1)).alias("co"),
+    )
+    r = global_running_sum(v, ["x"], "co", out_col="co_incl")
+    # running sum is inclusive; the strict-below count subtracts own co
+    r = r.withColumn("co_below", F.col("co_incl") - F.col("co"))
+    s = r.agg(
+        F.sum("cf").alias("n1"),
+        F.sum("co").alias("n2"),
+        F.sum(F.col("cf") * (2 * F.col("co_below") + F.col("co"))).alias(
+            "u2x"
+        ),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    return s.select(
+        "n1",
+        "n2",
+        (F.round(F.col("u2x") / 2.0, 1) + F.lit(0.0)).alias("u_stat"),
+        (
+            F.round(
+                (F.col("u2x") / 2.0 - n1 * n2 / 2.0)
+                / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z_approx"),
+    )
