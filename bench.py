@@ -167,6 +167,9 @@ STATS = [
     "interpolate_linear",
     "winsorized_stats",
     "mann_whitney_u",
+    "lag_features",
+    "k_anonymity",
+    "seasonal_decompose",
 ]
 
 

@@ -2867,3 +2867,154 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("z_approx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature engineering: lag features; governance: k-anonymity
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lag_features",
+    """
+    SELECT event_id, user_id,
+           ROUND(value, 6) AS v,
+           ROUND(LAG(value, 1) OVER w, 6) AS v_lag1,
+           ROUND(LAG(value, 2) OVER w, 6) AS v_lag2,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS v_ma3,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Per-series lag features (lag1/lag2, 3-event trailing mean, "
+    "sequence index) — the feature-engineering pass every sequential "
+    "model consumes. One shuffle on the series key; per-user frames are "
+    "bounded. The trailing mean averages at most 3 doubles in a fixed "
+    "order (ROWS frame over a deterministic (ts, event_id) sort), so "
+    "6dp rounding is stable across engines.",
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ma = w.rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("v"),
+        F.round(F.lag("value", 1).over(w), 6).alias("v_lag1"),
+        F.round(F.lag("value", 2).over(w), 6).alias("v_lag2"),
+        F.round(F.avg("value").over(ma), 6).alias("v_ma3"),
+        F.row_number().over(w).cast("long").alias("seq_n"),
+    )
+
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM orders
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < {_KANON_K}
+    """,
+    doc="k-anonymity screen (k=5) over the quasi-identifier tuple "
+    "(status, priority, order month): groups smaller than k are "
+    "re-identification risks a privacy-preserving release must suppress "
+    "or generalize. One partial-agg groupBy + HAVING — the governance "
+    "twin of the DQ duplicate detector, and the pre-release check for "
+    "any training-data export containing quasi-identifiers.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < _KANON_K)
+    )
+
+
+@register(
+    "seasonal_decompose",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT day, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS d7,
+             CAST(COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7,
+             ((CAST(day - DATE '2024-01-01' AS INT) % 7) + 7) % 7 AS dow
+      FROM d
+    ),
+    full7 AS (SELECT * FROM t WHERE n7 = 7),
+    eff AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(7 * cnt - d7) AS BIGINT) AS s
+      FROM full7 GROUP BY dow
+    )
+    SELECT f.day, f.cnt,
+           ROUND(f.d7 / 7.0, 6) + 0.0 AS trend,
+           ROUND(e.s / (7.0 * e.k), 6) + 0.0 AS dow_effect,
+           ROUND(f.cnt - f.d7 / 7.0 - e.s / (7.0 * e.k), 6) + 0.0
+             AS residual
+    FROM full7 f JOIN eff e USING (dow)
+    """,
+    doc="Classical additive decomposition of the daily event series: "
+    "trend = 7-day centered moving average, day-of-week effect = mean "
+    "detrended value per dow, residual = remainder — the pre-model "
+    "diagnostic separating growth from weekly rhythm from noise. "
+    "Integer-exact throughout: the detrended values are kept as "
+    "7*cnt - sum7 (bigint) so every aggregate is fold-order-free, with "
+    "doubles only in the final /7 formulas. Windows run over the DAY "
+    "domain (one row per day — thousands of rows for years of data), "
+    "never over raw events.",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w7).alias("d7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")), 7
+        ).alias("dow"),
+    ).filter(F.col("n7") == 7).persist()
+    eff = t.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(7 * F.col("cnt") - F.col("d7")).alias("s"),
+    )
+    j = t.join(F.broadcast(eff), "dow")
+    trend = F.col("d7") / 7.0
+    dow_eff = F.col("s") / (7.0 * F.col("k"))
+    return j.select(
+        "day",
+        "cnt",
+        (F.round(trend, 6) + F.lit(0.0)).alias("trend"),
+        (F.round(dow_eff, 6) + F.lit(0.0)).alias("dow_effect"),
+        (F.round(F.col("cnt") - trend - dow_eff, 6) + F.lit(0.0)).alias(
+            "residual"
+        ),
+    )
