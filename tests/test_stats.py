@@ -316,3 +316,37 @@ def test_rolling_stats_single_user_shuffle(spark):
 def test_strict_funnel_monotone(spark):
     r = q(spark, "funnel_strict_sequence").first()
     assert r.n_click >= r.n_then_view >= r.n_then_purchase >= 0
+
+
+def test_running_sum_consistent_across_reexecution(spark):
+    """Regression for the range-sampling drift bug: the offsets branch
+    must see the SAME partitioning as the data branch, so the inclusive
+    running sum ends exactly at the column total and equals the
+    single-partition window reference on every trial."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.operators.rank import global_running_sum
+
+    rows = [(float((i * 2654435761) % 9973) / 7.0, (i * 31) % 5 + 1)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, ["x", "w"])
+    # x has duplicates; pin a total order for both constructions
+    df = df.withColumn("rid", F.monotonically_increasing_id())
+    ref = {
+        (r["x"], r["rid"]): r["run"]
+        for r in df.withColumn(
+            "run", F.sum("w").over(W.orderBy("x", "rid").rowsBetween(
+                W.unboundedPreceding, 0))
+        ).collect()
+    }
+    total = sum(w for _, w in rows)
+    for _ in range(3):
+        got = {
+            (r["x"], r["rid"]): r["run"]
+            for r in global_running_sum(
+                df, ["x", "rid"], "w", out_col="run"
+            ).collect()
+        }
+        assert max(got.values()) == total
+        assert got == ref
