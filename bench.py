@@ -170,6 +170,7 @@ STATS = [
     "lag_features",
     "k_anonymity",
     "seasonal_decompose",
+    "ab_test_lift",
 ]
 
 

@@ -3018,3 +3018,80 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+@register(
+    "ab_test_lift",
+    """
+    WITH b AS (
+      SELECT event_id % 2 = 0 AS in_treatment,
+             CAST(value AS DECIMAL(12,2)) AS d
+      FROM events
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN in_treatment THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN in_treatment THEN d END) AS DOUBLE) AS s1,
+        CAST(SUM(CASE WHEN in_treatment THEN d * d END) AS DOUBLE) AS q1,
+        CAST(SUM(CASE WHEN in_treatment THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN in_treatment THEN NULL ELSE d END) AS DOUBLE) AS s2,
+        CAST(SUM(CASE WHEN in_treatment THEN NULL ELSE d * d END) AS DOUBLE) AS q2
+      FROM b
+    ),
+    m AS (
+      SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+             SQRT((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                  + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) AS se
+      FROM s
+    )
+    SELECT n1 AS n_treatment, n2 AS n_control,
+           ROUND(m1 - m2, 6) + 0.0 AS lift_abs,
+           ROUND((m1 - m2) / m2 * 100.0, 4) + 0.0 AS lift_pct,
+           ROUND(m1 - m2 - 1.959963984540054 * se, 6) + 0.0 AS ci_lo,
+           ROUND(m1 - m2 + 1.959963984540054 * se, 6) + 0.0 AS ci_hi
+    FROM m
+    """,
+    doc="A/B experiment readout: absolute and percent lift of the "
+    "treatment mean with a 95% normal confidence interval, from ONE "
+    "scan of conditional exact decimal moment sums (the welch_t_test "
+    "machinery re-expressed as the decision-facing report). Assignment "
+    "here is the deterministic event_id parity so both engines see "
+    "identical groups; in production it is the hash_sample bucketing. "
+    "The z constant is written to full double precision so the "
+    "expression is bit-identical cross-engine.",
+)
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(12,2)")
+    t = F.col("event_id") % 2 == 0
+    b = e.select(t.alias("in_treatment"), d.alias("d"))
+    ist = F.col("in_treatment")
+    s = b.agg(
+        F.sum(F.when(ist, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(ist, F.col("d"))).cast("double").alias("s1"),
+        F.sum(F.when(ist, F.col("d") * F.col("d"))).cast("double").alias("q1"),
+        F.sum(F.when(ist, 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(~ist, F.col("d"))).cast("double").alias("s2"),
+        F.sum(F.when(~ist, F.col("d") * F.col("d"))).cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m = s.select(
+        n1,
+        n2,
+        (F.col("s1") / n1).alias("m1"),
+        (F.col("s2") / n2).alias("m2"),
+        F.sqrt(
+            (F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1) / n1
+            + (F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1) / n2
+        ).alias("se"),
+    )
+    z = 1.959963984540054
+    diff = F.col("m1") - F.col("m2")
+    return m.select(
+        F.col("n1").alias("n_treatment"),
+        F.col("n2").alias("n_control"),
+        (F.round(diff, 6) + F.lit(0.0)).alias("lift_abs"),
+        (F.round(diff / F.col("m2") * 100.0, 4) + F.lit(0.0)).alias("lift_pct"),
+        (F.round(diff - z * F.col("se"), 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(diff + z * F.col("se"), 6) + F.lit(0.0)).alias("ci_hi"),
+    )
