@@ -29,8 +29,9 @@ k-anonymity, seasonal decomposition, the A/B lift readout) are next
 round's rotation. All entries remain
 pytest-oracle-checked locally every round regardless of position
 (tests/test_queries_oracle.py enumerates REGISTRY), and the full
-registry was driver-simulated green at sf0.01 six times this round
-(vanilla session, .claude/skills/verify recipe).
+registry was driver-simulated green at sf0.01 repeatedly this round
+(vanilla session, .claude/skills/verify recipe — most recently over the
+full ~190-oracle surface after the rank-machinery determinism fix).
 """
 
 from __future__ import annotations

@@ -49,6 +49,11 @@ PICK = [
     "weighted_median",
     "doc_chunking",
     "chi_square_independence",
+    # round 3 fourth wave: temporal correctness, Kimball, feature prep
+    "pit_scd2_join",
+    "target_encoding",
+    "drill_across",
+    "mann_whitney_u",
 ]
 
 
