@@ -171,6 +171,8 @@ STATS = [
     "k_anonymity",
     "seasonal_decompose",
     "ab_test_lift",
+    "ewma_level",
+    "survival_km",
 ]
 
 

@@ -3095,3 +3095,206 @@ def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(diff - z * F.col("se"), 6) + F.lit(0.0)).alias("ci_lo"),
         (F.round(diff + z * F.col("se"), 6) + F.lit(0.0)).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast smoothing + survival analysis
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "ewma_level",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             list_transform(list(cnt ORDER BY day), x -> CAST(x AS DOUBLE))
+               AS v
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(v) AS BIGINT) AS n_days,
+           v[len(v)] AS last_cnt,
+           ROUND(list_reduce(v,
+             (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc), 6)
+             + 0.0 AS ewma_level
+    FROM s
+    """,
+    doc="Exponentially-weighted level per event type (alpha=0.3) — the "
+    "one-step-ahead smoothing forecast. The recursion l_t = a*c_t + "
+    "(1-a)*l_(t-1) is a SEQUENTIAL LEFT FOLD, which both engines "
+    "express directly (Spark aggregate() over the day-sorted array, "
+    "DuckDB list_reduce) — identical fold order means identical doubles "
+    "with no rounding exposure before emit. The fold runs over the "
+    "per-type DAY-COUNT array (one element per day — bounded domain), "
+    "never raw events; the reduction to days is the usual partial-agg "
+    "groupBy.",
+)
+def q_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda x: x["cnt"].cast("double"),
+        ).alias("v")
+    )
+    a = _EWMA_ALPHA
+    lvl = F.aggregate(
+        F.expr("slice(v, 2, size(v) - 1)"),
+        F.element_at(F.col("v"), 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1 - a) * acc,
+    )
+    return s.select(
+        "event_type",
+        F.size("v").cast("long").alias("n_days"),
+        F.element_at(F.col("v"), F.size("v")).alias("last_cnt"),
+        (F.round(lvl, 6) + F.lit(0.0)).alias("ewma_level"),
+    )
+
+
+@register(
+    "survival_km",
+    """
+    WITH t0 AS (
+      SELECT user_id, MIN(ts) AS click_ts FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    ev AS (
+      SELECT t0.user_id, t0.click_ts, MIN(e.ts) AS purchase_ts
+      FROM t0 LEFT JOIN events e
+        ON e.user_id = t0.user_id AND e.event_type = 'purchase'
+       AND e.ts >= t0.click_ts
+      GROUP BY t0.user_id, t0.click_ts
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS end_day FROM events),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN purchase_ts IS NOT NULL THEN
+               CAST(CAST(purchase_ts AS DATE) - CAST(click_ts AS DATE) AS INT)
+             ELSE
+               CAST(end_day - CAST(click_ts AS DATE) AS INT)
+             END AS d,
+             purchase_ts IS NOT NULL AS is_event
+      FROM ev CROSS JOIN horizon
+    ),
+    byd AS (
+      SELECT d,
+             CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_leaving
+      FROM dur GROUP BY d
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dur),
+    r AS (
+      SELECT d, n_events,
+             tot.n - COALESCE(SUM(n_leaving) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM byd CROSS JOIN tot
+    )
+    SELECT d AS day_since_click, n_at_risk, n_events,
+           ROUND(CASE WHEN MAX(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0
+                                END) OVER w = 1 THEN 0.0
+                 ELSE EXP(SUM(LN(CASE WHEN n_events < n_at_risk THEN
+                                   1.0 - CAST(n_events AS DOUBLE) / n_at_risk
+                                 ELSE 1.0 END)) OVER w)
+                 END, 6) + 0.0 AS survival
+    FROM r
+    WHERE n_events > 0
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Kaplan-Meier survival curve for time from first click to first "
+    "purchase, users without a purchase right-censored at the "
+    "observation horizon. S(t) = prod(1 - d_i/n_i) computed as "
+    "exp(running sum of ln terms): the cumulative product becomes a "
+    "sequential windowed sum over the DURATION-DAY domain (one row per "
+    "distinct day — bounded), in identical order in both engines, so "
+    "the doubles agree bit-for-bit before the 6dp emit. Per-user "
+    "reductions (first click, first qualifying purchase) are "
+    "partial-agg groupBys; the censoring horizon is a 1-value "
+    "broadcast.",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    t0 = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    ev = (
+        t0.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") >= F.col("click_ts")),
+            "left",
+        )
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+    horizon = e.agg(F.max(F.to_date("ts")).alias("end_day"))
+    dur = ev.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("purchase_ts").isNotNull(),
+            F.datediff(F.to_date("purchase_ts"), F.to_date("click_ts")),
+        )
+        .otherwise(F.datediff(F.col("end_day"), F.to_date("click_ts")))
+        .cast("int")
+        .alias("d"),
+        F.col("purchase_ts").isNotNull().alias("is_event"),
+    )
+    byd = dur.groupBy("d").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("n_events"),
+        F.count(F.lit(1)).alias("n_leaving"),
+    )
+    tot = dur.agg(F.count(F.lit(1)).alias("n"))
+    wprev = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    r = byd.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        F.col("n") - F.coalesce(F.sum("n_leaving").over(wprev), F.lit(0)),
+    )
+    wrun = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    # a duration where everyone still at risk converts has factor 0 —
+    # ln would blow up; flag it and pin survival to exactly 0.0 from
+    # that point on (the guarded terms contribute ln(1)=0)
+    factor_ok = F.col("n_events") < F.col("n_at_risk")
+    zero_seen = (
+        F.max(F.when(~factor_ok, 1).otherwise(0)).over(wrun) == 1
+    )
+    surv = F.when(zero_seen, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.log(
+                    F.when(
+                        factor_ok,
+                        1.0
+                        - F.col("n_events").cast("double")
+                        / F.col("n_at_risk"),
+                    ).otherwise(F.lit(1.0))
+                )
+            ).over(wrun)
+        )
+    )
+    return (
+        r.withColumn("survival", F.round(surv, 6) + F.lit(0.0))
+        .filter(F.col("n_events") > 0)
+        .select(
+            F.col("d").alias("day_since_click"),
+            "n_at_risk",
+            "n_events",
+            "survival",
+        )
+    )
