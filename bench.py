@@ -173,6 +173,7 @@ STATS = [
     "ab_test_lift",
     "ewma_level",
     "survival_km",
+    "cohort_ltv",
 ]
 
 

@@ -3298,3 +3298,86 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+@register(
+    "cohort_ltv",
+    """
+    WITH first_o AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort_month,
+             CAST((EXTRACT(YEAR FROM o.o_orderdate)
+                   - EXTRACT(YEAR FROM f.cohort_month)) * 12
+                  + (EXTRACT(MONTH FROM o.o_orderdate)
+                     - EXTRACT(MONTH FROM f.cohort_month)) AS INT)
+               AS month_offset,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    sz AS (
+      SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_n
+      FROM first_o GROUP BY cohort_month
+    )
+    SELECT r.cohort_month, r.month_offset, sz.cohort_n,
+           CAST(SUM(r.revenue) OVER (PARTITION BY r.cohort_month
+             ORDER BY r.month_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             + 0.0 AS cum_revenue,
+           ROUND(CAST(SUM(r.revenue) OVER (PARTITION BY r.cohort_month
+             ORDER BY r.month_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / sz.cohort_n, 6) + 0.0 AS ltv_per_customer
+    FROM rev r JOIN sz USING (cohort_month)
+    """,
+    doc="Customer-lifetime-value curves: customers are grouped into "
+    "cohorts by first-order month, and each cohort's cumulative revenue "
+    "per customer is tracked by month offset — the standard LTV payback "
+    "readout. Per-(cohort, offset) revenue is an exact decimal "
+    "reduction; the cumulative window then runs over the tiny "
+    "(cohort x offset) frame, so the running sum is decimal-exact and "
+    "cast to double only at emit. Cohort assignment is a per-customer "
+    "MIN reduce joined back broadcast-style.",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    first_o = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = o.join(first_o, "o_custkey")
+    offset = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    ).cast("int")
+    rev = j.groupBy(
+        "cohort_month", offset.alias("month_offset")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    sz = first_o.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = rev.join(F.broadcast(sz), "cohort_month").withColumn(
+        "cum_revenue", F.sum("revenue").over(w).cast("double") + F.lit(0.0)
+    )
+    return out.select(
+        "cohort_month",
+        "month_offset",
+        "cohort_n",
+        "cum_revenue",
+        (
+            F.round(F.col("cum_revenue") / F.col("cohort_n"), 6) + F.lit(0.0)
+        ).alias("ltv_per_customer"),
+    )
