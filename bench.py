@@ -174,6 +174,19 @@ STATS = [
     "ewma_level",
     "survival_km",
     "cohort_ltv",
+    "roc_auc",
+    "pr_curve_points",
+    "calibration_bins",
+    "link_predict_scores",
+    "item_item_cosine",
+    "collocation_pmi",
+    "bpe_pair_merge_counts",
+    "zipf_slope",
+    "cusum_changepoint",
+    "shard_token_budget",
+    "attribution_linear",
+    "l_diversity",
+    "pareto_front",
 ]
 
 

@@ -26,7 +26,12 @@ encoding, feature hashing, the PSI drift screen, the point-in-time SCD2
 join, clustering coefficients, the Kimball-pattern trio, the imputation
 pair, winsorized stats, Mann-Whitney U, drill-across, lag features,
 k-anonymity, seasonal decomposition, the A/B lift readout, EWMA,
-Kaplan-Meier survival, cohort LTV) are next round's rotation. All entries remain
+Kaplan-Meier survival, cohort LTV, and the post-restart continuation
+families: model evaluation (ROC-AUC, PR curve, calibration), link
+prediction, item-item CF, corpus lexical stats (PMI collocations, BPE
+pair counts, Zipf slope), CUSUM changepoint, token-budget sharding,
+linear attribution, l-diversity, the Pareto front) are next round's
+rotation. All entries remain
 pytest-oracle-checked locally every round regardless of position
 (tests/test_queries_oracle.py enumerates REGISTRY), and the full
 registry was driver-simulated green at sf0.01 repeatedly this round

@@ -524,3 +524,314 @@ def q_corpus_curate_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = D.connected_components(pairs)
     survivors = D.dedup_survivors(eligible, clusters, "doc_id")
     return C.with_split(survivors, "doc_id").select("doc_id", "quality", "split")
+
+
+# --------------------------------------------------------------------------
+# Corpus lexical statistics (round 3 continuation): collocations, the
+# BPE pair-count step, Zipf's-law fit. All three reduce the corpus to
+# its VOCABULARY / n-gram domain with one partial-agg explode+groupBy —
+# the only shuffles carry (token, count) pairs, never documents.
+# --------------------------------------------------------------------------
+
+_DUCK_TOKENS = """
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents WHERE length(trim(text)) > 0
+"""
+
+
+@register(
+    "collocation_pmi",
+    f"""
+    WITH uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ({_DUCK_TOKENS}) GROUP BY w
+    ),
+    bi AS (
+      SELECT ngram, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM (
+        SELECT unnest({_DUCK_NGRAMS[2]}) AS ngram
+        FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents)
+      ) GROUP BY ngram
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS nu,
+             (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bi) AS nb
+    )
+    SELECT b.ngram AS bigram, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+           ROUND(LN((CAST(b.c_ab AS DOUBLE) * tot.nu * tot.nu)
+                    / (CAST(tot.nb AS DOUBLE) * ua.c * ub.c)), 6) + 0.0
+             AS pmi
+    FROM bi b
+    JOIN uni ua ON ua.w = string_split(b.ngram, ' ')[1]
+    JOIN uni ub ON ub.w = string_split(b.ngram, ' ')[2]
+    CROSS JOIN tot
+    WHERE b.c_ab >= 5
+    ORDER BY pmi DESC, bigram LIMIT 30
+    """,
+    doc="Top-30 collocations by pointwise mutual information, min support "
+    "5: PMI = ln(c_ab*Nu^2 / (Nb*c_a*c_b)). The log argument is an "
+    "exact integer ratio evaluated with identical parenthesization in "
+    "both engines, so the double is bit-identical before the one LN. "
+    "Scale: two explode+partial-agg reductions to the bigram/vocab "
+    "domains, then vocabulary-keyed equi-joins (bigram -> its two word "
+    "counts) and a broadcast scalar for the totals; documents are never "
+    "shuffled.",
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nonempty = d.filter(F.length(F.trim("text")) > 0)
+    # uni feeds three consumers (ua, ub, nu) and bi_all two (bi, nb):
+    # persist both aggregates or every branch re-runs its explode over
+    # the corpus (SCALE.md branch-recompute rule; measured 5.8s -> ~2s
+    # at sf0.1)
+    uni = (
+        nonempty.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    from etl_data_spark.operators.corpus import _ngram_array
+
+    bi_all = (
+        d.select(F.explode(_ngram_array("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .persist()
+    )
+    bi = bi_all.filter(F.col("c_ab") >= 5)
+    nu = uni.agg(F.sum("c").alias("nu"))
+    # nb must count ALL bigram occurrences (pre-support-filter)
+    nb = bi_all.agg(F.sum("c_ab").alias("nb"))
+    totals = F.broadcast(nu.crossJoin(nb))
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    parts = F.split("bigram", " ")
+    out = (
+        bi.withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(totals)
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.round(
+                    F.log(
+                        (
+                            F.col("c_ab").cast("double")
+                            * F.col("nu")
+                            * F.col("nu")
+                        )
+                        / (
+                            F.col("nb").cast("double")
+                            * F.col("c_a")
+                            * F.col("c_b")
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), "bigram").limit(30)
+
+
+@register(
+    "bpe_pair_merge_counts",
+    f"""
+    WITH vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({_DUCK_TOKENS}) GROUP BY w
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT unnest(list_transform(range(1, greatest(length(w) - 1, 0) + 1),
+                    i -> substr(w, CAST(i AS INT), 2))) AS pair,
+             n
+      FROM vocab
+    )
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+    doc="The pair-count step of BPE vocabulary induction: adjacent "
+    "character-pair frequencies over the corpus, weighted by word "
+    "occurrence count — the argmax pair is the first BPE merge. The "
+    "corpus first reduces to its vocabulary (explode+groupBy, the only "
+    "fact-sized shuffle); pair explosion then runs over DISTINCT words "
+    "(vocab-sized, orders of magnitude smaller than the token stream — "
+    "exactly how production BPE trainers batch it).",
+)
+def q_bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # sequence(1, 0) DESCENDS in Spark ([1, 0]) rather than being empty,
+    # so single-char words must be excluded explicitly
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN"
+                " transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+                " ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
+_ZIPF_K = 1000
+
+
+@register(
+    "zipf_slope",
+    f"""
+    WITH vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({_DUCK_TOKENS}) GROUP BY w
+    ),
+    top AS (
+      SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+      FROM vocab QUALIFY rank <= {_ZIPF_K}
+    ),
+    pts AS (
+      SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 12) AS DECIMAL(20,12)) AS x,
+             CAST(ROUND(LN(CAST(n AS DOUBLE)), 12) AS DECIMAL(20,12)) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sx2,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT k AS n_points,
+           ROUND((k * sxy - sx * sy) / (k * sx2 - sx * sx), 6) + 0.0
+             AS zipf_slope,
+           ROUND((sy - ((k * sxy - sx * sy) / (k * sx2 - sx * sx)) * sx) / k,
+                 6) + 0.0 AS intercept
+    FROM s
+    """,
+    doc="Zipf's-law exponent estimate: least-squares slope of ln(freq) vs "
+    "ln(rank) over the top-1000 vocabulary (a healthy natural corpus "
+    "fits ~-1; corpus corruption shows up as curvature/slope drift, so "
+    "this is a one-number corpus-health probe). Ranks come from "
+    "top-k-then-rank (TakeOrderedAndProject, no global window over the "
+    "vocabulary); each ln is rounded to 12dp and summed as DECIMAL so "
+    "the regression sums are fold-order-exact.",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = vocab.orderBy(F.desc("n"), "w").limit(_ZIPF_K)
+    ranked = topk.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "w"))
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 12)
+        .cast("decimal(20,12)")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 12)
+        .cast("decimal(20,12)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").alias("n_points"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )
+
+
+_SHARD_BUDGET = 20_000  # chars per output shard
+
+
+@register(
+    "shard_token_budget",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM h
+    )
+    SELECT (running - n_chars) // {_SHARD_BUDGET} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+    FROM r GROUP BY 1 ORDER BY shard_id
+    """,
+    doc="Deterministic training-shard assignment under a size budget: "
+    "documents are shuffled by md5(doc_id) (reproducible at any "
+    "partition count — no RNG), then packed greedily so each shard "
+    "starts at a fixed cumulative-size offset (shard = floor(offset/"
+    f"{_SHARD_BUDGET})). The cumulative offset is operators/rank."
+    "global_running_sum — range-partition on the hash key, fold within "
+    "partitions, broadcast per-partition totals — NOT a single-task "
+    "global window, so the packing scales to corpus size. Integer "
+    "sizes make the running sum fold-order-exact.",
+)
+def q_shard_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.rank import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    r = global_running_sum(
+        h, order_cols=["hk", "doc_id"], val_col="n_chars", out_col="running"
+    )
+    return (
+        r.groupBy(
+            F.expr(f"(running - n_chars) div {_SHARD_BUDGET}").alias(
+                "shard_id"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+        )
+        .orderBy("shard_id")
+    )

@@ -3381,3 +3381,688 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum_revenue") / F.col("cohort_n"), 6) + F.lit(0.0)
         ).alias("ltv_per_customer"),
     )
+
+
+# --------------------------------------------------------------------------
+# Model-evaluation family (round 3 continuation): ROC-AUC, PR curve,
+# calibration. A 100 TB training pipeline ends in an eval job over the
+# scored holdout — these are the three readouts every such job computes.
+# The recurring scale shape: reduce (label, score) facts to the SCORE
+# DOMAIN first (a few hundred buckets regardless of fact rows — one
+# partial-agg groupBy), then run the cumulative machinery as windows over
+# that tiny domain frame. All counts stay integer until the final
+# division, so the distributed fold order cannot perturb the hash.
+# --------------------------------------------------------------------------
+
+# "Model" under evaluation (deterministic, self-contained): predict
+# whether an order is fulfilled (o_orderstatus = 'F') from its age —
+# score = the order's week index since 1992-01-01. Older orders are
+# far likelier fulfilled, so the AUC is genuinely informative (~high),
+# and the label/score derivation is identical SQL in both engines.
+_EVAL_SCORE_SQL = (
+    "CAST(DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) "
+    "AS BIGINT) // 7"
+)
+
+
+def _eval_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, score, pos, neg) — the score-domain reduction."""
+    o = load_table(spark, sf_dir, "orders")
+    # integer division: BIGINT/7 truncates identically in both engines
+    score = (
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")) / 7
+        )
+    ).cast("long")
+    lab = (F.col("o_orderstatus") == "F").cast("long")
+    return (
+        o.select(
+            "o_orderpriority", score.alias("score"), lab.alias("lab")
+        )
+        .groupBy("o_orderpriority", "score")
+        .agg(
+            F.sum("lab").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("lab")).alias("neg"),
+        )
+    )
+
+
+@register(
+    "roc_auc",
+    f"""
+    WITH b AS (
+      SELECT o_orderpriority, {_EVAL_SCORE_SQL} AS score,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS neg
+      FROM orders GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT o_orderpriority, pos, neg,
+             COALESCE(SUM(neg) OVER (PARTITION BY o_orderpriority
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg_below
+      FROM b
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(pos) AS BIGINT) AS pos_n,
+           CAST(SUM(neg) AS BIGINT) AS neg_n,
+           ROUND(CAST(SUM(pos * (2 * cum_neg_below + neg)) AS DOUBLE)
+                 / (2.0 * SUM(pos) * SUM(neg)), 6) + 0.0 AS auc
+    FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Per-priority ROC-AUC of the age-score fulfillment model, via the "
+    "Mann-Whitney identity with exact half-credit for score ties: "
+    "AUC = sum_g pos_g*(2*cum_neg_below + neg_g) / (2*P*N) over score "
+    "groups. Everything is bigint until the one final division. Scale: "
+    "one partial-agg groupBy to the (priority, week) domain (~1.7k rows "
+    "at ANY fact scale), windows + final agg over that domain only — the "
+    "fact table is scanned once and never shuffled raw.",
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    b = _eval_base(spark, sf_dir)
+    wprev = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = b.withColumn(
+        "cum_neg_below",
+        F.coalesce(F.sum("neg").over(wprev), F.lit(0)),
+    )
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.sum("pos").alias("pos_n"),
+            F.sum("neg").alias("neg_n"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("pos")
+                        * (2 * F.col("cum_neg_below") + F.col("neg"))
+                    ).cast("double")
+                    / (2.0 * F.sum("pos") * F.sum("neg")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("auc"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "pr_curve_points",
+    f"""
+    WITH b AS (
+      SELECT {_EVAL_SCORE_SQL} AS score,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS neg
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT score,
+             SUM(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(neg) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             SUM(pos) OVER () AS p_total
+      FROM b
+    )
+    SELECT score AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) + 0.0 AS precision,
+           ROUND(CAST(tp AS DOUBLE) / p_total, 6) + 0.0 AS recall
+    FROM c ORDER BY threshold
+    """,
+    doc="Precision/recall at every distinct score threshold (predict "
+    "positive when score >= t). The cumulative TP/FP counts are windows "
+    "over the ~350-bucket score domain — the fact scan reduces to that "
+    "domain in one partial-agg groupBy first, so the descending-order "
+    "window never touches raw rows. Counts are exact; the two divisions "
+    "happen at emit.",
+)
+def q_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    score = (
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")) / 7
+        )
+    ).cast("long")
+    lab = (F.col("o_orderstatus") == "F").cast("long")
+    b = (
+        o.select(score.alias("score"), lab.alias("lab"))
+        .groupBy("score")
+        .agg(
+            F.sum("lab").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("lab")).alias("neg"),
+        )
+    )
+    wcum = W.orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = b.select(
+        "score",
+        F.sum("pos").over(wcum).alias("tp"),
+        F.sum("neg").over(wcum).alias("fp"),
+        F.sum("pos").over(W.partitionBy()).alias("p_total"),
+    )
+    return c.select(
+        F.col("score").alias("threshold"),
+        "tp",
+        "fp",
+        (
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6)
+            + F.lit(0.0)
+        ).alias("precision"),
+        (
+            F.round(F.col("tp").cast("double") / F.col("p_total"), 6)
+            + F.lit(0.0)
+        ).alias("recall"),
+    ).orderBy("threshold")
+
+
+@register(
+    "calibration_bins",
+    """
+    WITH b AS (
+      SELECT CAST(DATEDIFF('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+      FROM orders
+    )
+    SELECT LEAST(day_idx * 10 // 2557, 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(day_idx) AS DOUBLE) / (2557.0 * COUNT(*)), 6)
+             + 0.0 AS mean_predicted,
+           ROUND(CAST(SUM(lab) AS DOUBLE) / COUNT(*), 6) + 0.0
+             AS observed_rate
+    FROM b GROUP BY 1 ORDER BY bin
+    """,
+    doc="Reliability diagram for the age-score model: predicted "
+    "probability p_hat = day_idx/2557 (the date-domain width), binned "
+    "into deciles by INTEGER arithmetic (day_idx*10/2557 — no float "
+    "bin-edge ambiguity between engines), vs the observed fulfillment "
+    "rate per bin. mean_predicted is reconstructed from the exact bigint "
+    "SUM(day_idx), so nothing float crosses an aggregation. One "
+    "partial-agg groupBy on a 10-value key; no shuffle of raw facts "
+    "beyond it.",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day_idx = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1992-01-01")
+    ).cast("long")
+    lab = (F.col("o_orderstatus") == "F").cast("long")
+    b = o.select(day_idx.alias("day_idx"), lab.alias("lab"))
+    return (
+        b.groupBy(
+            F.least(
+                F.floor(F.col("day_idx") * 10 / 2557), F.lit(9).cast("long")
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.round(
+                    F.sum("day_idx").cast("double")
+                    / (2557.0 * F.count(F.lit(1))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_predicted"),
+            (
+                F.round(F.sum("lab").cast("double") / F.count(F.lit(1)), 6)
+                + F.lit(0.0)
+            ).alias("observed_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Link prediction / item-item similarity on the co-purchase graph
+# (round 3 continuation). Wedge enumeration through shared neighbors is
+# the same blocked-join discipline as triangle_count: candidates only
+# ever form through a common vertex (join key = the center), never by
+# cross product.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "link_predict_scores",
+    f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    g AS (SELECT p1 AS u, p2 AS v FROM e WHERE n_orders >= 2),
+    adj AS (
+      SELECT u AS z, v AS nbr FROM g
+      UNION ALL
+      SELECT v AS z, u AS nbr FROM g
+    ),
+    deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+    wedge AS (
+      SELECT a.nbr AS a, b.nbr AS b, a.z AS z
+      FROM adj a JOIN adj b ON a.z = b.z AND a.nbr < b.nbr
+    ),
+    sc AS (
+      SELECT w.a, w.b,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             SUM(CAST(ROUND(1.0 / deg.deg, 9) AS DECIMAL(18,9))) AS ra
+      FROM wedge w JOIN deg ON deg.z = w.z
+      GROUP BY w.a, w.b
+    ),
+    cand AS (
+      SELECT * FROM sc
+      WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = sc.a AND g.v = sc.b)
+    )
+    SELECT c.a AS p_a, c.b AS p_b, c.cn,
+           ROUND(CAST(c.cn AS DOUBLE) / (da.deg + db.deg - c.cn), 6) + 0.0
+             AS jaccard,
+           ROUND(CAST(c.ra AS DOUBLE), 6) + 0.0 AS ra_score
+    FROM cand c
+    JOIN deg da ON da.z = c.a
+    JOIN deg db ON db.z = c.b
+    ORDER BY c.cn DESC, ra_score DESC, p_a, p_b LIMIT 30
+    """,
+    doc="Link prediction on the repeat-co-purchase graph: for every "
+    "non-adjacent part pair reachable through a shared neighbor, the "
+    "common-neighbor count, Jaccard coefficient, and "
+    "resource-allocation index (sum 1/deg(z) over shared neighbors z — "
+    "Zhou et al.'s rational cousin of Adamic-Adar, chosen because "
+    "1/deg is a single IEEE division both engines round identically, "
+    "then summed as DECIMAL so fold order cannot perturb it; ln-based "
+    "AA would hang determinism on libm agreement). Scale shape: wedges "
+    "form only through the center-vertex equi-join (fan-out bounded by "
+    "max degree, the triangle_count argument); existing edges are "
+    "removed by an anti-join; deg is a vertex-cardinality dim joined "
+    "broadcast-style.",
+)
+def q_link_predict_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        # consumed by adj (x2), the anti-join arm: persist or the
+        # co-purchase aggregation re-runs per arm (triangle_count lesson)
+        .persist()
+    )
+    adj = g.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionAll(
+        g.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    a = adj.select("z", F.col("nbr").alias("a"))
+    b = adj.select("z", F.col("nbr").alias("b"))
+    wedge = a.join(b, "z").filter(F.col("a") < F.col("b"))
+    sc = (
+        wedge.join(deg, "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(
+                F.round(F.lit(1.0) / F.col("deg"), 9).cast("decimal(18,9)")
+            ).alias("ra"),
+        )
+    )
+    cand = sc.join(
+        g,
+        (sc.a == g.u) & (sc.b == g.v),
+        "left_anti",
+    )
+    da = deg.select(F.col("z").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("z").alias("b"), F.col("deg").alias("deg_b"))
+    out = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("p_a"),
+            F.col("b").alias("p_b"),
+            "cn",
+            (
+                F.round(
+                    F.col("cn").cast("double")
+                    / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+            (F.round(F.col("ra").cast("double"), 6) + F.lit(0.0)).alias(
+                "ra_score"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.desc("cn"), F.desc("ra_score"), "p_a", "p_b"
+    ).limit(30)
+
+
+@register(
+    "item_item_cosine",
+    f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    cnt AS (
+      SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1
+    )
+    SELECT e.p1, e.p2, e.n_orders AS cooc,
+           ROUND(CAST(e.n_orders AS DOUBLE)
+                 / SQRT(CAST(c1.n * c2.n AS DOUBLE)), 6) + 0.0
+             AS cosine_sim
+    FROM e
+    JOIN cnt c1 ON c1.p = e.p1
+    JOIN cnt c2 ON c2.p = e.p2
+    WHERE e.n_orders >= 2
+    ORDER BY cosine_sim DESC, e.p1, e.p2 LIMIT 20
+    """,
+    doc="Item-item collaborative-filtering similarity over binary "
+    "order-basket vectors: cos(i,j) = cooc(i,j)/sqrt(n_i*n_j). The "
+    "numerator is the blocked co-purchase self-join; the per-item "
+    "basket counts are a part-cardinality dim joined broadcast-style "
+    "onto the edge list. Integer counts throughout; one sqrt+division "
+    "at emit. This is the candidate-generation half of an item-based "
+    "recommender — at 100 TB the edge list is the only large "
+    "intermediate and it is bounded by sum over orders of "
+    "(basket size choose 2), not by |items|^2.",
+)
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    cnt = d.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    e = _copurchase_edges(li).filter(F.col("n_orders") >= 2)
+    c1 = cnt.select(F.col("p").alias("p1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("p").alias("p2"), F.col("n").alias("n2"))
+    out = (
+        e.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .select(
+            "p1",
+            "p2",
+            F.col("n_orders").alias("cooc"),
+            (
+                F.round(
+                    F.col("n_orders").cast("double")
+                    / F.sqrt((F.col("n1") * F.col("n2")).cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cosine_sim"),
+        )
+    )
+    return out.orderBy(F.desc("cosine_sim"), "p1", "p2").limit(20)
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH byd AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(rev) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM byd
+    ),
+    c AS (
+      SELECT d,
+             CAST(SUM(rev) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS s_t,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+      FROM byd
+    )
+    SELECT c.d AS day, c.t AS day_rank,
+           ROUND(c.s_t - c.t * tot.total / tot.n, 4) + 0.0 AS cusum
+    FROM c CROSS JOIN tot
+    ORDER BY ABS(ROUND(c.s_t - c.t * tot.total / tot.n, 4)) DESC, c.d
+    LIMIT 10
+    """,
+    doc="CUSUM changepoint screen over daily revenue: cusum_t = S_t - "
+    "t*mean, the classic mean-shift statistic; the top-|cusum| days "
+    "locate the most likely shift point. Daily revenue is an exact "
+    "decimal reduction of the fact table; the running sum and rank are "
+    "windows over the ~2.4k-day domain, and S_t stays decimal-exact "
+    "until the single double expression at emit (identical operand "
+    "order in both engines).",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    byd = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = F.broadcast(
+        byd.agg(
+            F.sum("rev").cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wrun = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    c = byd.select(
+        "d",
+        F.sum("rev").over(wrun).cast("double").alias("s_t"),
+        F.row_number().over(W.orderBy("d")).cast("long").alias("t"),
+    )
+    cusum = F.round(
+        F.col("s_t") - F.col("t") * F.col("total") / F.col("n"), 4
+    )
+    out = c.crossJoin(tot).select(
+        F.col("d").alias("day"),
+        F.col("t").alias("day_rank"),
+        (cusum + F.lit(0.0)).alias("cusum"),
+    )
+    return out.orderBy(F.abs(F.col("cusum")).desc(), "day").limit(10)
+
+
+@register(
+    "attribution_linear",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts,
+             CASE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 4
+               WHEN 0 THEN 'search' WHEN 1 THEN 'social'
+               WHEN 2 THEN 'email' ELSE 'direct' END AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.purchase_id, c.click_id, c.channel
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+       AND epoch_us(p.purchase_ts) - epoch_us(c.click_ts) <= {_ATTR_GAP_US}
+    ),
+    w AS (
+      SELECT purchase_id, click_id, channel,
+             CAST(ROUND(1.0 / (COUNT(*) OVER (PARTITION BY purchase_id)), 9)
+                  AS DECIMAL(18,9)) AS credit
+      FROM j
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(credit) AS DOUBLE), 6) + 0.0 AS attributed
+    FROM w GROUP BY channel ORDER BY channel
+    """,
+    doc="Linear (equal-credit) multi-touch attribution: every same-user "
+    "click in the 7-day look-back shares a purchase's credit equally "
+    "(1/n_touches each), rolled up by channel. Complements "
+    "attribution_first_touch. Per-touch credit is one IEEE division "
+    "rounded to 9dp and summed as DECIMAL, so channel totals are "
+    "fold-order-exact. Scale shape: the same bucketized (user, "
+    "gap-bucket) equi-join as first-touch — never an inequality nested "
+    "loop; the per-purchase touch count is a window over each "
+    "purchase's own candidate group (bounded fan-in), and the rollup "
+    "is a partial agg on a 4-value key.",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("us_p"),
+        F.explode(
+            F.array(
+                F.floor(us / _ATTR_GAP_US) - 1, F.floor(us / _ATTR_GAP_US)
+            )
+        ).alias("__cb"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        us.alias("us_c"),
+        F.floor(us / _ATTR_GAP_US).alias("__cb"),
+        (
+            F.when(
+                F.regexp_extract("props", r"[0-9]+", 0).cast("bigint") % 4
+                == 0,
+                "search",
+            )
+            .when(
+                F.regexp_extract("props", r"[0-9]+", 0).cast("bigint") % 4
+                == 1,
+                "social",
+            )
+            .when(
+                F.regexp_extract("props", r"[0-9]+", 0).cast("bigint") % 4
+                == 2,
+                "email",
+            )
+            .otherwise("direct")
+        ).alias("channel"),
+    )
+    j = (
+        p.join(c, (p["user_id"] == c["c_user"]) & (p["__cb"] == c["__cb"]))
+        .filter(
+            (F.col("us_c") <= F.col("us_p"))
+            & (F.col("us_p") - F.col("us_c") <= _ATTR_GAP_US)
+        )
+        .select("purchase_id", "click_id", "channel")
+    )
+    w = j.withColumn(
+        "credit",
+        F.round(
+            F.lit(1.0)
+            / F.count(F.lit(1)).over(W.partitionBy("purchase_id")),
+            9,
+        ).cast("decimal(18,9)"),
+    )
+    return (
+        w.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            (F.round(F.sum("credit").cast("double"), 6) + F.lit(0.0)).alias(
+                "attributed"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "l_diversity",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT o_custkey % 10) AS BIGINT) AS l_distinct
+    FROM orders
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT o_custkey % 10) < 3 AND COUNT(*) >= {_KANON_K}
+    """,
+    doc="l-diversity screen (l=3) over the same quasi-identifier tuple as "
+    "k_anonymity, with customer-segment (custkey mod 10) as the "
+    "sensitive attribute: groups that pass k-anonymity yet collapse to "
+    "<3 distinct sensitive values still leak the attribute — the "
+    "standard refinement (Machanavajjhala et al.). One partial-agg "
+    "groupBy with a distinct-count; the HAVING prunes at the agg, "
+    "nothing post-joins.",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(F.col("o_custkey") % 10).alias("l_distinct"),
+        )
+        .filter(
+            (F.col("l_distinct") < 3) & (F.col("group_size") >= _KANON_K)
+        )
+    )
+
+
+@register(
+    "pareto_front",
+    """
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+      FROM orders
+    ),
+    daily AS (SELECT d, MAX(o_totalprice) AS day_max FROM o GROUP BY d),
+    runmax AS (
+      SELECT d,
+             MAX(day_max) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM daily
+    )
+    SELECT o.o_orderkey, o.d AS order_date, o.o_totalprice
+    FROM o JOIN runmax USING (d)
+    WHERE runmax.prev_max IS NULL OR o.o_totalprice > runmax.prev_max
+    ORDER BY o.d, o.o_orderkey
+    """,
+    doc="Pareto frontier (skyline) of orders under (earlier date, higher "
+    "value): an order survives iff no strictly-earlier order had >= its "
+    "value. The classic distributed skyline construction: reduce to the "
+    "per-day max (domain-sized), take the running max over the day "
+    "domain shifted by one, broadcast it back onto the fact table, and "
+    "filter — the window never touches raw orders, and the fact scan "
+    "is one pass + one broadcast join.",
+)
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    )
+    daily = o.groupBy("d").agg(F.max("o_totalprice").alias("day_max"))
+    runmax = daily.select(
+        "d",
+        F.max("day_max")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_max"),
+    )
+    return (
+        o.join(F.broadcast(runmax), "d")
+        .filter(
+            F.col("prev_max").isNull()
+            | (F.col("o_totalprice") > F.col("prev_max"))
+        )
+        .select(
+            "o_orderkey", F.col("d").alias("order_date"), "o_totalprice"
+        )
+        .orderBy("order_date", "o_orderkey")
+    )
