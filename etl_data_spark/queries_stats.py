@@ -3574,22 +3574,23 @@ def q_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     "calibration_bins",
     """
     WITH b AS (
-      SELECT CAST(DATEDIFF('day', DATE '1992-01-01',
+      SELECT CAST(DATEDIFF('day', DATE '1995-01-01',
                            CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
       FROM orders
     )
-    SELECT LEAST(day_idx * 10 // 2557, 9) AS bin,
+    SELECT LEAST(day_idx * 10 // 2405, 9) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(day_idx) AS DOUBLE) / (2557.0 * COUNT(*)), 6)
+           ROUND(CAST(SUM(day_idx) AS DOUBLE) / (2405.0 * COUNT(*)), 6)
              + 0.0 AS mean_predicted,
            ROUND(CAST(SUM(lab) AS DOUBLE) / COUNT(*), 6) + 0.0
              AS observed_rate
     FROM b GROUP BY 1 ORDER BY bin
     """,
     doc="Reliability diagram for the age-score model: predicted "
-    "probability p_hat = day_idx/2557 (the date-domain width), binned "
-    "into deciles by INTEGER arithmetic (day_idx*10/2557 — no float "
+    "probability p_hat = day_idx/2405 (the 1995-01-01..2001-08-01 "
+    "date-domain width), binned "
+    "into deciles by INTEGER arithmetic (day_idx*10/2405 — no float "
     "bin-edge ambiguity between engines), vs the observed fulfillment "
     "rate per bin. mean_predicted is reconstructed from the exact bigint "
     "SUM(day_idx), so nothing float crosses an aggregation. One "
@@ -3599,14 +3600,14 @@ def q_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     day_idx = F.datediff(
-        F.to_date("o_orderdate"), F.lit("1992-01-01")
+        F.to_date("o_orderdate"), F.lit("1995-01-01")
     ).cast("long")
     lab = (F.col("o_orderstatus") == "F").cast("long")
     b = o.select(day_idx.alias("day_idx"), lab.alias("lab"))
     return (
         b.groupBy(
             F.least(
-                F.floor(F.col("day_idx") * 10 / 2557), F.lit(9).cast("long")
+                F.floor(F.col("day_idx") * 10 / 2405), F.lit(9).cast("long")
             ).alias("bin")
         )
         .agg(
@@ -3614,7 +3615,7 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.round(
                     F.sum("day_idx").cast("double")
-                    / (2557.0 * F.count(F.lit(1))),
+                    / (2405.0 * F.count(F.lit(1))),
                     6,
                 )
                 + F.lit(0.0)
@@ -3774,11 +3775,22 @@ def q_link_predict_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct (order, part) frame feeds the edge self-join (twice)
+    # AND the per-item counts — persist it or each branch re-scans and
+    # re-deduplicates lineitem
+    d = li.select("l_orderkey", "l_partkey").distinct().persist()
     cnt = d.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    e = _copurchase_edges(li).filter(F.col("n_orders") >= 2)
+    b = d.withColumnRenamed("l_partkey", "p2")
+    e = (
+        d.withColumnRenamed("l_partkey", "p1")
+        .join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
     c1 = cnt.select(F.col("p").alias("p1"), F.col("n").alias("n1"))
     c2 = cnt.select(F.col("p").alias("p2"), F.col("n").alias("n2"))
     out = (

@@ -350,3 +350,129 @@ def test_running_sum_consistent_across_reexecution(spark):
         }
         assert max(got.values()) == total
         assert got == ref
+
+
+# -- model evaluation / link prediction / lexical stats (r3 continuation) ---
+
+
+def test_roc_auc_matches_direct_mann_whitney(spark):
+    rows = q(spark, "roc_auc").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.auc <= 1.0
+        assert r.pos_n > 0 and r.neg_n > 0
+    # cross-check the grouped-domain formula against a direct
+    # tied-rank Mann-Whitney computation on the raw rows
+    import pandas as pd
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderpriority", "o_orderdate", "o_orderstatus"
+    ).toPandas()
+    o["score"] = (
+        (pd.to_datetime(o.o_orderdate) - pd.Timestamp("1992-01-01")).dt.days
+        // 7
+    )
+    o["lab"] = (o.o_orderstatus == "F").astype(int)
+    for r in rows:
+        g = o[o.o_orderpriority == r.o_orderpriority]
+        ranks = g.score.rank(method="average")
+        n_pos, n_neg = g.lab.sum(), (1 - g.lab).sum()
+        u = ranks[g.lab == 1].sum() - n_pos * (n_pos + 1) / 2
+        assert abs(r.auc - round(u / (n_pos * n_neg), 6)) < 1e-6
+
+
+def test_pr_curve_monotone_recall(spark):
+    rows = q(spark, "pr_curve_points").orderBy("threshold").collect()
+    # recall decreases as the threshold rises (fewer predicted positive)
+    recalls = [r.recall for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    assert rows[0].recall == 1.0  # lowest threshold predicts everything
+
+
+def test_calibration_bins_cover_and_bound(spark):
+    rows = q(spark, "calibration_bins").collect()
+    bins = [r.bin for r in rows]
+    assert bins == sorted(bins) and set(bins) <= set(range(10))
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(r.n for r in rows) == n_orders
+    for r in rows:
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.observed_rate <= 1.0
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from etl_data_spark.queries import load_table
+    from etl_data_spark.queries_stats import _copurchase_edges
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = {
+        (r.p1, r.p2)
+        for r in _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .collect()
+    }
+    for r in q(spark, "link_predict_scores").collect():
+        assert (r.p_a, r.p_b) not in edges
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.ra_score > 0.0
+
+
+def test_item_item_cosine_bounds(spark):
+    for r in q(spark, "item_item_cosine").collect():
+        assert 0.0 < r.cosine_sim <= 1.0
+        assert r.p1 < r.p2
+
+
+def test_pareto_front_is_non_dominated(spark):
+    front = q(spark, "pareto_front").collect()
+    assert front, "frontier must be non-empty"
+    # no frontier member is dominated by another frontier member
+    for a in front:
+        for b in front:
+            dominated = (
+                b.order_date < a.order_date
+                and b.o_totalprice >= a.o_totalprice
+            )
+            assert not dominated, (a, b)
+
+
+def test_shard_token_budget_partitions_all_docs(spark):
+    from etl_data_spark.queries import load_table
+
+    rows = q(spark, "shard_token_budget").collect()
+    d = load_table(spark, SF_DIR, "documents")
+    total_docs = d.count()
+    total_chars = d.agg(F.sum("n_chars")).first()[0]
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.shard_chars for r in rows) == total_chars
+    # shards are contiguous ids from 0
+    ids = [r.shard_id for r in rows]
+    assert ids == list(range(len(ids)))
+
+
+def test_attribution_linear_credit_conserved(spark):
+    # total attributed credit across channels == number of attributed
+    # purchases (each purchase hands out exactly 1.0 of credit, up to
+    # 9dp-per-touch rounding)
+    rows = q(spark, "attribution_linear").collect()
+    total_credit = sum(r.attributed for r in rows)
+    n_purchases = (
+        q(spark, "attribution_first_touch").select("purchase_id").distinct().count()
+    )
+    assert abs(total_credit - n_purchases) < 1e-3 * max(n_purchases, 1)
+
+
+def test_zipf_slope_is_negative(spark):
+    r = q(spark, "zipf_slope").first()
+    assert r.zipf_slope < 0.0
+    assert r.n_points > 10
+
+
+def test_eval_queries_reduce_before_windowing(spark):
+    """The window/cumulative machinery must run over the aggregated score
+    domain, not raw orders: a single scan feeding one partial agg."""
+    for name in ["roc_auc", "pr_curve_points", "calibration_bins"]:
+        p = plan(q(spark, name))
+        assert p.count("Scan parquet") == 1, name
+        # partial aggregation present -> map-side reduce before shuffle
+        assert "HashAggregate" in p, name

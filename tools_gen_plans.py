@@ -54,6 +54,15 @@ PICK = [
     "target_encoding",
     "drill_across",
     "mann_whitney_u",
+    # round 3 continuation: model eval, link prediction, lexical stats,
+    # shard packing
+    "roc_auc",
+    "pr_curve_points",
+    "link_predict_scores",
+    "item_item_cosine",
+    "collocation_pmi",
+    "shard_token_budget",
+    "pareto_front",
 ]
 
 
