@@ -187,6 +187,7 @@ STATS = [
     "attribution_linear",
     "l_diversity",
     "pareto_front",
+    "holt_linear",
 ]
 
 

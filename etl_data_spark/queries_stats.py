@@ -4078,3 +4078,97 @@ def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_date", "o_orderkey")
     )
+
+
+_HOLT_A, _HOLT_B = 0.3, 0.2
+
+
+@register(
+    "holt_linear",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             list_transform(list(cnt ORDER BY day), x -> CAST(x AS DOUBLE))
+               AS v
+      FROM d GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, CAST(len(v) AS BIGINT) AS n_days,
+             -- accumulator is a 2-element LIST [l, b]: DuckDB's
+             -- list_reduce mutates STRUCT accumulators field-by-field
+             -- (later field expressions observe earlier fields already
+             -- overwritten — verified empirically), while list
+             -- construction evaluates every element against the
+             -- unmodified acc, matching Spark's aggregate() semantics
+             list_reduce(
+               list_prepend(
+                 [v[1], v[2] - v[1]],
+                 list_transform(v[3:], x -> [x, 0.0e0])),
+               (acc, e) -> [
+                 {_HOLT_A}e0 * e[1]
+                      + {1 - _HOLT_A}e0 * (acc[1] + acc[2]),
+                 {_HOLT_B}e0 * (({_HOLT_A}e0 * e[1]
+                      + {1 - _HOLT_A}e0 * (acc[1] + acc[2])) - acc[1])
+                      + {1 - _HOLT_B}e0 * acc[2]]
+             ) AS st
+      FROM s WHERE len(v) >= 2
+    )
+    SELECT event_type, n_days,
+           ROUND(st[1], 6) + 0.0 AS level,
+           ROUND(st[2], 6) + 0.0 AS trend,
+           ROUND(st[1] + st[2], 6) + 0.0 AS forecast_next
+    FROM f
+    """,
+    doc="Holt double-exponential smoothing per event type (alpha=0.3, "
+    "beta=0.2): level + linear trend, and the one-step-ahead forecast "
+    "l+b. Extends ewma_level's bounded-domain fold with a 2-component "
+    "state: the recursion folds a 2-component accumulator over the "
+    "day-count array in identical sequential order in both engines "
+    "(Spark aggregate() with a struct zero; DuckDB list_reduce over "
+    "[l, b] LISTS, seeded by prepending the init pair since its reduce "
+    "has no zero argument — struct accumulators are mutated "
+    "field-by-field mid-step there and give wrong results). "
+    "l_1 = x_1, b_1 = x_2 - x_1. The fold runs over the "
+    "per-type day domain, never raw events.",
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda x: x["cnt"].cast("double"),
+        ).alias("v")
+    ).filter(F.size("v") >= 2)
+    a, b = _HOLT_A, _HOLT_B
+    seed = F.struct(
+        F.element_at(F.col("v"), 1).alias("l"),
+        (F.element_at(F.col("v"), 2) - F.element_at(F.col("v"), 1)).alias(
+            "b"
+        ),
+    )
+
+    def step(acc, x):
+        l_new = F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])
+        b_new = (
+            F.lit(b) * (l_new - acc["l"]) + F.lit(1 - b) * acc["b"]
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    st = F.aggregate(F.expr("slice(v, 3, greatest(size(v) - 2, 0))"), seed, step)
+    return s.select(
+        "event_type",
+        F.size("v").cast("long").alias("n_days"),
+        (F.round(st["l"], 6) + F.lit(0.0)).alias("level"),
+        (F.round(st["b"], 6) + F.lit(0.0)).alias("trend"),
+        (F.round(st["l"] + st["b"], 6) + F.lit(0.0)).alias(
+            "forecast_next"
+        ),
+    )

@@ -476,3 +476,32 @@ def test_eval_queries_reduce_before_windowing(spark):
         assert p.count("Scan parquet") == 1, name
         # partial aggregation present -> map-side reduce before shuffle
         assert "HashAggregate" in p, name
+
+
+def test_holt_linear_matches_sequential_reference(spark):
+    """The distributed fold must equal a plain sequential Holt recursion
+    computed driver-side from the same day counts."""
+    import pandas as pd
+
+    rows = q(spark, "holt_linear").collect()
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # events ts loads via load_table in the query; read via query path
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    pdf = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    A, B = 0.3, 0.2
+    for r in rows:
+        v = [float(x) for x in pdf[pdf.event_type == r.event_type]["count"]]
+        l, b = v[0], v[1] - v[0]
+        for x in v[2:]:
+            ln = A * x + (1 - A) * (l + b)
+            b = B * (ln - l) + (1 - B) * b
+            l = ln
+        assert abs(r.level - round(l, 6)) < 1e-9, r.event_type
+        assert abs(r.trend - round(b, 6)) < 1e-9, r.event_type
