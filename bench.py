@@ -188,6 +188,7 @@ STATS = [
     "l_diversity",
     "pareto_front",
     "holt_linear",
+    "streaming_late_data_drop",
 ]
 
 

@@ -85,3 +85,21 @@ def test_streaming_dq_counts(spark, events_dir):
     ).first()
     assert row["total"] == 200
     assert row["neg"] > 0 and row["nulls"] > 0
+
+
+def test_late_data_drop_protocol_pin(spark):
+    """Pins the watermark protocol the streaming_late_data_drop oracle
+    simulates: the effective watermark lags the progress-reported one by
+    one batch (i.e., derives from data through batch k-2), so batch 1
+    drops nothing and batch 2 drops late rows. If a Spark upgrade changes
+    this, the oracle's two-batch-lag simulation must be revisited."""
+    from etl_data_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["streaming_late_data_drop"].fn(spark, sf)
+    total_emitted = out.agg(F.sum("n")).first()[0]
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    # late batches were genuinely dropped: far fewer rows emitted than
+    # ingested, but batch 0 + batch 1 (protected by the lag) survive
+    assert total_emitted < n_events
+    assert total_emitted > n_events // 2
