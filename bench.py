@@ -189,6 +189,7 @@ STATS = [
     "pareto_front",
     "holt_linear",
     "streaming_late_data_drop",
+    "mmr_diverse_topk",
 ]
 
 

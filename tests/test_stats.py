@@ -505,3 +505,48 @@ def test_holt_linear_matches_sequential_reference(spark):
             l = ln
         assert abs(r.level - round(l, 6)) < 1e-9, r.event_type
         assert abs(r.trend - round(b, 6)) < 1e-9, r.event_type
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR's selection must (a) start with the top-relevance candidate,
+    (b) never repeat, and (c) have lower max pairwise similarity than
+    the plain top-k prefix of the same size (the whole point)."""
+    from etl_data_spark.operators.similarity import cosine
+
+    rows = q(spark, "mmr_diverse_topk").collect()
+    assert [r.mmr_rank for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 5
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    topk = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in qv]),
+                ),
+                9,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert rows[0].vec_id == topk[0].vec_id  # rank 1 = most relevant
+
+    def max_pair_sim(id_list):
+        sub = e.filter(F.col("vec_id").isin(id_list))
+        a = sub.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        b = sub.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("ia") < F.col("ib"))
+            .select(cosine(F.col("va"), F.col("vb")).alias("s"))
+            .agg(F.max("s"))
+            .first()[0]
+        )
+
+    assert max_pair_sim(ids) <= max_pair_sim([r.vec_id for r in topk]) + 1e-12
