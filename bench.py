@@ -190,6 +190,8 @@ STATS = [
     "holt_linear",
     "streaming_late_data_drop",
     "mmr_diverse_topk",
+    "churn_labels",
+    "contrastive_negatives",
 ]
 
 

@@ -835,3 +835,90 @@ def q_shard_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+_NEG_K, _NEG_ANCHORS = 3, 50
+
+
+@register(
+    "contrastive_negatives",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             md5(text) AS text_md5
+      FROM documents
+    ),
+    anchors AS (SELECT * FROM d WHERE doc_id < {_NEG_ANCHORS}),
+    cand AS (
+      SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+             a.lang, a.len_bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY md5(CAST(a.doc_id AS VARCHAR) || ':'
+                            || CAST(c.doc_id AS VARCHAR)), c.doc_id
+             ) AS neg_rank
+      FROM anchors a
+      JOIN d c
+        ON c.lang = a.lang AND c.len_bucket = a.len_bucket
+       AND c.doc_id != a.doc_id
+       AND c.text_md5 != a.text_md5
+    )
+    SELECT anchor_id, neg_id, neg_rank, lang, len_bucket
+    FROM cand WHERE neg_rank <= {_NEG_K}
+    """,
+    doc="Hard-negative mining for contrastive training: for each anchor "
+    "document, sample 3 negatives from the SAME (lang, length-bucket) "
+    "block — harder than uniform negatives because they share surface "
+    "statistics — excluding the anchor and its exact duplicates "
+    "(text md5). Selection ranks by md5(anchor:candidate), a "
+    "deterministic pseudo-random order reproducible at any partition "
+    "count. Scale shape: a blocked equi-join on the block key (never "
+    "all-pairs) + a per-anchor window over that anchor's own candidate "
+    "block (bounded fan-in). Swap the block key for LSH bucket ids to "
+    "raise hardness at 100 TB.",
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 100").alias("len_bucket"),
+        F.md5("text").alias("text_md5"),
+    )
+    anchors = d.filter(F.col("doc_id") < _NEG_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("lang"),
+        F.col("len_bucket"),
+        F.col("text_md5").alias("a_md5"),
+    )
+    cand = anchors.join(
+        d.select(
+            F.col("doc_id").alias("neg_id"),
+            F.col("lang"),
+            F.col("len_bucket"),
+            F.col("text_md5").alias("c_md5"),
+        ),
+        ["lang", "len_bucket"],
+    ).filter(
+        (F.col("neg_id") != F.col("anchor_id"))
+        & (F.col("c_md5") != F.col("a_md5"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("anchor_id").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            "neg_id",
+        )
+    )
+    return (
+        cand.withColumn("neg_rank", rk)
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select("anchor_id", "neg_id", "neg_rank", "lang", "len_bucket")
+    )

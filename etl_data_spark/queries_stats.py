@@ -4172,3 +4172,66 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+@register(
+    "churn_labels",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM events GROUP BY 1, 2
+    ),
+    horizon AS (SELECT MAX(week) AS last_week FROM m)
+    SELECT a.user_id, a.week, a.n_events, a.n_purchases,
+           (b.user_id IS NULL) AS churned_next_week
+    FROM m a
+    CROSS JOIN horizon
+    LEFT JOIN m b
+      ON b.user_id = a.user_id
+     AND b.week = a.week + INTERVAL 7 DAY
+    WHERE a.week < horizon.last_week
+    """,
+    doc="Point-in-time-correct churn label generation: for every "
+    "(user, week) with activity, features from THAT week only and a "
+    "label from the FOLLOWING week (no activity => churned). The final "
+    "observed week is excluded — its label is unobservable, the "
+    "classic leakage trap in offline label jobs. Shape: one partial-agg "
+    "groupBy to user-weeks, then a self equi-join on (user, week+1) — "
+    "both sides user-week-sized, co-partitioned on user_id.",
+)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("n_purchases"),
+    )
+    horizon = F.broadcast(m.agg(F.max("week").alias("last_week")))
+    nxt = m.select(
+        F.col("user_id").alias("b_user"),
+        F.col("week").alias("b_week"),
+    )
+    return (
+        m.crossJoin(horizon)
+        .filter(F.col("week") < F.col("last_week"))
+        .join(
+            nxt,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_week") == F.col("week") + F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "week",
+            "n_events",
+            "n_purchases",
+            F.col("b_user").isNull().alias("churned_next_week"),
+        )
+    )

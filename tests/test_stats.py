@@ -550,3 +550,43 @@ def test_mmr_diversifies_vs_plain_topk(spark):
         )
 
     assert max_pair_sim(ids) <= max_pair_sim([r.vec_id for r in topk]) + 1e-12
+
+
+def test_churn_labels_exclude_unobservable_week(spark):
+    rows = q(spark, "churn_labels")
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    last_week = e.select(
+        F.date_trunc("week", "ts").alias("w")
+    ).agg(F.max("w")).first()[0]
+    assert rows.filter(F.col("week") >= last_week).count() == 0
+    # a user active in week w and w+1 must be labeled not-churned
+    sample = rows.filter(~F.col("churned_next_week")).limit(5).collect()
+    weekly = {
+        (r.user_id, r.w)
+        for r in e.select(
+            "user_id", F.date_trunc("week", "ts").alias("w")
+        ).distinct().collect()
+    }
+    import datetime as dt
+
+    for r in sample:
+        assert (r.user_id, r.week + dt.timedelta(days=7)) in weekly
+
+
+def test_contrastive_negatives_block_and_exclusions(spark):
+    from etl_data_spark.queries import load_table
+
+    rows = q(spark, "contrastive_negatives").collect()
+    docs = {
+        r.doc_id: r
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        a, n = docs[r.anchor_id], docs[r.neg_id]
+        assert a.lang == n.lang
+        assert a.n_chars // 100 == n.n_chars // 100
+        assert a.text != n.text  # exact dups excluded
+        assert 1 <= r.neg_rank <= 3
