@@ -192,6 +192,8 @@ STATS = [
     "mmr_diverse_topk",
     "churn_labels",
     "contrastive_negatives",
+    "source_kl_divergence",
+    "vocab_coverage",
 ]
 
 

@@ -922,3 +922,159 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= _NEG_K)
         .select("anchor_id", "neg_id", "neg_rank", "lang", "len_bucket")
     )
+
+
+@register(
+    "source_kl_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE w <> ''
+    ),
+    sf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n FROM sf GROUP BY 1),
+    cf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS ctf FROM sf GROUP BY 1),
+    ctot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS cn FROM cf)
+    SELECT s.source, st.n AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(
+             (s.tf / (1.0e0 * st.n))
+             * LN((s.tf * 1.0e0 * ct.cn) / (1.0e0 * st.n * c.ctf)), 9)
+             AS DECIMAL(18,9))) AS DOUBLE), 6) + 0.0 AS kl_bits_nat
+    FROM sf s
+    JOIN stot st USING (source)
+    JOIN cf c USING (w)
+    CROSS JOIN ctot ct
+    GROUP BY s.source, st.n
+    ORDER BY s.source
+    """,
+    doc="Per-source KL divergence of the word distribution vs the whole "
+    "corpus — the text twin of the numeric PSI drift screen: a source "
+    "whose unigram distribution diverges is a domain shift or a "
+    "contamination signal. q(w) > 0 always holds because the corpus "
+    "marginal includes every source's terms, so no smoothing is "
+    "needed. Each term's p*ln(p/q) contribution is rounded to 9dp and "
+    "summed as DECIMAL (fold-order-exact); the inner ratio is one "
+    "identically-parenthesized double expression. Shape: two "
+    "vocabulary-domain reductions and vocabulary-keyed joins; "
+    "documents are scanned once.",
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    sf = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # sf feeds three consumers (stot, cf, the final join): persist to
+    # avoid re-tokenizing the corpus per branch (SCALE.md §11)
+    sf = sf.persist()
+    stot = sf.groupBy("source").agg(F.sum("tf").alias("n"))
+    cf = sf.groupBy("w").agg(F.sum("tf").alias("ctf"))
+    ctot = F.broadcast(cf.agg(F.sum("ctf").alias("cn")))
+    term = F.round(
+        (F.col("tf") / (1.0 * F.col("n")))
+        * F.log(
+            (F.col("tf") * 1.0 * F.col("cn"))
+            / (1.0 * F.col("n") * F.col("ctf"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        sf.join(F.broadcast(stot), "source")
+        .join(cf, "w")
+        .crossJoin(ctot)
+        .groupBy("source", F.col("n").alias("n_tokens"))
+        .agg(
+            (F.round(F.sum(term).cast("double"), 6) + F.lit(0.0)).alias(
+                "kl_bits_nat"
+            )
+        )
+        .orderBy("source")
+    )
+
+
+_VOCAB_CURVE_KS = [10, 50, 100, 500, 1000]
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT w FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE w <> ''
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY w),
+    ranked AS (
+      SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, w) AS rnk
+      FROM vocab
+    ),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM vocab),
+    ks AS (SELECT unnest({_VOCAB_CURVE_KS}) AS k)
+    SELECT ks.k AS vocab_size,
+           CAST(SUM(CASE WHEN r.rnk <= ks.k THEN r.tf ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           ROUND(CAST(SUM(CASE WHEN r.rnk <= ks.k THEN r.tf ELSE 0 END)
+                 AS DOUBLE) / MAX(tot.n), 6) + 0.0 AS coverage
+    FROM ranked r CROSS JOIN tot CROSS JOIN ks
+    GROUP BY ks.k ORDER BY ks.k
+    """,
+    doc="Vocabulary coverage curve: fraction of all token occurrences "
+    "covered by the top-k vocabulary, at k in "
+    f"{_VOCAB_CURVE_KS} — the tokenizer-sizing readout (how big must "
+    "the vocab be before OOV mass is negligible). Ranking happens on "
+    "the vocabulary domain (row_number over distinct words, not "
+    "tokens); coverage sums are integer until one division.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    ranked = vocab.select(
+        "tf", F.row_number().over(W.orderBy(F.desc("tf"), "w")).alias("rnk")
+    )
+    tot = F.broadcast(vocab.agg(F.sum("tf").alias("n")))
+    ks = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(k,) for k in _VOCAB_CURVE_KS], "k int"
+        )
+    )
+    return (
+        ranked.crossJoin(tot)
+        .crossJoin(ks)
+        .groupBy(F.col("k").alias("vocab_size"))
+        .agg(
+            F.sum(
+                F.when(F.col("rnk") <= F.col("k"), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("covered_tokens"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("rnk") <= F.col("k"), F.col("tf")
+                        ).otherwise(F.lit(0))
+                    ).cast("double")
+                    / F.max("n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -181,3 +181,28 @@ def test_corpus_report_totals(spark):
     for r in rows:
         assert 0 <= r["n_keep"] <= r["n_docs"]
         assert 0.0 <= r["avg_quality"] <= 1.0
+
+
+def test_source_kl_nonnegative(spark):
+    from etl_data_spark.catalog import REGISTRY
+
+    rows = REGISTRY["source_kl_divergence"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "every source must appear"
+    for r in rows:
+        # KL >= 0 up to the 9dp per-term quantization
+        assert r.kl_bits_nat >= -1e-6, r
+
+
+def test_vocab_coverage_monotone(spark):
+    from etl_data_spark.catalog import REGISTRY
+
+    rows = REGISTRY["vocab_coverage"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    cov = [r.coverage for r in rows]
+    assert cov == sorted(cov)
+    assert all(0.0 <= c <= 1.0 for c in cov)
+    # tiny synthetic vocab: the largest k must cover everything
+    assert cov[-1] == 1.0
