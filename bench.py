@@ -194,6 +194,8 @@ STATS = [
     "contrastive_negatives",
     "source_kl_divergence",
     "vocab_coverage",
+    "fd_discovery",
+    "join_skew_report",
 ]
 
 

@@ -4235,3 +4235,160 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_user").isNull().alias("churned_next_week"),
         )
     )
+
+
+_FD_CANDIDATES = [
+    # (name, table, determinant, dependent)
+    ("orderkey->custkey", "orders", "o_orderkey", "o_custkey"),
+    ("custkey->orderstatus", "orders", "o_custkey", "o_orderstatus"),
+    ("orderkey->suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("partkey->suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("nationkey->regionkey", "nation", "n_nationkey", "n_regionkey"),
+]
+
+
+def _fd_sql() -> str:
+    parts = []
+    for name, tbl, det, dep in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+             AS holds
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd
+          FROM {tbl} GROUP BY {det})""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY fd"
+
+
+@register(
+    "fd_discovery",
+    _fd_sql(),
+    doc="Functional-dependency discovery over a candidate set (the "
+    "profiling primitive behind key inference and normalization "
+    "advice): for each A->B candidate, the number of A-groups with "
+    "more than one distinct B. Each candidate is one partial-agg "
+    "groupBy + distinct-count — no joins, one scan per table (Spark "
+    "unions the per-candidate aggregates; at scale, candidates on the "
+    "same table share the scan via column pruning).",
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for name, tbl, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        g = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        outs.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("nd") > 1).cast("long")).alias(
+                    "n_violating_groups"
+                ),
+                (F.sum((F.col("nd") > 1).cast("long")) == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd")
+
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("events", "user_id"),
+    ("orders", "o_custkey"),
+]
+
+
+def _skew_sql() -> str:
+    parts = []
+    for tbl, key in _SKEW_KEYS:
+        parts.append(f"""
+    SELECT '{tbl}.{key}' AS join_key,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(freq) AS BIGINT) AS n_rows,
+           CAST(MAX(freq) AS BIGINT) AS max_freq,
+           CAST(quantile_disc(freq, 0.99) AS BIGINT) AS p99_freq,
+           ROUND(CAST(MAX(freq) AS DOUBLE)
+                 / (CAST(SUM(freq) AS DOUBLE) / COUNT(*)), 6) + 0.0
+             AS max_over_mean
+    FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM {tbl} GROUP BY {key})""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY join_key"
+
+
+@register(
+    "join_skew_report",
+    _skew_sql(),
+    doc="Join-key skew report — the measurement that decides whether a "
+    "join needs the salting path (operators/skew.py) or AQE skew "
+    "handling: per candidate key, cardinality, max and p99 per-key "
+    "frequency, and max/mean ratio. Per key it is one partial-agg "
+    "frequency reduction and a key-domain aggregate; the p99 is an "
+    "exact discrete quantile computed on the frequency-OF-frequency "
+    "domain (distinct per-key counts — tiny at any scale), so no "
+    "key-domain array is ever materialized.",
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    outs = []
+    for tbl, key in _SKEW_KEYS:
+        t = load_table(spark, sf_dir, tbl)
+        freq = t.groupBy(key).agg(F.count(F.lit(1)).alias("freq"))
+        # exact discrete p99 WITHOUT materializing the key domain into
+        # one array (a 100 TB key domain cannot collect_list): reduce to
+        # the frequency-OF-frequency domain (distinct per-key counts —
+        # tiny), cumulate, and take the smallest frequency whose
+        # cumulative key count reaches ceil(0.99 * n_keys) — identical
+        # to element ceil(0.99*n) of the sorted frequency array, which
+        # is what the oracle's quantile_disc computes
+        ff = freq.groupBy("freq").agg(F.count(F.lit(1)).alias("nk"))
+        wcum = W.orderBy("freq").rowsBetween(W.unboundedPreceding, 0)
+        ffc = ff.select(
+            "freq",
+            F.sum("nk").over(wcum).alias("cum"),
+            F.sum("nk").over(W.partitionBy()).alias("n_keys"),
+            F.sum(F.col("freq") * F.col("nk"))
+            .over(W.partitionBy())
+            .alias("n_rows"),
+            F.max("freq").over(W.partitionBy()).alias("max_freq"),
+        )
+        agg = (
+            ffc.filter(
+                F.col("cum")
+                >= F.ceil(F.lit(0.99) * F.col("n_keys")).cast("long")
+            )
+            .agg(
+                F.lit(f"{tbl}.{key}").alias("join_key"),
+                F.max("n_keys").alias("n_keys"),
+                F.max("n_rows").alias("n_rows"),
+                F.max("max_freq").alias("max_freq"),
+                F.min("freq").alias("p99_freq"),
+            )
+            .select(
+                "join_key",
+                "n_keys",
+                "n_rows",
+                "max_freq",
+                "p99_freq",
+                (
+                    F.round(
+                        F.col("max_freq").cast("double")
+                        / (
+                            F.col("n_rows").cast("double")
+                            / F.col("n_keys")
+                        ),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("max_over_mean"),
+            )
+        )
+        outs.append(agg)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("join_key")

@@ -590,3 +590,21 @@ def test_contrastive_negatives_block_and_exclusions(spark):
         assert a.n_chars // 100 == n.n_chars // 100
         assert a.text != n.text  # exact dups excluded
         assert 1 <= r.neg_rank <= 3
+
+
+def test_fd_discovery_known_truths(spark):
+    rows = {r.fd: r for r in q(spark, "fd_discovery").collect()}
+    # a primary key functionally determines every column
+    assert rows["orderkey->custkey"].holds
+    assert rows["nationkey->regionkey"].holds
+    # an order has many parts/suppliers: FD must fail
+    assert not rows["orderkey->suppkey"].holds
+    for r in rows.values():
+        assert 0 <= r.n_violating_groups <= r.n_groups
+
+
+def test_join_skew_report_sanity(spark):
+    for r in q(spark, "join_skew_report").collect():
+        assert r.max_freq >= r.p99_freq >= 1
+        assert r.max_over_mean >= 1.0
+        assert r.n_rows >= r.n_keys
