@@ -196,6 +196,7 @@ STATS = [
     "vocab_coverage",
     "fd_discovery",
     "join_skew_report",
+    "frequent_triples",
 ]
 
 

@@ -4392,3 +4392,63 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("join_key")
+
+
+@register(
+    "frequent_triples",
+    f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    tri AS (
+      SELECT e.p1, e.p2, d3.l_partkey AS p3,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM (
+        SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ) pr
+      JOIN e ON e.p1 = pr.p1 AND e.p2 = pr.p2 AND e.n_orders >= 2
+      JOIN d d3 ON d3.l_orderkey = pr.l_orderkey
+               AND d3.l_partkey > pr.p2
+      GROUP BY e.p1, e.p2, d3.l_partkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p1, p2, p3, support
+    FROM tri ORDER BY support DESC, p1, p2, p3 LIMIT 20
+    """,
+    doc="Frequent 3-itemsets by the A-priori candidate-pruning join: "
+    "per-order pair occurrences are first pruned against the frequent "
+    "PAIR list (support >= 2 — the monotonicity bound: no triple can "
+    "be frequent if a sub-pair is not), then extended by a third "
+    "same-order item with p3 > p2 so each triple counts once. All "
+    "joins are keyed on l_orderkey or the pair itself — candidate "
+    "blow-up is bounded by (basket size choose 3) per order, never "
+    "cross-order. The pair prune is what keeps the candidate set "
+    "sub-quadratic at 100 TB (textbook A-priori, distributed).",
+)
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct().persist()
+    b = d.withColumnRenamed("l_partkey", "p2")
+    pr = (
+        d.withColumnRenamed("l_partkey", "p1")
+        .join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+    )
+    freq_pairs = (
+        pr.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("p1", "p2")
+    )
+    cand = pr.join(freq_pairs, ["p1", "p2"])
+    d3 = d.select(
+        "l_orderkey", F.col("l_partkey").alias("p3")
+    )
+    tri = (
+        cand.join(d3, "l_orderkey")
+        .filter(F.col("p3") > F.col("p2"))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return tri.orderBy(F.desc("support"), "p1", "p2", "p3").limit(20)

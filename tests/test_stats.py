@@ -608,3 +608,25 @@ def test_join_skew_report_sanity(spark):
         assert r.max_freq >= r.p99_freq >= 1
         assert r.max_over_mean >= 1.0
         assert r.n_rows >= r.n_keys
+
+
+def test_frequent_triples_subpair_monotonicity(spark):
+    """A-priori invariant: every frequent triple's (p1,p2) sub-pair is a
+    frequent pair, and support never exceeds the pair's support."""
+    from etl_data_spark.queries import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    b = d.withColumnRenamed("l_partkey", "p2")
+    pairs = {
+        (r.p1, r.p2): r.n
+        for r in d.withColumnRenamed("l_partkey", "p1")
+        .join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in q(spark, "frequent_triples").collect():
+        assert pairs.get((r.p1, r.p2), 0) >= max(2, r.support)
+        assert r.p1 < r.p2 < r.p3
