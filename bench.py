@@ -197,6 +197,7 @@ STATS = [
     "fd_discovery",
     "join_skew_report",
     "frequent_triples",
+    "dedup_incremental_pairs",
 ]
 
 

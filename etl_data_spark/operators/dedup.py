@@ -554,3 +554,74 @@ def setsim_prefix_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    delta_pred: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Near-dup pairs that INVOLVE a delta batch (delta x corpus, not
+    all x all) — the production ingest pattern: per arriving batch,
+    only pairs touching the batch are candidates, so each ingest costs
+    O(|delta| x bucket-mates), not a full-corpus recompute.
+
+    Plan shape: band keys are computed for the whole frame once (at a
+    real deployment the base side's signatures are a PERSISTED table —
+    computing them here keeps the entry self-contained; the join
+    structure is identical), the delta side's banded rows are broadcast
+    against the full banded set, and exact-Jaccard verification runs
+    only on candidates with a delta member. Pairs fully inside the
+    delta batch are included (both docs are new).
+    """
+    rows_per_band = num_hashes // bands
+    docs = _shingled_docs(df, id_col, text_col, shingle_n)
+    banded = (
+        docs.withColumn("bh", base_hashes("sh", hash_impl))
+        .select("doc_id", minhash_signature("bh", num_hashes).alias("sig"))
+        .select(
+            "doc_id",
+            F.explode(band_keys("sig", bands, rows_per_band)).alias("band"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    is_delta = df.select(
+        F.col(id_col).alias("doc_id"), delta_pred.alias("__is_delta")
+    )
+    delta_banded = banded.join(
+        is_delta.filter("__is_delta").select("doc_id"), "doc_id"
+    )
+    l = delta_banded.alias("l")
+    r = banded.alias("r")
+    # broadcast the delta side: the batch is small relative to the corpus
+    candidates = (
+        F.broadcast(l)
+        .join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard("sh_a", "sh_b"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

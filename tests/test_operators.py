@@ -537,3 +537,23 @@ def test_run_expectations_counts(spark):
         ).collect()
     }
     assert out == {"amt_positive": 3, "st_known": 1, "unique:k": 1}
+
+
+def test_incremental_pairs_subset_of_full(spark):
+    """Delta-scoped LSH = full LSH restricted to pairs touching the
+    delta: no pair is invented, none touching the delta is missed."""
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf).collect()
+    }
+    delta = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_incremental_pairs"].fn(spark, sf).collect()
+    }
+    expected = {p for p in full if p[0] >= 400 or p[1] >= 400}
+    assert delta == expected
