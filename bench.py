@@ -198,6 +198,7 @@ STATS = [
     "join_skew_report",
     "frequent_triples",
     "dedup_incremental_pairs",
+    "theil_sen_trend",
 ]
 
 

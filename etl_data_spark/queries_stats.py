@@ -4452,3 +4452,78 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
     )
     return tri.orderBy(F.desc("support"), "p1", "p2", "p3").limit(20)
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH d AS (
+      SELECT CAST(DATEDIFF('day', DATE '1995-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(ROUND((b.y - a.y) / (1.0e0 * (b.x - a.x)), 9)
+                  AS DECIMAL(18,9)) AS s
+      FROM d a JOIN d b ON a.x < b.x
+    ),
+    r AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           ROUND(CAST(AVG(CAST(s AS DOUBLE)) AS DOUBLE), 6) + 0.0
+             AS theil_sen_slope
+    FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+    doc="Theil-Sen robust trend of daily event volume: the median of all "
+    "pairwise slopes (y_j-y_i)/(x_j-x_i) — up to 29% of days can be "
+    "corrupted (outages, backfills) without moving the estimate, where "
+    "least squares would follow them. The O(days^2) pair join runs on "
+    "the DAY DOMAIN (2.4k rows at any event volume -> ~3M slope pairs, "
+    "trivially partitioned), never raw events; slopes are 9dp-quantized "
+    "decimals so the median (average of the two middle order statistics "
+    "for even n) is engine-exact.",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            F.round(
+                (F.col("yb") - F.col("ya"))
+                / (1.0 * (F.col("xb") - F.col("xa"))),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("s")
+        )
+    )
+    # the slope frame is day-pair-sized but can still reach millions of
+    # rows; rank it with the range-partitioned machinery, not a global
+    # single-task window. Ties in s make the VALUE at any rank
+    # deterministic even though tied rows' rank assignment is not.
+    from etl_data_spark.operators.rank import global_row_number
+
+    slopes = slopes.persist()
+    ranked = global_row_number(slopes, ["s"], out_col="rn")
+    n = F.broadcast(slopes.agg(F.count(F.lit(1)).alias("n")))
+    mid = ranked.crossJoin(n).filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        (
+            F.round(F.avg(F.col("s").cast("double")), 6) + F.lit(0.0)
+        ).alias("theil_sen_slope"),
+    )
