@@ -199,6 +199,7 @@ STATS = [
     "frequent_triples",
     "dedup_incremental_pairs",
     "theil_sen_trend",
+    "forecast_conformal",
 ]
 
 

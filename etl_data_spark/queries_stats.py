@@ -4527,3 +4527,78 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("s").cast("double")), 6) + F.lit(0.0)
         ).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "forecast_conformal",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT a.event_type, CAST(ABS(a.cnt - b.cnt) AS BIGINT) AS abs_err
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type
+       AND b.day = a.day - INTERVAL 7 DAY
+    ),
+    r AS (
+      SELECT event_type, abs_err,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs_err) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM resid
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN abs_err END)
+                AS BIGINT) AS q90_abs_err
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Split-conformal prediction band for the seasonal-naive "
+    "forecaster: the ceil(0.9*(n+1))-th order statistic of the absolute "
+    "backtest residuals per event type — a distribution-free 90% "
+    "interval half-width (forecast +- q90 covers >= 90% of future days "
+    "under exchangeability; Vovk et al.). Residuals are integer counts; "
+    "the order statistic is picked by rank over each type's "
+    "day-domain residual set (bounded per-type partitions, no global "
+    "window), so the output is exact.",
+)
+def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    a, b = d.alias("a"), d.alias("b")
+    resid = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") == F.date_sub(F.col("a.day"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.abs(F.col("a.cnt") - F.col("b.cnt")).alias("abs_err"),
+    )
+    w = W.partitionBy("event_type").orderBy("abs_err")
+    r = resid.select(
+        "event_type",
+        "abs_err",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") * 9 + 9) / 10),
+                    F.col("abs_err"),
+                )
+            )
+            .cast("long")
+            .alias("q90_abs_err"),
+        )
+        .orderBy("event_type")
+    )
