@@ -200,6 +200,7 @@ STATS = [
     "dedup_incremental_pairs",
     "theil_sen_trend",
     "forecast_conformal",
+    "personalized_pagerank",
 ]
 
 

@@ -4602,3 +4602,114 @@ def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_PPR_SEED_MOD = 50  # seed set: graph vertices with partkey % 50 == 0
+_PPR_ITERS = 10
+
+
+def _ppr_sql(iters: int = _PPR_ITERS) -> str:
+    """Personalized PageRank oracle: same unrolled power iteration as
+    _pagerank_sql, with the teleport mass concentrated on the seed set
+    instead of uniform. Constants written as (1.0 - 0.85) to match the
+    Spark doubles bit-for-bit."""
+    d = _PAGERANK_DAMPING
+    tele = (
+        f"CASE WHEN g.v % {_PPR_SEED_MOD} = 0 "
+        f"THEN (1.0 - {d}) / MAX(ns.n) ELSE 0.0e0 END"
+    )
+    sql = f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    g AS (
+      SELECT p1 AS u, p2 AS v FROM e WHERE n_orders >= 2
+      UNION ALL
+      SELECT p2 AS u, p1 AS v FROM e WHERE n_orders >= 2
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM g GROUP BY u),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+           WHERE u % {_PPR_SEED_MOD} = 0),
+    r0 AS (
+      SELECT u AS v,
+             CASE WHEN u % {_PPR_SEED_MOD} = 0 THEN 1.0 / ns.n
+                  ELSE 0.0e0 END AS r
+      FROM deg CROSS JOIN ns
+    )"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    r{t} AS (
+      SELECT g.v AS v,
+             {tele} + {d} * SUM(r{t - 1}.r / deg.deg) AS r
+      FROM g
+      JOIN r{t - 1} ON r{t - 1}.v = g.u
+      JOIN deg ON deg.u = g.u
+      CROSS JOIN ns
+      GROUP BY g.v
+    )"""
+    sql += f"""
+    SELECT v AS p_partkey, ROUND(r, 8) + 0.0 AS ppr_score
+    FROM r{iters}
+    WHERE ROUND(r, 8) > 0
+    ORDER BY ROUND(r, 8) DESC, v LIMIT 20
+    """
+    return sql
+
+
+@register(
+    "personalized_pagerank",
+    _ppr_sql(),
+    doc="Personalized PageRank from a seed set (partkey % 50 == 0): "
+    "teleport mass returns to the seeds instead of spreading "
+    "uniformly, so scores rank parts by proximity to the seed "
+    "portfolio — the 'customers also bought' recommendation ranking. "
+    "Same Pregel-style loop and unrolled-CTE oracle as "
+    "pagerank_copurchase; only the teleport term changes. Zero-score "
+    "vertices (unreachable from seeds) are filtered on the ROUNDED "
+    "score in both engines.",
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.graph import symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+    )
+    d = _PAGERANK_DAMPING
+    g = symmetrize(edges, "u", "v").persist()
+    deg = g.groupBy("u").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    is_seed = F.col("u") % _PPR_SEED_MOD == 0
+    ns = float(deg.filter(is_seed).count())
+    ge = g.join(deg, "u").persist()
+    ranks = deg.select(
+        F.col("u").alias("v"),
+        F.when(is_seed, F.lit(1.0) / F.lit(ns))
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    )
+    for it in range(1, _PPR_ITERS + 1):
+        contrib = ge.join(
+            ranks.withColumnRenamed("v", "u"), "u"
+        ).groupBy(F.col("v"))
+        tele = (
+            F.when(
+                F.col("v") % _PPR_SEED_MOD == 0,
+                F.lit(1.0 - d) / F.lit(ns),
+            ).otherwise(F.lit(0.0))
+        )
+        ranks = contrib.agg(
+            F.sum(F.col("r") / F.col("deg")).alias("__c")
+        ).select(
+            "v", (tele + F.lit(d) * F.col("__c")).alias("r")
+        )
+        if it % 3 == 0 and it < _PPR_ITERS:
+            ranks = ranks.localCheckpoint(eager=True)
+    r8 = F.round(F.col("r"), 8) + F.lit(0.0)
+    return (
+        ranks.select(F.col("v").alias("p_partkey"), r8.alias("ppr_score"))
+        .filter(F.round(F.col("ppr_score"), 8) > 0)
+        .orderBy(F.desc("ppr_score"), "p_partkey")
+        .limit(20)
+    )
