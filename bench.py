@@ -201,6 +201,7 @@ STATS = [
     "theil_sen_trend",
     "forecast_conformal",
     "personalized_pagerank",
+    "group_kfold",
 ]
 
 

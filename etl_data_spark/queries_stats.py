@@ -4713,3 +4713,61 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr_score"), "p_partkey")
         .limit(20)
     )
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "group_kfold",
+    f"""
+    WITH f AS (
+      SELECT e.*,
+             CAST(list_sum(list_transform(range(1, 12),
+                 i -> (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)),
+                              CAST(i AS INT), 1)) - 1)
+                      * CAST(power(16, 11 - i) AS BIGINT))) AS BIGINT)
+               % {_KFOLD_K} AS fold
+      FROM events e
+    )
+    SELECT fold,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS DOUBLE) / COUNT(*), 6) + 0.0 AS purchase_rate
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+    doc="Grouped k-fold assignment (k=5) keyed on user_id: every event "
+    "of a user lands in the same fold, so cross-validation never leaks "
+    "a user across train/eval — the grouped-CV discipline for "
+    "behavioral models. Fold = md5-derived bucket (the same portable "
+    "positional-parse construction as the train/val/test split), a "
+    "pure row function stable under repartitioning and appends. One "
+    "scan + partial-agg groupBy on a 5-value key.",
+)
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.corpus import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    # hash_bucket reduces mod SPLIT_BUCKETS (1000) first; (x % 1000) % 5
+    # == x % 5 because 5 divides 1000, so the oracle's direct % 5 agrees
+    fold = (hash_bucket("user_id") % _KFOLD_K).alias("fold")
+    return (
+        e.groupBy(fold)
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.round(
+                    F.sum(
+                        (F.col("event_type") == "purchase").cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("purchase_rate"),
+        )
+        .orderBy("fold")
+    )
