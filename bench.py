@@ -202,6 +202,8 @@ STATS = [
     "forecast_conformal",
     "personalized_pagerank",
     "group_kfold",
+    "association_rules",
+    "brier_decomposition",
 ]
 
 

@@ -4771,3 +4771,194 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "association_rules",
+    f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    n_orders_t AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM d
+    ),
+    item AS (
+      SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS supp
+      FROM d GROUP BY 1
+    ),
+    rules AS (
+      SELECT e.p1 AS antecedent, e.p2 AS consequent,
+             e.n_orders AS supp_ab, a.supp AS supp_a, b.supp AS supp_b
+      FROM e JOIN item a ON a.p = e.p1 JOIN item b ON b.p = e.p2
+      WHERE e.n_orders >= 2
+      UNION ALL
+      SELECT e.p2, e.p1, e.n_orders, b.supp, a.supp
+      FROM e JOIN item a ON a.p = e.p1 JOIN item b ON b.p = e.p2
+      WHERE e.n_orders >= 2
+    )
+    SELECT antecedent, consequent, supp_ab,
+           ROUND(CAST(supp_ab AS DOUBLE) / supp_a, 6) + 0.0 AS confidence,
+           ROUND((CAST(supp_ab AS DOUBLE) * nt.n)
+                 / (CAST(supp_a AS DOUBLE) * supp_b), 6) + 0.0 AS lift
+    FROM rules CROSS JOIN n_orders_t nt
+    ORDER BY ROUND(CAST(supp_ab AS DOUBLE) / supp_a, 6) DESC,
+             antecedent, consequent
+    LIMIT 25
+    """,
+    doc="Association rules A -> B from the co-purchase pairs: support, "
+    "confidence = supp(AB)/supp(A), lift = supp(AB)*N/(supp(A)*supp(B)) "
+    "— each frequent pair yields both rule directions. Integer supports "
+    "throughout; the two ratios are emitted once. Shape: the blocked "
+    "pair self-join + two broadcast item-support joins + a broadcast "
+    "basket-count scalar; top-25 by confidence is "
+    "TakeOrderedAndProject.",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct().persist()
+    nt = F.broadcast(
+        d.agg(F.countDistinct("l_orderkey").alias("n"))
+    )
+    item = d.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    b2 = d.withColumnRenamed("l_partkey", "p2")
+    e = (
+        d.withColumnRenamed("l_partkey", "p1")
+        .join(b2, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    ia = F.broadcast(item.select(F.col("p").alias("p1"), F.col("supp").alias("supp_1")))
+    ib = F.broadcast(item.select(F.col("p").alias("p2"), F.col("supp").alias("supp_2")))
+    ej = e.join(ia, "p1").join(ib, "p2")
+    fwd = ej.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        F.col("n_orders").alias("supp_ab"),
+        F.col("supp_1").alias("supp_a"),
+        F.col("supp_2").alias("supp_b"),
+    )
+    rev = ej.select(
+        F.col("p2").alias("antecedent"),
+        F.col("p1").alias("consequent"),
+        F.col("n_orders").alias("supp_ab"),
+        F.col("supp_2").alias("supp_a"),
+        F.col("supp_1").alias("supp_b"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(nt)
+    conf = F.round(F.col("supp_ab").cast("double") / F.col("supp_a"), 6)
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            "supp_ab",
+            (conf + F.lit(0.0)).alias("confidence"),
+            (
+                F.round(
+                    (F.col("supp_ab").cast("double") * F.col("n"))
+                    / (F.col("supp_a").cast("double") * F.col("supp_b")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("confidence"), "antecedent", "consequent")
+        .limit(25)
+    )
+
+
+@register(
+    "brier_decomposition",
+    """
+    WITH b AS (
+      SELECT CAST(DATEDIFF('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+      FROM orders
+    ),
+    binned AS (
+      SELECT LEAST(day_idx * 10 // 2405, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(day_idx) AS BIGINT) AS s_day,
+             CAST(SUM(lab) AS BIGINT) AS s_lab
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s_lab) AS BIGINT) AS sl
+      FROM binned
+    )
+    SELECT
+      ROUND(SUM(n * POWER(CAST(s_day AS DOUBLE) / (2405.0 * n)
+                          - CAST(s_lab AS DOUBLE) / n, 2))
+            / MAX(tot.nn), 6) + 0.0 AS reliability,
+      ROUND(SUM(n * POWER(CAST(s_lab AS DOUBLE) / n
+                          - CAST(tot.sl AS DOUBLE) / tot.nn, 2))
+            / MAX(tot.nn), 6) + 0.0 AS resolution,
+      ROUND((CAST(MAX(tot.sl) AS DOUBLE) / MAX(tot.nn))
+            * (1.0 - CAST(MAX(tot.sl) AS DOUBLE) / MAX(tot.nn)), 6) + 0.0
+        AS uncertainty
+    FROM binned CROSS JOIN tot
+    """,
+    doc="Murphy decomposition of the Brier score for the age-score "
+    "fulfillment model over the same 10 calibration bins as "
+    "calibration_bins: reliability (calibration error), resolution "
+    "(how much the bins separate outcomes), uncertainty (base-rate "
+    "variance) — Brier = reliability - resolution + uncertainty. All "
+    "inputs are the bins' exact integer sums; each component is one "
+    "closed-form double expression at emit. One scan, 10-key groupBy.",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day_idx = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1995-01-01")
+    ).cast("long")
+    lab = (F.col("o_orderstatus") == "F").cast("long")
+    binned = (
+        o.select(day_idx.alias("day_idx"), lab.alias("lab"))
+        .groupBy(
+            F.least(
+                F.floor(F.col("day_idx") * 10 / 2405),
+                F.lit(9).cast("long"),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("day_idx").alias("s_day"),
+            F.sum("lab").alias("s_lab"),
+        )
+    )
+    tot = F.broadcast(
+        binned.agg(
+            F.sum("n").alias("nn"), F.sum("s_lab").alias("sl")
+        )
+    )
+    j = binned.crossJoin(tot)
+    mean_pred = F.col("s_day").cast("double") / (2405.0 * F.col("n"))
+    obs = F.col("s_lab").cast("double") / F.col("n")
+    base = F.col("sl").cast("double") / F.col("nn")
+    return j.agg(
+        (
+            F.round(
+                F.sum(F.col("n") * F.pow(mean_pred - obs, 2))
+                / F.max("nn"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("reliability"),
+        (
+            F.round(
+                F.sum(F.col("n") * F.pow(obs - base, 2)) / F.max("nn"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("resolution"),
+        (
+            F.round(
+                (F.max("sl").cast("double") / F.max("nn"))
+                * (1.0 - F.max("sl").cast("double") / F.max("nn")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("uncertainty"),
+    )

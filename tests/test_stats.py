@@ -630,3 +630,33 @@ def test_frequent_triples_subpair_monotonicity(spark):
     for r in q(spark, "frequent_triples").collect():
         assert pairs.get((r.p1, r.p2), 0) >= max(2, r.support)
         assert r.p1 < r.p2 < r.p3
+
+
+def test_association_rules_bounds(spark):
+    for r in q(spark, "association_rules").collect():
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+        assert r.supp_ab >= 2
+
+
+def test_brier_decomposition_identity(spark):
+    """Brier = reliability - resolution + uncertainty must equal the
+    directly-computed mean squared error of the binned predictor."""
+    r = q(spark, "brier_decomposition").first()
+    assert r.reliability >= 0 and r.resolution >= 0
+    assert 0 <= r.uncertainty <= 0.25
+    import pandas as pd
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").toPandas()
+    day = (
+        pd.to_datetime(o.o_orderdate) - pd.Timestamp("1995-01-01")
+    ).dt.days
+    lab = (o.o_orderstatus == "F").astype(float)
+    bins = (day * 10 // 2405).clip(upper=9)
+    mean_pred = day.groupby(bins).transform("mean") / 2405.0
+    obs = lab.groupby(bins).transform("mean")
+    brier_binned = ((mean_pred - lab) ** 2).mean()
+    # identity holds for the binned (per-bin-constant) predictor
+    assert abs(
+        (r.reliability - r.resolution + r.uncertainty) - brier_binned
+    ) < 1e-4
