@@ -204,6 +204,7 @@ STATS = [
     "group_kfold",
     "association_rules",
     "brier_decomposition",
+    "ndcg_bm25",
 ]
 
 

@@ -800,3 +800,92 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(_PATH_TOPK)
     )
+
+
+_NDCG_K = 10
+
+
+@register(
+    "ndcg_bm25",
+    f"""
+    WITH {_SQL_BM25_SCORED},
+    rel AS (
+      SELECT doc_id,
+             CAST((CASE WHEN ' ' || text || ' ' LIKE '% spark %' THEN 1 ELSE 0 END)
+                + (CASE WHEN ' ' || text || ' ' LIKE '% join %' THEN 1 ELSE 0 END)
+                + (CASE WHEN ' ' || text || ' ' LIKE '% hash %' THEN 1 ELSE 0 END)
+               AS BIGINT) AS rel
+      FROM documents
+    ),
+    ranked AS (
+      SELECT s.doc_id, r.rel,
+             ROW_NUMBER() OVER (ORDER BY ROUND(s.score, 6) DESC, s.doc_id)
+               AS pos
+      FROM scored s JOIN rel r USING (doc_id)
+      QUALIFY pos <= {_NDCG_K}
+    ),
+    ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
+      FROM rel QUALIFY pos <= {_NDCG_K}
+    ),
+    dcg_t AS (
+      SELECT SUM((POWER(2.0e0, rel) - 1.0e0) / LN(pos + 1.0e0)) AS dcg
+      FROM ranked
+    ),
+    idcg_t AS (
+      SELECT SUM((POWER(2.0e0, rel) - 1.0e0) / LN(pos + 1.0e0)) AS idcg
+      FROM ideal
+    )
+    SELECT ROUND(dcg, 6) + 0.0 AS dcg,
+           ROUND(idcg, 6) + 0.0 AS idcg,
+           ROUND(dcg / idcg, 6) + 0.0 AS ndcg_at_10
+    FROM dcg_t CROSS JOIN idcg_t
+    """,
+    doc="NDCG@10 of the BM25 ranking against graded term-coverage "
+    "relevance (rel = number of query terms present, 0-3): the "
+    "standard retrieval-quality readout, self-contained because the "
+    "ground truth derives from the same corpus. Gains use the "
+    "exponential 2^rel - 1 form; the ln(pos+1) discount divides out "
+    "of the ratio's base, so engines need only agree on LN of small "
+    "integers (they do — IEEE). Both rankings are "
+    "TakeOrderedAndProject top-10 frames; the whole computation after "
+    "scoring touches 20 rows.",
+)
+def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = _bm25_scored(d)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    rel_expr = sum(
+        F.when(padded.like(f"% {t} %"), 1).otherwise(0)
+        for t in _BM25_TERMS
+    ).cast("long")
+    rel = d.select("doc_id", rel_expr.alias("rel"))
+    ranked = (
+        scored.join(rel, "doc_id")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn(
+            "pos", F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
+        )
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn(
+            "pos", F.row_number().over(W.orderBy(F.desc("rel"), "doc_id"))
+        )
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log(
+        F.col("pos") + 1.0
+    )
+    dcg = F.broadcast(ranked.agg(F.sum(gain).alias("dcg")))
+    idcg = F.broadcast(ideal.agg(F.sum(gain).alias("idcg")))
+    return dcg.crossJoin(idcg).select(
+        (F.round(F.col("dcg"), 6) + F.lit(0.0)).alias("dcg"),
+        (F.round(F.col("idcg"), 6) + F.lit(0.0)).alias("idcg"),
+        (F.round(F.col("dcg") / F.col("idcg"), 6) + F.lit(0.0)).alias(
+            "ndcg_at_10"
+        ),
+    )

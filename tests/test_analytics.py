@@ -179,3 +179,11 @@ def test_curate_end2end_postconditions(spark):
     ).collect()
     for p in pairs:
         assert not (p["id_a"] in surviving and p["id_b"] in surviving), p
+
+
+def test_ndcg_bounds_and_ideal(spark):
+    from etl_data_spark.catalog import REGISTRY
+
+    r = REGISTRY["ndcg_bm25"].fn(spark, "/root/testdata/sf0.001").first()
+    assert 0.0 < r.ndcg_at_10 <= 1.0
+    assert r.idcg >= r.dcg > 0.0
