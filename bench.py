@@ -205,6 +205,8 @@ STATS = [
     "association_rules",
     "brier_decomposition",
     "ndcg_bm25",
+    "embedding_drift",
+    "diff_in_diff",
 ]
 
 

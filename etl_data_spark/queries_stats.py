@@ -4962,3 +4962,74 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("uncertainty"),
     )
+
+
+_DID_CUTOFF = "1998-01-01"
+
+
+@register(
+    "diff_in_diff",
+    f"""
+    WITH cells AS (
+      SELECT (o_custkey % 2 = 0) AS treated,
+             (o_orderdate >= TIMESTAMP '{_DID_CUTOFF}') AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT treated, post, n,
+             CAST(rev AS DOUBLE) / n AS avg_price
+      FROM cells
+    )
+    SELECT
+      CAST(SUM(n) AS BIGINT) AS n_orders,
+      ROUND(MAX(CASE WHEN treated AND post THEN avg_price END)
+            - MAX(CASE WHEN treated AND NOT post THEN avg_price END), 6)
+        + 0.0 AS treated_delta,
+      ROUND(MAX(CASE WHEN NOT treated AND post THEN avg_price END)
+            - MAX(CASE WHEN NOT treated AND NOT post THEN avg_price END), 6)
+        + 0.0 AS control_delta,
+      ROUND((MAX(CASE WHEN treated AND post THEN avg_price END)
+             - MAX(CASE WHEN treated AND NOT post THEN avg_price END))
+            - (MAX(CASE WHEN NOT treated AND post THEN avg_price END)
+               - MAX(CASE WHEN NOT treated AND NOT post THEN avg_price END)),
+            6) + 0.0 AS did_estimate
+    FROM means
+    """,
+    doc="Difference-in-differences: treated (even custkey) vs control "
+    f"order values before/after {_DID_CUTOFF} — the standard quasi-"
+    "experimental estimator when randomization is unavailable; the "
+    "parallel-trends counterfactual is the control group's delta. "
+    "The four cell means come from exact decimal revenue sums (one "
+    "partial-agg groupBy on a 4-cell key); the three emitted numbers "
+    "are closed-form differences of those means.",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        (F.col("o_custkey") % 2 == 0).alias("treated"),
+        (F.col("o_orderdate") >= F.lit(_DID_CUTOFF).cast("timestamp")).alias(
+            "post"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    means = cells.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("rev").cast("double") / F.col("n")).alias("avg_price"),
+    )
+    m = lambda t, p: F.max(
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("avg_price"))
+    )
+    t_delta = m(True, True) - m(True, False)
+    c_delta = m(False, True) - m(False, False)
+    return means.agg(
+        F.sum("n").alias("n_orders"),
+        (F.round(t_delta, 6) + F.lit(0.0)).alias("treated_delta"),
+        (F.round(c_delta, 6) + F.lit(0.0)).alias("control_delta"),
+        (F.round(t_delta - c_delta, 6) + F.lit(0.0)).alias("did_estimate"),
+    )
