@@ -207,6 +207,8 @@ STATS = [
     "ndcg_bm25",
     "embedding_drift",
     "diff_in_diff",
+    "missing_days_report",
+    "posting_lists",
 ]
 
 

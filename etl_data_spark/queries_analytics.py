@@ -889,3 +889,57 @@ def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_at_10"
         ),
     )
+
+
+_POSTING_TOPK = 50
+
+
+@register(
+    "posting_lists",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    t2 AS (SELECT DISTINCT term, doc_id FROM toks WHERE term <> ''),
+    top AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+      FROM t2 GROUP BY term
+      ORDER BY doc_freq DESC, term LIMIT {_POSTING_TOPK}
+    )
+    SELECT t.term, t.doc_freq,
+           array_to_string(list(t2.doc_id ORDER BY t2.doc_id), ',')
+             AS postings
+    FROM top t JOIN t2 USING (term)
+    GROUP BY t.term, t.doc_freq
+    ORDER BY t.doc_freq DESC, t.term
+    """,
+    doc="Inverted-index build: per term, the sorted posting list of "
+    "documents containing it (top-50 terms by document frequency) — "
+    "the construction step behind every keyword-retrieval operator "
+    "here (BM25, TF-IDF, hybrid search). Postings are emitted as the "
+    "canonical comma-joined sorted string so the driver can hash them "
+    "(the array_agg_ops lesson). Shape: explode -> distinct -> "
+    "partial-agg; the per-term collect is bounded by the term's "
+    "posting size, the object a real index shard stores anyway.",
+)
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t2 = _tokens(d).select("term", "doc_id").distinct()
+    top = (
+        t2.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(_POSTING_TOPK)
+    )
+    return (
+        top.join(t2, "term")
+        .groupBy("term", "doc_freq")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings")
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+    )

@@ -5033,3 +5033,45 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(c_delta, 6) + F.lit(0.0)).alias("control_delta"),
         (F.round(t_delta - c_delta, 6) + F.lit(0.0)).alias("did_estimate"),
     )
+
+
+@register(
+    "missing_days_report",
+    """
+    WITH span AS (
+      SELECT event_type, MIN(CAST(ts AS DATE)) AS d0,
+             MAX(CAST(ts AS DATE)) AS d1,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS observed
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, d0 AS first_day, d1 AS last_day,
+           CAST(CAST(d1 - d0 AS INT) + 1 AS BIGINT) AS expected_days,
+           observed AS observed_days,
+           CAST(CAST(d1 - d0 AS INT) + 1 - observed AS BIGINT)
+             AS missing_days
+    FROM span ORDER BY event_type
+    """,
+    doc="Per-series completeness report: expected calendar days between "
+    "each event type's first and last observation vs days actually "
+    "present — the gap/backfill detector every ingestion pipeline "
+    "needs before windowed metrics can be trusted (a silent 3-day gap "
+    "poisons moving averages without this check). One scan, "
+    "partial-agg min/max/distinct-count per type; no day-grid "
+    "materialization needed for the COUNT form.",
+)
+def q_missing_days_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    span = e.groupBy("event_type").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+        F.countDistinct(F.to_date("ts")).alias("observed"),
+    )
+    expected = (F.datediff("d1", "d0") + 1).cast("long")
+    return span.select(
+        "event_type",
+        F.col("d0").alias("first_day"),
+        F.col("d1").alias("last_day"),
+        expected.alias("expected_days"),
+        F.col("observed").alias("observed_days"),
+        (expected - F.col("observed")).cast("long").alias("missing_days"),
+    ).orderBy("event_type")
