@@ -63,6 +63,13 @@ PICK = [
     "collocation_pmi",
     "shard_token_budget",
     "pareto_front",
+    # continuation wave 2: retrieval eval, incremental dedup, mining
+    "mmr_diverse_topk",
+    "dedup_incremental_pairs",
+    "frequent_triples",
+    "ndcg_bm25",
+    "theil_sen_trend",
+    "embedding_drift",
 ]
 
 
