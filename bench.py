@@ -209,6 +209,7 @@ STATS = [
     "diff_in_diff",
     "missing_days_report",
     "posting_lists",
+    "degree_assortativity",
 ]
 
 

@@ -97,6 +97,17 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC read — same pushdown/pruning properties as parquet
+    (PushedFilters + ReadSchema reach the scan); useful when the lake's
+    interchange format is ORC (Hive ecosystems)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -5075,3 +5075,88 @@ def q_missing_days_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("observed").alias("observed_days"),
         (expected - F.col("observed")).cast("long").alias("missing_days"),
     ).orderBy("event_type")
+
+
+@register(
+    "degree_assortativity",
+    f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    g AS (
+      SELECT p1 AS u, p2 AS v FROM e WHERE n_orders >= 2
+      UNION ALL
+      SELECT p2 AS u, p1 AS v FROM e WHERE n_orders >= 2
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM g GROUP BY u),
+    pairs AS (
+      SELECT du.deg AS x, dv.deg AS y
+      FROM g JOIN deg du ON du.u = g.u JOIN deg dv ON dv.u = g.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM pairs
+    )
+    SELECT m AS n_directed_edges,
+           ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((CAST(m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * sy2
+                           - CAST(sy AS DOUBLE) * sy)), 6) + 0.0
+             AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the repeat-co-purchase graph: Pearson "
+    "correlation of endpoint degrees over directed edges — positive "
+    "means hubs connect to hubs (social-network-like), negative means "
+    "hub-and-spoke (retail catalogs are typically disassortative). "
+    "All five moment sums are exact integers (degrees are counts); "
+    "the one double expression at emit is identically parenthesized "
+    "in both engines. Shape: edge list joined twice with the "
+    "vertex-degree dim, then one partial agg.",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.graph import symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = symmetrize(
+        _copurchase_edges(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v")),
+        "u",
+        "v",
+    ).persist()
+    deg = g.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
+    pairs = g.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    md = F.col("m").cast("double")
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        (
+            F.round(
+                (md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / F.sqrt(
+                    (
+                        md * F.col("sx2")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * (
+                        md * F.col("sy2")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("assortativity"),
+    )

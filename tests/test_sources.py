@@ -189,3 +189,28 @@ def test_ns_events_read_restores_conf_and_truncates(spark, tmp_path):
     got = {r["event_id"]: r["ts"] for r in df.collect()}
     assert got[1].microsecond == 123456  # 123456789ns -> 123456us (truncate)
     assert got[2].microsecond == 987654  # truncation, not rounding
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip preserves schema+values, and predicate
+    pushdown reaches the ORC scan like it does for parquet."""
+    from etl_data_spark.io.sources import read_orc, write_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    assert (
+        back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
+        == src.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
+    )
+    plan = (
+        back.filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan
