@@ -210,6 +210,7 @@ STATS = [
     "missing_days_report",
     "posting_lists",
     "degree_assortativity",
+    "lang_id_kappa",
 ]
 
 
