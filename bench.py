@@ -211,6 +211,7 @@ STATS = [
     "posting_lists",
     "degree_assortativity",
     "lang_id_kappa",
+    "geometric_median",
 ]
 
 
