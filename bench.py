@@ -212,6 +212,7 @@ STATS = [
     "degree_assortativity",
     "lang_id_kappa",
     "geometric_median",
+    "packing_efficiency",
 ]
 
 

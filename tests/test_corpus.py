@@ -206,3 +206,14 @@ def test_vocab_coverage_monotone(spark):
     assert all(0.0 <= c <= 1.0 for c in cov)
     # tiny synthetic vocab: the largest k must cover everything
     assert cov[-1] == 1.0
+
+
+def test_packing_efficiency_closed_bins_at_least_full(spark):
+    from etl_data_spark.catalog import REGISTRY
+
+    for r in REGISTRY["packing_efficiency"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        # closed bins carry budget + boundary spill-in: >= 1, modestly so
+        assert 1.0 <= r.full_bin_utilization < 1.5, r
+        assert r.n_bins >= 1 and r.total_tokens > 0
