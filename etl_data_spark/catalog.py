@@ -30,7 +30,14 @@ Kaplan-Meier survival, cohort LTV, and the post-restart continuation
 families: model evaluation (ROC-AUC, PR curve, calibration), link
 prediction, item-item CF, corpus lexical stats (PMI collocations, BPE
 pair counts, Zipf slope), CUSUM changepoint, token-budget sharding,
-linear attribution, l-diversity, the Pareto front) are next round's
+linear attribution, l-diversity, the Pareto front, Holt smoothing,
+the watermark late-data-drop entry, MMR re-ranking, churn labels,
+contrastive negatives, per-source KL, vocab coverage, FD discovery,
+the join-skew report, A-priori triples, incremental delta dedup,
+Theil-Sen, the conformal band, personalized PageRank, group k-fold,
+association rules, the Brier decomposition, NDCG@10, embedding drift,
+diff-in-diff, missing-days, posting lists, assortativity, lang-ID
+kappa, the geometric median, packing efficiency) are next round's
 rotation. All entries remain
 pytest-oracle-checked locally every round regardless of position
 (tests/test_queries_oracle.py enumerates REGISTRY), and the full
