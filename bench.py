@@ -213,6 +213,7 @@ STATS = [
     "lang_id_kappa",
     "geometric_median",
     "packing_efficiency",
+    "corpus_export_manifest",
 ]
 
 

@@ -1170,3 +1170,89 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_export_manifest",
+    f"""
+    WITH curated AS (
+      SELECT * FROM ({{CURATE_SQL}}) c WHERE c.split = 'train'
+    ),
+    sized AS (
+      SELECT cu.doc_id, cu.quality, d.n_chars,
+             md5(CAST(cu.doc_id AS VARCHAR)) AS hk
+      FROM curated cu JOIN documents d USING (doc_id)
+    ),
+    packed AS (
+      SELECT doc_id, quality, n_chars,
+             COALESCE(SUM(n_chars) OVER (ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM sized
+    )
+    SELECT off // {_SHARD_BUDGET} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE)
+                 / COUNT(*), 6) + 0.0 AS avg_quality
+    FROM packed GROUP BY 1 ORDER BY shard_id
+    """,
+    doc="The composed training-data EXPORT: the full curation pipeline "
+    "(lang gate -> quality gate -> near-dup survivor filter -> "
+    "deterministic split) restricted to the train split, then packed "
+    "into size-budgeted shards by the md5-shuffled running offset — "
+    "per shard: docs, char mass, decimal-exact mean quality. This is "
+    "the manifest a training job consumes. Oracle composition mirrors "
+    "operator composition: the curation entry's own recursive-CTE "
+    "oracle is embedded as a subquery, and the shard arithmetic is "
+    "the same global_running_sum construction as shard_token_budget.",
+)
+def q_corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.rank import global_running_sum
+    from etl_data_spark.queries import REGISTRY
+
+    curated = REGISTRY["corpus_curate_end2end"].fn(spark, sf_dir).filter(
+        F.col("split") == "train"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = curated.join(d, "doc_id").select(
+        "doc_id",
+        "quality",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    r = global_running_sum(
+        sized, order_cols=["hk", "doc_id"], val_col="n_chars",
+        out_col="running",
+    )
+    return (
+        r.groupBy(
+            F.expr(f"(running - n_chars) div {_SHARD_BUDGET}").alias(
+                "shard_id"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            (
+                F.round(
+                    F.sum(F.col("quality").cast("decimal(10,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_quality"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# splice the curation oracle in AFTER registration (its SQL contains
+# braces from list comprehensions that str.format would mangle)
+from etl_data_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_REG["corpus_export_manifest"].oracle = _REG[
+    "corpus_export_manifest"
+].oracle.replace("{CURATE_SQL}", _REG["corpus_curate_end2end"].oracle)
