@@ -214,6 +214,9 @@ STATS = [
     "geometric_median",
     "packing_efficiency",
     "corpus_export_manifest",
+    "ks_two_sample",
+    "cramers_v",
+    "dedup_cluster_sizes",
 ]
 
 

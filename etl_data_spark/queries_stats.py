@@ -5160,3 +5160,176 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("assortativity"),
     )
+
+
+@register(
+    "ks_two_sample",
+    """
+    WITH v AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             (o_orderpriority = '1-URGENT') AS grp_a
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    dom AS (
+      SELECT x,
+             CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM v GROUP BY x
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM dom
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cua,
+             SUM(cb) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cub
+      FROM dom
+    )
+    SELECT tot.na, tot.nb,
+           CAST(MAX(ABS(tot.nb * cua - tot.na * cub)) AS BIGINT)
+             AS d_numerator,
+           ROUND(CAST(MAX(ABS(tot.nb * cua - tot.na * cub)) AS DOUBLE)
+                 / (CAST(tot.na AS DOUBLE) * tot.nb), 6) + 0.0
+             AS ks_statistic
+    FROM cum CROSS JOIN tot GROUP BY tot.na, tot.nb
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between URGENT "
+    "and LOW order values: D = max |F_a - F_b| over the pooled value "
+    "domain, computed as max |nb*cumA - na*cumB| with INTEGER "
+    "arithmetic throughout (one division at emit) — no float ECDFs to "
+    "diverge. The nonparametric distribution-equality companion to "
+    "Mann-Whitney (which only detects location shift). Shape: reduce "
+    "to the distinct-value domain (partial agg), cumulate over that "
+    "domain, one max.",
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("grp_a"),
+    )
+    dom = v.groupBy("x").agg(
+        F.sum(F.col("grp_a").cast("long")).alias("ca"),
+        F.sum((~F.col("grp_a")).cast("long")).alias("cb"),
+    )
+    tot = F.broadcast(
+        dom.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    )
+    wcum = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = dom.select(
+        F.sum("ca").over(wcum).alias("cua"),
+        F.sum("cb").over(wcum).alias("cub"),
+    )
+    d = F.max(
+        F.abs(F.col("nb") * F.col("cua") - F.col("na") * F.col("cub"))
+    )
+    return (
+        cum.crossJoin(tot)
+        .groupBy("na", "nb")
+        .agg(
+            d.cast("long").alias("d_numerator"),
+            (
+                F.round(
+                    d.cast("double")
+                    / (F.col("na").cast("double") * F.col("nb")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ks_statistic"),
+        )
+    )
+
+
+@register(
+    "cramers_v",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS r, o_orderpriority AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT r.r, c.c, r.rn, c.cn, t.nn,
+             COALESCE(o.n, 0) AS n
+      FROM (SELECT r, SUM(n) AS rn FROM obs GROUP BY r) r
+      CROSS JOIN (SELECT c, SUM(n) AS cn FROM obs GROUP BY c) c
+      CROSS JOIN (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM obs) t
+      LEFT JOIN obs o ON o.r = r.r AND o.c = c.c
+    ),
+    chi AS (
+      SELECT MAX(nn) AS nn,
+             CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT c) AS BIGINT) AS nc,
+             SUM(POWER(n - CAST(rn AS DOUBLE) * cn / nn, 2)
+                 / (CAST(rn AS DOUBLE) * cn / nn)) AS chi2
+      FROM marg
+    )
+    SELECT nn AS n_orders, ROUND(chi2, 6) + 0.0 AS chi_square,
+           ROUND(SQRT(chi2 / (nn * (LEAST(nr, nc) - 1))), 6) + 0.0
+             AS cramers_v
+    FROM chi
+    """,
+    doc="Cramér's V effect size for the status x priority association — "
+    "the normalized companion to the chi-square independence test "
+    "(chi2 alone grows with n; V in [0,1] is comparable across "
+    "datasets). Integer cell counts and marginals; the expected-count "
+    "grid includes zero-observed cells via the marginal cross join "
+    "(same discipline as chi_square_independence). One scan, "
+    "25-cell frames.",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("r"),
+        F.col("o_orderpriority").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rm = obs.groupBy("r").agg(F.sum("n").alias("rn"))
+    cm = obs.groupBy("c").agg(F.sum("n").alias("cn"))
+    tt = obs.agg(F.sum("n").alias("nn"))
+    marg = (
+        rm.crossJoin(cm)
+        .crossJoin(F.broadcast(tt))
+        .join(obs, ["r", "c"], "left")
+        .select(
+            "r",
+            "c",
+            "rn",
+            "cn",
+            "nn",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    exp = F.col("rn").cast("double") * F.col("cn") / F.max("nn")
+    chi = marg.agg(
+        F.max("nn").alias("nn"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+        F.sum(
+            F.pow(
+                F.col("n")
+                - F.col("rn").cast("double") * F.col("cn") / F.col("nn"),
+                2,
+            )
+            / (F.col("rn").cast("double") * F.col("cn") / F.col("nn"))
+        ).alias("chi2"),
+    )
+    return chi.select(
+        F.col("nn").alias("n_orders"),
+        (F.round(F.col("chi2"), 6) + F.lit(0.0)).alias("chi_square"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("nn") * (F.least("nr", "nc") - 1))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    )
