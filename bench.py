@@ -217,6 +217,8 @@ STATS = [
     "ks_two_sample",
     "cramers_v",
     "dedup_cluster_sizes",
+    "spearman_rho",
+    "ccf_click_purchase",
 ]
 
 

@@ -5333,3 +5333,218 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "spearman_rho",
+    """
+    WITH b AS (
+      SELECT CAST(DATEDIFF('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    xd AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY x
+    ),
+    xr AS (
+      SELECT x,
+             2 * COALESCE(SUM(c) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2x
+      FROM xd
+    ),
+    yd AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY y
+    ),
+    yr AS (
+      SELECT y,
+             2 * COALESCE(SUM(c) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2y
+      FROM yd
+    ),
+    ranked AS (
+      SELECT xr.r2x, yr.r2y
+      FROM b JOIN xr USING (x) JOIN yr USING (y)
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2x) AS BIGINT) AS sx,
+             CAST(SUM(r2y) AS BIGINT) AS sy,
+             CAST(SUM(r2x * r2y) AS BIGINT) AS sxy,
+             CAST(SUM(r2x * r2x) AS BIGINT) AS sx2,
+             CAST(SUM(r2y * r2y) AS BIGINT) AS sy2
+      FROM ranked
+    )
+    SELECT n AS n_orders,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * sy2
+                           - CAST(sy AS DOUBLE) * sy)), 6) + 0.0
+             AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation between order date and order value, "
+    "tie-aware and EXACT: the average rank of a tied value group is a "
+    "half-integer, so DOUBLED ranks (2*cum_before + count + 1) keep "
+    "every moment sum in bigint — the x2 scaling cancels in the "
+    "Pearson-on-ranks formula. Ranks come from cumulative windows over "
+    "the two VALUE DOMAINS (days / distinct prices), never a "
+    "row-ranking of the fact table; the fact rows just join their "
+    "group's rank back in.",
+)
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    ).persist()
+
+    def ranks(col):
+        dom = b.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        wprev = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return dom.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(wprev), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"r2{col}"),
+        )
+
+    ranked = b.join(ranks("x"), "x").join(ranks("y"), "y")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sx2"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_orders"),
+        (
+            F.round(
+                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / F.sqrt(
+                    (
+                        nd * F.col("sx2")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * (
+                        nd * F.col("sy2")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
+    )
+
+
+_CCF_MAX_LAG = 7
+
+
+@register(
+    "ccf_click_purchase",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.clicks AS x, p.purchases AS y
+      FROM lags l
+      JOIN d a ON TRUE
+      JOIN d p ON p.day = a.day + CAST(l.lag AS INT)
+    ),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * sy2
+                           - CAST(sy AS DOUBLE) * sy)), 6) + 0.0
+             AS ccf
+    FROM s ORDER BY lag
+    """,
+    doc="Cross-correlation function between daily clicks and purchases "
+    "at lags -7..+7 (does click volume LEAD purchase volume?) — the "
+    "lead-lag screen behind attribution-window choices. Per lag, "
+    "Pearson r from exact integer moment sums over the aligned day "
+    "pairs; the lag join runs on the day domain (a few thousand rows "
+    "x 15 lags), never raw events.",
+)
+def q_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias(
+            "clicks"
+        ),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "purchases"
+        ),
+    ).persist()
+    lags = e.sparkSession.createDataFrame(
+        [(lag,) for lag in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)],
+        "lag int",
+    )
+    a = d.select(F.col("day").alias("a_day"), F.col("clicks").alias("x"))
+    p = d.select(F.col("day").alias("p_day"), F.col("purchases").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            p,
+            F.col("p_day")
+            == F.expr("date_add(a_day, lag)"),
+        )
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_days"),
+        (
+            F.round(
+                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / F.sqrt(
+                    (
+                        nd * F.col("sx2")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * (
+                        nd * F.col("sy2")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ccf"),
+    ).orderBy("lag")
