@@ -219,6 +219,8 @@ STATS = [
     "dedup_cluster_sizes",
     "spearman_rho",
     "ccf_click_purchase",
+    "dedup_threshold_curve",
+    "audience_overlap",
 ]
 
 
