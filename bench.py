@@ -221,6 +221,8 @@ STATS = [
     "ccf_click_purchase",
     "dedup_threshold_curve",
     "audience_overlap",
+    "order_reconciliation",
+    "fk_orphan_report",
 ]
 
 

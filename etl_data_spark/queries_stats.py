@@ -5548,3 +5548,146 @@ def q_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("ccf"),
     ).orderBy("lag")
+
+
+@register(
+    "order_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS line_net
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS header_total,
+             li.line_net,
+             (li.l_orderkey IS NULL) AS missing_lines
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CASE WHEN missing_lines THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_without_lines,
+      CAST(SUM(CASE WHEN NOT missing_lines
+                AND ABS(CAST(header_total - line_net AS DOUBLE))
+                    <= 0.01 * CAST(header_total AS DOUBLE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled_1pct,
+      ROUND(CAST(SUM(CASE WHEN NOT missing_lines
+                 THEN ABS(CAST(header_total - line_net AS DECIMAL(18,2)))
+                 ELSE 0 END) AS DOUBLE)
+            / NULLIF(SUM(CASE WHEN NOT missing_lines
+                     THEN CAST(header_total AS DECIMAL(18,2)) END), 0),
+            6) + 0.0 AS weighted_abs_gap
+    FROM j
+    """,
+    doc="Cross-table reconciliation: order header totals vs the sum of "
+    "their line items net of discount — the financial-close control "
+    "every warehouse runs (headers and lines arrive through different "
+    "paths and drift independently). Exact decimal sums per order, "
+    "co-partitioned join on the order key; the report is one partial "
+    "agg: orders without lines, orders reconciling within 1%, and the "
+    "value-weighted absolute gap.",
+)
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_net = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("line_net")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("header_total"),
+    ).join(line_net, o["o_orderkey"] == line_net["l_orderkey"], "left")
+    missing = F.col("l_orderkey").isNull()
+    ok_1pct = (~missing) & (
+        F.abs((F.col("header_total") - F.col("line_net")).cast("double"))
+        <= 0.01 * F.col("header_total").cast("double")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(missing.cast("long")).alias("n_without_lines"),
+        F.sum(ok_1pct.cast("long")).alias("n_reconciled_1pct"),
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        ~missing,
+                        F.abs(
+                            (
+                                F.col("header_total") - F.col("line_net")
+                            ).cast("decimal(18,2)")
+                        ),
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.nullif(
+                    F.sum(
+                        F.when(
+                            ~missing,
+                            F.col("header_total").cast("decimal(18,2)"),
+                        )
+                    ),
+                    F.lit(0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("weighted_abs_gap"),
+    )
+
+
+_FK_CHECKS = [
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_sql() -> str:
+    parts = []
+    for name, child, fk, parent, pk in _FK_CHECKS:
+        parts.append(f"""
+    SELECT '{name}' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON p.{pk} = c.{fk}""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY fk"
+
+
+@register(
+    "fk_orphan_report",
+    _fk_sql(),
+    doc="Referential-integrity sweep over every foreign key in the "
+    "schema: child rows whose key has no parent (orphans). Each check "
+    "is a left join against the DISTINCT parent-key projection — the "
+    "parent side collapses to its key column before shuffling, and "
+    "dimension-sized parents broadcast. Generalizes the reference's "
+    "single customer-key DQ check (fn_dq_checks) to the whole star.",
+)
+def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for name, child, fk, parent, pk in _FK_CHECKS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        j = c.join(p, c[fk] == p[pk], "left")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(F.col(pk).isNull().cast("long")).alias("n_orphans"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fk")
