@@ -223,6 +223,7 @@ STATS = [
     "audience_overlap",
     "order_reconciliation",
     "fk_orphan_report",
+    "mixture_temperature_weights",
 ]
 
 

@@ -1256,3 +1256,76 @@ from etl_data_spark.queries import REGISTRY as _REG  # noqa: E402
 _REG["corpus_export_manifest"].oracle = _REG[
     "corpus_export_manifest"
 ].oracle.replace("{CURATE_SQL}", _REG["corpus_curate_end2end"].oracle)
+
+
+_MIX_TEMP_BUDGET = 1_000_000  # tokens per training epoch
+
+
+@register(
+    "mixture_temperature_weights",
+    f"""
+    WITH m AS (
+      SELECT source, CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS nn,
+             SUM(SQRT(CAST(tokens AS DOUBLE))) AS z
+      FROM m
+    )
+    SELECT m.source, m.tokens,
+           ROUND(CAST(m.tokens AS DOUBLE) / tot.nn, 6) + 0.0 AS raw_share,
+           ROUND(SQRT(CAST(m.tokens AS DOUBLE)) / tot.z, 6) + 0.0
+             AS temp_weight,
+           ROUND(({_MIX_TEMP_BUDGET}.0 * SQRT(CAST(m.tokens AS DOUBLE))
+                  / tot.z) / m.tokens, 6) + 0.0 AS expected_epochs
+    FROM m CROSS JOIN tot ORDER BY m.source
+    """,
+    doc="Temperature-based corpus mixing (alpha = 0.5, i.e. sampling "
+    "weight proportional to sqrt of token mass — the multilingual "
+    "up/down-sampling rule from XLM-R-style training): per source, raw "
+    "token share, the temperature-adjusted sampling weight, and how "
+    "many epochs of that source a 1M-token training budget implies "
+    "(small sources repeat, big sources subsample — the quantity this "
+    "readout exists to surface). The normalizer z = sum of sqrt masses "
+    "is a sum over the SOURCE domain (dozens of rows), so double "
+    "summation order is the domain's deterministic agg; everything "
+    "upstream is an integer token reduction.",
+)
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_spark.operators.text import token_count
+
+    m = d.groupBy("source").agg(
+        F.sum(token_count("text").cast("long")).alias("tokens")
+    )
+    tot = F.broadcast(
+        m.agg(
+            F.sum("tokens").alias("nn"),
+            F.sum(F.sqrt(F.col("tokens").cast("double"))).alias("z"),
+        )
+    )
+    sq = F.sqrt(F.col("tokens").cast("double"))
+    return (
+        m.crossJoin(tot)
+        .select(
+            "source",
+            "tokens",
+            (
+                F.round(F.col("tokens").cast("double") / F.col("nn"), 6)
+                + F.lit(0.0)
+            ).alias("raw_share"),
+            (F.round(sq / F.col("z"), 6) + F.lit(0.0)).alias(
+                "temp_weight"
+            ),
+            (
+                F.round(
+                    (F.lit(float(_MIX_TEMP_BUDGET)) * sq / F.col("z"))
+                    / F.col("tokens"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("expected_epochs"),
+        )
+        .orderBy("source")
+    )
