@@ -5176,24 +5176,21 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
       FROM v GROUP BY x
     ),
-    tot AS (
-      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
-      FROM dom
-    ),
     cum AS (
       SELECT SUM(ca) OVER (ORDER BY x
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cua,
              SUM(cb) OVER (ORDER BY x
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cub
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cub,
+             SUM(ca) OVER () AS na,
+             SUM(cb) OVER () AS nb
       FROM dom
     )
-    SELECT tot.na, tot.nb,
-           CAST(MAX(ABS(tot.nb * cua - tot.na * cub)) AS BIGINT)
-             AS d_numerator,
-           ROUND(CAST(MAX(ABS(tot.nb * cua - tot.na * cub)) AS DOUBLE)
-                 / (CAST(tot.na AS DOUBLE) * tot.nb), 6) + 0.0
+    SELECT CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+           CAST(MAX(ABS(nb * cua - na * cub)) AS BIGINT) AS d_numerator,
+           ROUND(CAST(MAX(ABS(nb * cua - na * cub)) AS DOUBLE)
+                 / (CAST(MAX(na) AS DOUBLE) * MAX(nb)), 6) + 0.0
              AS ks_statistic
-    FROM cum CROSS JOIN tot GROUP BY tot.na, tot.nb
+    FROM cum
     """,
     doc="Exact two-sample Kolmogorov-Smirnov statistic between URGENT "
     "and LOW order values: D = max |F_a - F_b| over the pooled value "
@@ -5218,31 +5215,31 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("grp_a").cast("long")).alias("ca"),
         F.sum((~F.col("grp_a")).cast("long")).alias("cb"),
     )
-    tot = F.broadcast(
-        dom.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    )
+    # totals come from a whole-frame window over the SAME domain frame,
+    # so the plan is structurally one scan (no second tot branch)
     wcum = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
     cum = dom.select(
         F.sum("ca").over(wcum).alias("cua"),
         F.sum("cb").over(wcum).alias("cub"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
     )
     d = F.max(
         F.abs(F.col("nb") * F.col("cua") - F.col("na") * F.col("cub"))
     )
-    return (
-        cum.crossJoin(tot)
-        .groupBy("na", "nb")
-        .agg(
-            d.cast("long").alias("d_numerator"),
-            (
-                F.round(
-                    d.cast("double")
-                    / (F.col("na").cast("double") * F.col("nb")),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("ks_statistic"),
-        )
+    return cum.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        d.cast("long").alias("d_numerator"),
+        (
+            F.round(
+                d.cast("double")
+                / (F.max("na").cast("double") * F.max("nb")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ks_statistic"),
     )
 
 

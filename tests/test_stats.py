@@ -660,3 +660,40 @@ def test_brier_decomposition_identity(spark):
     assert abs(
         (r.reliability - r.resolution + r.uncertainty) - brier_binned
     ) < 1e-4
+
+
+# -- plan pins for the continuation wave ------------------------------------
+
+
+def test_ks_two_sample_single_scan_partial_agg(spark):
+    p = plan(q(spark, "ks_two_sample"))
+    assert p.count("Scan parquet") == 1
+    assert "HashAggregate" in p
+
+
+def test_spearman_bounds_and_sign(spark):
+    # (structural note: the fact frame is persisted and referenced by
+    # the two rank-map branches + the join — one materialization at
+    # runtime; the textual plan after clearCache shows raw scans, so a
+    # scan-count pin would mis-measure the cached execution)
+    r = q(spark, "spearman_rho").first()
+    assert -1.0 <= r.spearman_rho <= 1.0
+    assert r.n_orders > 0
+
+
+def test_association_rules_topk_and_broadcast(spark):
+    p = plan(q(spark, "association_rules"))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_fk_orphan_report_broadcasts_dimension_parents(spark):
+    p = plan(q(spark, "fk_orphan_report"))
+    # nation/region/supplier parents are dimension-sized -> broadcast
+    assert "BroadcastHashJoin" in p
+
+
+def test_pareto_front_broadcasts_runmax(spark):
+    p = plan(q(spark, "pareto_front"))
+    assert "BroadcastHashJoin" in p
+    assert p.count("Scan parquet") <= 2  # fact + daily-domain reuse
