@@ -224,6 +224,7 @@ STATS = [
     "order_reconciliation",
     "fk_orphan_report",
     "mixture_temperature_weights",
+    "cdc_net_changes",
 ]
 
 

@@ -682,3 +682,60 @@ def q_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shipped_value"
         ),
     )
+
+
+@register(
+    "cdc_net_changes",
+    f"""
+    WITH old AS ({_SQL_OLD}), new AS ({_SQL_NEW}),
+    feed AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                  WHEN n.o_orderkey IS NULL THEN 'D'
+                  ELSE 'U' END AS op,
+             COALESCE(CAST(n.o_totalprice AS DECIMAL(18,2)), 0)
+               - COALESCE(CAST(o.o_totalprice AS DECIMAL(18,2)), 0)
+               AS price_delta,
+             COALESCE(n.o_orderstatus, o.o_orderstatus) AS status
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    )
+    SELECT status, op,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(SUM(price_delta) AS DOUBLE) + 0.0 AS net_revenue_delta
+    FROM feed GROUP BY status, op ORDER BY status, op
+    """,
+    doc="Net-change rollup of the CDC feed: per (status, operation), "
+    "change counts and the NET revenue delta (insert adds new value, "
+    "delete subtracts old, update contributes the difference) — what "
+    "an incremental aggregate-maintenance job applies downstream "
+    "instead of recomputing the rollup from scratch. Exact decimal "
+    "deltas; composes snapshot_diff's full-outer-join shape with one "
+    "partial agg.",
+)
+def q_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    feed = CDC.snapshot_diff(old, new, ["o_orderkey"])
+    delta = F.coalesce(
+        F.col("new_o_totalprice").cast("decimal(18,2)"), F.lit(0)
+    ) - F.coalesce(
+        F.col("old_o_totalprice").cast("decimal(18,2)"), F.lit(0)
+    )
+    status = F.coalesce(
+        F.col("new_o_orderstatus"), F.col("old_o_orderstatus")
+    )
+    return (
+        feed.select(
+            status.alias("status"), "op", delta.alias("price_delta")
+        )
+        .groupBy("status", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            (F.sum("price_delta").cast("double") + F.lit(0.0)).alias(
+                "net_revenue_delta"
+            ),
+        )
+        .orderBy("status", "op")
+    )
