@@ -225,6 +225,7 @@ STATS = [
     "fk_orphan_report",
     "mixture_temperature_weights",
     "cdc_net_changes",
+    "skew_kurtosis",
 ]
 
 

@@ -5688,3 +5688,90 @@ def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("fk")
+
+
+@register(
+    "skew_kurtosis",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_q
+      FROM orders GROUP BY o_orderpriority
+    ),
+    c AS (
+      SELECT o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(POWER(o.o_totalprice - m.mean_q, 2), 4)
+                 AS DECIMAL(38,4))) AS c2,
+             SUM(CAST(ROUND(POWER(o.o_totalprice - m.mean_q, 3), 4)
+                 AS DECIMAL(38,4))) AS c3,
+             SUM(CAST(ROUND(POWER(o.o_totalprice - m.mean_q, 4), 4)
+                 AS DECIMAL(38,4))) AS c4
+      FROM orders o JOIN m USING (o_orderpriority)
+      GROUP BY o.o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           ROUND((CAST(c3 AS DOUBLE) / n)
+                 / POWER(CAST(c2 AS DOUBLE) / n, 1.5), 6) + 0.0
+             AS skewness,
+           ROUND((CAST(c4 AS DOUBLE) / n)
+                 / POWER(CAST(c2 AS DOUBLE) / n, 2) - 3.0, 6) + 0.0
+             AS excess_kurtosis
+    FROM c ORDER BY o_orderpriority
+    """,
+    doc="Per-priority skewness and excess kurtosis by the two-pass "
+    "central-moment method: pass 1 computes the exact decimal mean "
+    "(rounded to 6dp so both engines center on the identical double), "
+    "pass 2 sums 4dp-quantized centered powers as DECIMAL(38,4) — "
+    "fold-order-exact where naive double sums of 4th powers would "
+    "drift. The shape distribution profile completing "
+    "moments_merge's mean/variance: heavy right tails (skew > 0, "
+    "kurtosis > 0) are what monetary columns exhibit. Broadcast mean "
+    "join; two scans by construction.",
+)
+def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = F.broadcast(
+        o.groupBy("o_orderpriority").agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_q")
+        )
+    )
+    d = F.col("o_totalprice") - F.col("mean_q")
+    c = (
+        o.join(m, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.pow(d, 2), 4).cast("decimal(38,4)")).alias("c2"),
+            F.sum(F.round(F.pow(d, 3), 4).cast("decimal(38,4)")).alias("c3"),
+            F.sum(F.round(F.pow(d, 4), 4).cast("decimal(38,4)")).alias("c4"),
+        )
+    )
+    m2 = F.col("c2").cast("double") / F.col("n")
+    return c.select(
+        "o_orderpriority",
+        "n",
+        (
+            F.round(
+                (F.col("c3").cast("double") / F.col("n"))
+                / F.pow(m2, 1.5),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("skewness"),
+        (
+            F.round(
+                (F.col("c4").cast("double") / F.col("n")) / F.pow(m2, 2)
+                - 3.0,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("excess_kurtosis"),
+    ).orderBy("o_orderpriority")
