@@ -226,6 +226,8 @@ STATS = [
     "mixture_temperature_weights",
     "cdc_net_changes",
     "skew_kurtosis",
+    "source_overlap_pairs",
+    "prf_expansion_terms",
 ]
 
 

@@ -943,3 +943,90 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("doc_freq"), "term")
     )
+
+
+_PRF_FEEDBACK_K, _PRF_TERMS = 10, 5
+
+
+@register(
+    "prf_expansion_terms",
+    f"""
+    WITH {_SQL_BM25_SCORED},
+    fb AS (
+      SELECT doc_id FROM scored
+      ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {_PRF_FEEDBACK_K}
+    ),
+    alltoks AS ({_SQL_TOKS}),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    cand AS (
+      SELECT t.term,
+             CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS r
+      FROM alltoks t JOIN fb USING (doc_id)
+      WHERE t.term <> ''
+        AND t.term NOT IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY t.term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM alltoks WHERE term <> '' GROUP BY term
+    )
+    SELECT c.term, c.r AS feedback_df, d.df AS corpus_df,
+           ROUND(c.r * LN((nd.n - d.df + 0.5e0) / (d.df + 0.5e0)), 6)
+             + 0.0 AS rsj_score
+    FROM cand c JOIN dfreq d USING (term) CROSS JOIN nd
+    ORDER BY rsj_score DESC, c.term LIMIT {_PRF_TERMS}
+    """,
+    doc="Pseudo-relevance-feedback query expansion: the top-5 terms "
+    "from the BM25 top-10 feedback documents, scored by feedback "
+    "document frequency times the Robertson-Sparck-Jones idf — the "
+    "classic automatic query-expansion step between first-pass "
+    "retrieval and re-ranking. Original query terms are excluded. "
+    "Shape: the feedback set is a top-k frame; candidate terms reduce "
+    "to the feedback vocabulary (tiny) and join the corpus df dim by "
+    "term key.",
+)
+def q_prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fb = (
+        _bm25_scored(d)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_PRF_FEEDBACK_K)
+        .select("doc_id")
+    )
+    toks = _tokens(d).filter(
+        (F.col("term") != "") & (~F.col("term").isin(*_BM25_TERMS))
+    )
+    nd = F.broadcast(d.agg(F.count(F.lit(1)).alias("n")))
+    cand = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("r"))
+    )
+    dfreq = (
+        _tokens(d)
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        cand.join(dfreq, "term")
+        .crossJoin(nd)
+        .select(
+            "term",
+            F.col("r").alias("feedback_df"),
+            F.col("df").alias("corpus_df"),
+            (
+                F.round(
+                    F.col("r")
+                    * F.log(
+                        (F.col("n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rsj_score"),
+        )
+        .orderBy(F.desc("rsj_score"), "term")
+        .limit(_PRF_TERMS)
+    )
