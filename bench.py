@@ -228,6 +228,7 @@ STATS = [
     "skew_kurtosis",
     "source_overlap_pairs",
     "prf_expansion_terms",
+    "knn_mrr",
 ]
 
 
