@@ -229,6 +229,8 @@ STATS = [
     "source_overlap_pairs",
     "prf_expansion_terms",
     "knn_mrr",
+    "session_entry_exit",
+    "concentration_trend",
 ]
 
 

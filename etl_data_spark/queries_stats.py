@@ -5775,3 +5775,168 @@ def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("excess_kurtosis"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "session_entry_exit",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM tagged
+    ),
+    pos AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, session_seq) AS n
+      FROM sess
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_entry_sessions,
+           CAST(SUM(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exit_sessions,
+           CAST(SUM(CASE WHEN rn = 1 AND n = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounce_sessions
+    FROM pos GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Session entry/exit/bounce profile per event type: which action "
+    "opens sessions, which closes them, and how many sessions are "
+    "single-event bounces — the product-analytics landing/exit-page "
+    "readout on the 30-min-gap sessionization. Ties inside a session "
+    "break on (ts, event_id) in both engines. Windows are per-user / "
+    "per-session partitions (bounded fan-in); the rollup is a "
+    "partial agg on the 5-type key.",
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(wlag).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wlag))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = tagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            wlag.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    wsess = W.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    pos = sess.select(
+        "event_type",
+        F.row_number().over(wsess).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("user_id", "session_seq"))
+        .alias("n"),
+    )
+    return (
+        pos.groupBy("event_type")
+        .agg(
+            F.sum((F.col("rn") == 1).cast("long")).alias(
+                "n_entry_sessions"
+            ),
+            F.sum((F.col("rn") == F.col("n")).cast("long")).alias(
+                "n_exit_sessions"
+            ),
+            F.sum(
+                ((F.col("rn") == 1) & (F.col("n") == 1)).cast("long")
+            ).alias("n_bounce_sessions"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "concentration_trend",
+    """
+    WITH cm AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT month, rev,
+             ROW_NUMBER() OVER (PARTITION BY month
+                                ORDER BY rev DESC, o_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY month) AS n_cust,
+             SUM(rev) OVER (PARTITION BY month) AS month_rev
+      FROM cm
+    )
+    SELECT month,
+           CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CASE WHEN rn * 10 <= n_cust THEN rev
+                    ELSE 0 END) AS DOUBLE)
+                 / CAST(MAX(month_rev) AS DOUBLE), 6) + 0.0
+             AS top_decile_share
+    FROM ranked GROUP BY month ORDER BY month
+    """,
+    doc="Revenue-concentration trend: the monthly share of revenue held "
+    "by the top decile of that month's customers (rn*10 <= n is the "
+    "integer-exact decile cut) — the time-resolved companion to the "
+    "static Gini. Customer-month revenue is an exact decimal "
+    "reduction; ranking windows run per MONTH partition over the "
+    "customer-month domain, so no global sort exists at any scale.",
+)
+def q_concentration_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_custkey",
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    wm = W.partitionBy("month")
+    ranked = cm.select(
+        "month",
+        "rev",
+        F.row_number()
+        .over(wm.orderBy(F.desc("rev"), "o_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("n_cust"),
+        F.sum("rev").over(wm).alias("month_rev"),
+    )
+    return (
+        ranked.groupBy("month")
+        .agg(
+            F.max("n_cust").cast("long").alias("n_customers"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("rn") * 10 <= F.col("n_cust"),
+                            F.col("rev"),
+                        ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                    ).cast("double")
+                    / F.max("month_rev").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("top_decile_share"),
+        )
+        .orderBy("month")
+    )
