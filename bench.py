@@ -231,6 +231,8 @@ STATS = [
     "knn_mrr",
     "session_entry_exit",
     "concentration_trend",
+    "new_vs_returning",
+    "ab_test_mde",
 ]
 
 

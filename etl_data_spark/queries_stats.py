@@ -5940,3 +5940,140 @@ def q_concentration_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "new_vs_returning",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+             (CAST(e.ts AS DATE) = f.first_day) AS is_new
+      FROM events e JOIN first_seen f USING (user_id)
+      GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+             AS returning_users,
+           ROUND(CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS DOUBLE)
+                 / COUNT(*), 6) + 0.0 AS returning_share
+    FROM daily GROUP BY day ORDER BY day
+    """,
+    doc="New vs returning daily active users: a user is 'new' only on "
+    "their first-ever active day — the growth-accounting split every "
+    "product dashboard leads with. first_seen is a per-user MIN "
+    "reduce; the daily frame is the distinct (day, user) activity "
+    "grid; both shuffles key on user_id and co-locate.",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .join(first_seen, "user_id")
+        .select(
+            "day",
+            "user_id",
+            (F.col("day") == F.col("first_day")).alias("is_new"),
+        )
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.sum(F.col("is_new").cast("long")).alias("new_users"),
+            F.sum((~F.col("is_new")).cast("long")).alias(
+                "returning_users"
+            ),
+            (
+                F.round(
+                    F.sum((~F.col("is_new")).cast("long")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("returning_share"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "ab_test_mde",
+    """
+    WITH b AS (
+      SELECT event_id % 2 = 0 AS in_treatment,
+             CAST(value AS DECIMAL(12,2)) AS d
+      FROM events
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN in_treatment THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN in_treatment THEN d END) AS DOUBLE) AS s1,
+        CAST(SUM(CASE WHEN in_treatment THEN d * d END) AS DOUBLE) AS q1,
+        CAST(SUM(CASE WHEN in_treatment THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN in_treatment THEN NULL ELSE d END) AS DOUBLE) AS s2,
+        CAST(SUM(CASE WHEN in_treatment THEN NULL ELSE d * d END) AS DOUBLE)
+          AS q2
+      FROM b
+    ),
+    m AS (
+      SELECT n1, n2, s2 / n2 AS m2,
+             SQRT((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                  + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) AS se
+      FROM s
+    )
+    SELECT n1 AS n_treatment, n2 AS n_control,
+           ROUND((1.959963984540054 + 0.8416212335729143) * se, 6) + 0.0
+             AS mde_abs,
+           ROUND((1.959963984540054 + 0.8416212335729143) * se / m2
+                 * 100.0, 4) + 0.0 AS mde_pct
+    FROM m
+    """,
+    doc="Minimum detectable effect of the running A/B setup at 80% "
+    "power / 95% two-sided confidence: MDE = (z_{0.975} + z_{0.80}) * "
+    "SE — the experiment-sizing companion to ab_test_lift (a lift "
+    "smaller than this cannot be distinguished from noise at current "
+    "sample sizes). Same one-scan conditional decimal moment sums; "
+    "both z constants written to full double precision so the "
+    "expression is bit-identical cross-engine.",
+)
+def q_ab_test_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(12,2)")
+    t = F.col("event_id") % 2 == 0
+    b = e.select(t.alias("in_treatment"), d.alias("d"))
+    ist = F.col("in_treatment")
+    s = b.agg(
+        F.sum(ist.cast("long")).alias("n1"),
+        F.sum(F.when(ist, F.col("d"))).cast("double").alias("s1"),
+        F.sum(F.when(ist, F.col("d") * F.col("d"))).cast("double").alias("q1"),
+        F.sum((~ist).cast("long")).alias("n2"),
+        F.sum(F.when(~ist, F.col("d"))).cast("double").alias("s2"),
+        F.sum(F.when(~ist, F.col("d") * F.col("d")))
+        .cast("double")
+        .alias("q2"),
+    )
+    se = F.sqrt(
+        (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+        + (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    zsum = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    m2 = F.col("s2") / F.col("n2")
+    return s.select(
+        F.col("n1").alias("n_treatment"),
+        F.col("n2").alias("n_control"),
+        (F.round(zsum * se, 6) + F.lit(0.0)).alias("mde_abs"),
+        (F.round(zsum * se / m2 * 100.0, 4) + F.lit(0.0)).alias("mde_pct"),
+    )
