@@ -233,6 +233,7 @@ STATS = [
     "concentration_trend",
     "new_vs_returning",
     "ab_test_mde",
+    "char_entropy",
 ]
 
 
