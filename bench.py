@@ -234,6 +234,7 @@ STATS = [
     "new_vs_returning",
     "ab_test_mde",
     "char_entropy",
+    "vocab_growth_curve",
 ]
 
 

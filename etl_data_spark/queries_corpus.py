@@ -1329,3 +1329,83 @@ def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+_HEAPS_STEP = 50  # checkpoint every 50 docs in doc_id order
+
+
+@register(
+    "vocab_growth_curve",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE w <> ''
+    ),
+    firsts AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY doc_id
+    ),
+    cp AS (
+      SELECT unnest(range({_HEAPS_STEP},
+                          (SELECT MAX(doc_id) FROM documents) + 1,
+                          {_HEAPS_STEP})) AS checkpoint
+    )
+    SELECT cp.checkpoint,
+           (SELECT CAST(SUM(n_tok) AS BIGINT) FROM doc_tokens
+            WHERE doc_id < cp.checkpoint) AS tokens_seen,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+            WHERE first_doc < cp.checkpoint) AS vocab_size
+    FROM cp ORDER BY cp.checkpoint
+    """,
+    doc="Heaps'-law vocabulary growth curve: distinct vocabulary vs "
+    "tokens ingested at every 50-document checkpoint (doc_id order) — "
+    "the companion to zipf_slope for corpus health (vocabulary that "
+    "stops growing signals duplication; growth that never bends "
+    "signals noise/gibberish). Cumulative distinct WITHOUT re-scanning "
+    "per checkpoint: each word reduces to its FIRST-occurrence doc "
+    "(one groupBy), and a checkpoint's vocab is a count over that "
+    "first-occurrence domain — the same trick turns cumulative "
+    "distinct users into a first-seen reduction at any scale.",
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .persist()
+    )
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    max_doc = d.agg(F.max("doc_id")).first()[0]
+    cps = d.sparkSession.createDataFrame(
+        [(c,) for c in range(_HEAPS_STEP, max_doc + 1, _HEAPS_STEP)],
+        "checkpoint bigint",
+    )
+    tok_cp = (
+        F.broadcast(cps)
+        .join(doc_tokens, doc_tokens["doc_id"] < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.sum("n_tok").alias("tokens_seen"))
+    )
+    voc_cp = (
+        F.broadcast(cps)
+        .join(firsts, firsts["first_doc"] < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return (
+        tok_cp.join(voc_cp, "checkpoint")
+        .select("checkpoint", "tokens_seen", "vocab_size")
+        .orderBy("checkpoint")
+    )
