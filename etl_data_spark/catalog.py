@@ -37,8 +37,14 @@ the join-skew report, A-priori triples, incremental delta dedup,
 Theil-Sen, the conformal band, personalized PageRank, group k-fold,
 association rules, the Brier decomposition, NDCG@10, embedding drift,
 diff-in-diff, missing-days, posting lists, assortativity, lang-ID
-kappa, the geometric median, packing efficiency) are next round's
-rotation. All entries remain
+kappa, the geometric median, packing efficiency, the export manifest,
+KS/Cramér's-V/Spearman/CCF/skew-kurtosis statistics, the dedup
+threshold curve and cluster sizes, source-overlap and audience
+matrices, order reconciliation + the FK sweep, temperature mixing,
+CDC net changes, PRF expansion, kNN MRR, session entry/exit,
+concentration and new-vs-returning trends, the A/B MDE, char entropy,
+and the Heaps vocabulary curve — the full map lives in COVERAGE.md)
+are next round's rotation. All entries remain
 pytest-oracle-checked locally every round regardless of position
 (tests/test_queries_oracle.py enumerates REGISTRY), and the full
 registry was driver-simulated green at sf0.01 repeatedly this round
