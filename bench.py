@@ -235,6 +235,7 @@ STATS = [
     "ab_test_mde",
     "char_entropy",
     "vocab_growth_curve",
+    "monthly_quantile_bands",
 ]
 
 

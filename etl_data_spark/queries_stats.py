@@ -6077,3 +6077,35 @@ def q_ab_test_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(zsum * se, 6) + F.lit(0.0)).alias("mde_abs"),
         (F.round(zsum * se / m2 * 100.0, 4) + F.lit(0.0)).alias("mde_pct"),
     )
+
+
+@register(
+    "monthly_quantile_bands",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) + 0.0 AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) + 0.0 AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) + 0.0 AS p75
+    FROM orders
+    GROUP BY 1 ORDER BY month
+    """,
+    doc="Monthly quantile bands (fan chart) of order value: exact "
+    "interpolated p25/p50/p75 per month — the distribution-over-time "
+    "readout that catches shape changes a mean trend hides. Grouped "
+    "exact percentiles are per-month aggregations (Spark's native "
+    "percentile(), partial state per group); at 100 TB the swap-in is "
+    "approx_percentile with documented error.",
+)
+def q_monthly_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.percentile("o_totalprice", F.lit(0.25)), 6) + F.lit(0.0)).alias("p25"),
+            (F.round(F.percentile("o_totalprice", F.lit(0.50)), 6) + F.lit(0.0)).alias("p50"),
+            (F.round(F.percentile("o_totalprice", F.lit(0.75)), 6) + F.lit(0.0)).alias("p75"),
+        )
+        .orderBy("month")
+    )
