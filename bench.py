@@ -236,6 +236,7 @@ STATS = [
     "char_entropy",
     "vocab_growth_curve",
     "monthly_quantile_bands",
+    "session_length_histogram",
 ]
 
 

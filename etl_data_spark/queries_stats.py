@@ -6109,3 +6109,53 @@ def q_monthly_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "session_length_histogram",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM tagged
+    ),
+    lens AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT LEAST(n_events, 10) AS n_events_capped,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM lens GROUP BY 1 ORDER BY n_events_capped
+    """,
+    doc="Session-length histogram (events per session, capped at 10+): "
+    "the engagement-depth distribution behind bounce-rate and "
+    "stickiness metrics. Same gaps-and-islands sessionization as "
+    "session_stats; the histogram is two partial aggs over "
+    "session-sized then bucket-sized frames.",
+)
+def q_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators import temporal as TP
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    sess = TP.session_stats(
+        e, ts_col="ts", key_col="user_id", gap_minutes=30
+    )
+    return (
+        sess.groupBy(
+            F.least(F.col("n_events").cast("long"), F.lit(10).cast("long")).alias(
+                "n_events_capped"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events_capped")
+    )
