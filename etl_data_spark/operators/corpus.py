@@ -85,15 +85,25 @@ def _ngram_array(text: str | Column, n: int) -> Column:
     tk = F.split(F.trim(_col(text)), r"\s+")
 
     def _grams(tkb: Column) -> Column:
-        return F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(tkb) - (n - 1), F.lit(0))
+        # size(tkb) < n must yield []: sequence(1, 0) DESCENDS in Spark
+        # ([1, 0]) and element_at(tk, 0) THROWS under ANSI mode — a doc
+        # shorter than the gram width would crash the whole query
+        # (found by the hypothesis property test; the DuckDB mirrors'
+        # range(1, greatest(len-n+1,0)+1) is empty for short docs, so
+        # this guard also aligns the engines)
+        return F.when(
+            F.size(tkb) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tkb) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(tkb, (i + j).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
             ),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(tkb, (i + j).cast("int")) for j in range(n)],
-            ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
 
     bound = F.element_at(F.transform(F.array(tk), _grams), 1)
     return F.when(

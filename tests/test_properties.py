@@ -194,3 +194,49 @@ def test_global_row_number_equals_sorted_index(spark, vals, nparts):
         )
     }
     assert got == want
+
+
+@PROP_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Ll", "Lu", "Nd")
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_ngram_array_matches_reference(spark, docs, n):
+    """The let-bound n-gram builder (rewritten for the O(tokens^2)
+    substitution fix) must equal the plain Python n-gram computation
+    for arbitrary token sequences."""
+    from etl_data_spark.operators.corpus import _ngram_array
+
+    rows = [(i, " ".join(tks)) for i, tks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["grams"]
+        for r in df.select(
+            "doc_id", _ngram_array("text", n).alias("grams")
+        ).collect()
+    }
+    for i, tks in enumerate(docs):
+        # mirror the operator's tokenizer: split on whitespace after trim
+        toks = " ".join(tks).strip().split()
+        if not " ".join(tks).strip():
+            expected = []
+        else:
+            expected = [
+                " ".join(toks[j : j + n])
+                for j in range(max(len(toks) - n + 1, 0))
+            ]
+        assert got[i] == expected, (i, tks, got[i], expected)
