@@ -237,6 +237,7 @@ STATS = [
     "vocab_growth_curve",
     "monthly_quantile_bands",
     "session_length_histogram",
+    "purchase_cadence",
 ]
 
 

@@ -6159,3 +6159,59 @@ def q_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("n_events_capped")
     )
+
+
+@register(
+    "purchase_cadence",
+    """
+    WITH g AS (
+      SELECT o_custkey % 10 AS segment,
+             CAST(DATEDIFF('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      FROM orders
+    )
+    SELECT segment,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_days, 0.5), 6) + 0.0 AS median_gap_days,
+           ROUND(quantile_cont(gap_days, 0.9), 6) + 0.0 AS p90_gap_days
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="Purchase cadence per customer segment (custkey mod 10): median "
+    "and p90 days between consecutive orders of the same customer — "
+    "the repeat-purchase rhythm behind replenishment campaigns and "
+    "churn-window choices. Gaps come from a per-customer lag window "
+    "(bounded partitions, (date, orderkey) ties pinned); the exact "
+    "interpolated quantiles aggregate per 10-value segment.",
+)
+def q_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        (F.col("o_custkey") % 10).alias("segment"),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        )
+        .cast("long")
+        .alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        g.groupBy("segment")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            (
+                F.round(F.percentile("gap_days", F.lit(0.5)), 6)
+                + F.lit(0.0)
+            ).alias("median_gap_days"),
+            (
+                F.round(F.percentile("gap_days", F.lit(0.9)), 6)
+                + F.lit(0.0)
+            ).alias("p90_gap_days"),
+        )
+        .orderBy("segment")
+    )
