@@ -238,6 +238,7 @@ STATS = [
     "monthly_quantile_bands",
     "session_length_histogram",
     "purchase_cadence",
+    "keyness_terms",
 ]
 
 

@@ -1409,3 +1409,134 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("checkpoint", "tokens_seen", "vocab_size")
         .orderBy("checkpoint")
     )
+
+
+def _duck_xlogx(e: str) -> str:
+    return f"CASE WHEN {e} > 0 THEN {e} * LN(CAST({e} AS DOUBLE)) ELSE 0.0e0 END"
+
+
+@register(
+    "keyness_terms",
+    f"""
+    WITH toks AS (
+      SELECT lang, w FROM (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE w <> ''
+    ),
+    lt AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS a
+      FROM toks GROUP BY lang, w
+    ),
+    wt AS (SELECT w, CAST(SUM(a) AS BIGINT) AS wtot FROM lt GROUP BY w),
+    ltot AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS ln_tot
+             FROM lt GROUP BY lang),
+    nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM lt),
+    cells AS (
+      SELECT lt.lang, lt.w, lt.a,
+             wt.wtot - lt.a AS b,
+             ltot.ln_tot - lt.a AS c,
+             nn.n - wt.wtot - ltot.ln_tot + lt.a AS d,
+             nn.n AS n, wt.wtot AS wtot, ltot.ln_tot AS ln_tot
+      FROM lt JOIN wt USING (w) JOIN ltot USING (lang) CROSS JOIN nn
+    ),
+    scored AS (
+      SELECT lang, w, a,
+             ROUND(2.0e0 * (CASE WHEN a > 0 THEN a * LN(CAST(a AS DOUBLE)) ELSE 0.0e0 END + CASE WHEN b > 0 THEN b * LN(CAST(b AS DOUBLE)) ELSE 0.0e0 END
+                   + CASE WHEN c > 0 THEN c * LN(CAST(c AS DOUBLE)) ELSE 0.0e0 END + CASE WHEN d > 0 THEN d * LN(CAST(d AS DOUBLE)) ELSE 0.0e0 END + CASE WHEN n > 0 THEN n * LN(CAST(n AS DOUBLE)) ELSE 0.0e0 END
+                   - CASE WHEN (a + b) > 0 THEN (a + b) * LN(CAST((a + b) AS DOUBLE)) ELSE 0.0e0 END - CASE WHEN (a + c) > 0 THEN (a + c) * LN(CAST((a + c) AS DOUBLE)) ELSE 0.0e0 END
+                   - CASE WHEN (b + d) > 0 THEN (b + d) * LN(CAST((b + d) AS DOUBLE)) ELSE 0.0e0 END - CASE WHEN (c + d) > 0 THEN (c + d) * LN(CAST((c + d) AS DOUBLE)) ELSE 0.0e0 END), 6) AS g2
+      FROM cells
+      WHERE (1.0e0 * a) * n > (1.0e0 * wtot) * ln_tot
+    )
+    SELECT lang, w AS term, a AS tf_in_lang, g2 + 0.0 AS g2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY g2 DESC, w) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY lang, g2 DESC, term
+    """,
+    doc="Keyness (Dunning log-likelihood G2): the 3 most characteristic "
+    "OVERUSED terms of each language subcorpus vs the rest — the "
+    "corpus-linguistics measure behind 'what distinguishes this "
+    "slice'. G2 comes entirely from integer contingency counts "
+    "(term-in-lang / term-elsewhere / other-tokens each side) with "
+    "x*ln(x) evaluated once per cell at emit; candidate terms reduce "
+    "to the (lang, term) domain, and the top-3 window partitions by "
+    "language over that domain.",
+)
+def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    lt = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("a")).persist()
+    wt = lt.groupBy("w").agg(F.sum("a").alias("wtot"))
+    ltot = lt.groupBy("lang").agg(F.sum("a").alias("ln_tot"))
+    nn = F.broadcast(lt.agg(F.sum("a").alias("n")))
+    cells = (
+        lt.join(wt, "w")
+        .join(F.broadcast(ltot), "lang")
+        .crossJoin(nn)
+        .select(
+            "lang",
+            "w",
+            "a",
+            (F.col("wtot") - F.col("a")).alias("b"),
+            (F.col("ln_tot") - F.col("a")).alias("c"),
+            (
+                F.col("n") - F.col("wtot") - F.col("ln_tot") + F.col("a")
+            ).alias("d"),
+            "n",
+            "wtot",
+            "ln_tot",
+        )
+    )
+
+    def xlogx(col):
+        return F.when(
+            col > 0, col * F.log(col.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        2.0
+        * (
+            xlogx(F.col("a"))
+            + xlogx(F.col("b"))
+            + xlogx(F.col("c"))
+            + xlogx(F.col("d"))
+            + xlogx(F.col("n"))
+            - xlogx(F.col("a") + F.col("b"))
+            - xlogx(F.col("a") + F.col("c"))
+            - xlogx(F.col("b") + F.col("d"))
+            - xlogx(F.col("c") + F.col("d"))
+        ),
+        6,
+    )
+    overused = (1.0 * F.col("a")) * F.col("n") > (
+        1.0 * F.col("wtot")
+    ) * F.col("ln_tot")
+    scored = cells.select(
+        "lang", "w", "a", g2.alias("g2"), overused.alias("overused")
+    ).filter("overused")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("g2"), "w")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select(
+            "lang",
+            F.col("w").alias("term"),
+            F.col("a").alias("tf_in_lang"),
+            (F.col("g2") + F.lit(0.0)).alias("g2"),
+        )
+        .orderBy("lang", F.desc("g2"), "term")
+    )
