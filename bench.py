@@ -239,6 +239,7 @@ STATS = [
     "session_length_histogram",
     "purchase_cadence",
     "keyness_terms",
+    "gains_table",
 ]
 
 

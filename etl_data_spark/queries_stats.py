@@ -6215,3 +6215,109 @@ def q_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "gains_table",
+    """
+    WITH b AS (
+      SELECT CAST(DATEDIFF('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+      FROM orders
+    ),
+    dom AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lab) AS BIGINT) AS pos
+      FROM b GROUP BY score
+    ),
+    cum AS (
+      SELECT score, n, pos,
+             SUM(n) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             SUM(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+             SUM(n) OVER () AS nn, SUM(pos) OVER () AS np
+      FROM dom
+    ),
+    bucketed AS (
+      SELECT LEAST(((cn - 1) * 10) // nn, 9) AS decile,
+             n, pos, cp, cn, nn, np
+      FROM cum
+    )
+    SELECT decile,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           ROUND(CAST(MAX(cp) AS DOUBLE) / MAX(np), 6) + 0.0
+             AS cum_capture_rate,
+           ROUND((CAST(MAX(cp) AS DOUBLE) / MAX(cn))
+                 / (CAST(MAX(np) AS DOUBLE) / MAX(nn)), 6) + 0.0
+             AS cum_lift
+    FROM bucketed GROUP BY decile ORDER BY decile
+    """,
+    doc="Cumulative gains / lift table for the age-score model: rows "
+    "ranked by score descending and cut into deciles (integer "
+    "arithmetic on cumulative counts — no float bucket edges); per "
+    "decile, the cumulative share of positives captured and the lift "
+    "over random targeting — the campaign-targeting readout that "
+    "complements ROC/PR/calibration. Same score-domain reduction as "
+    "the other eval entries: windows only ever touch the ~350-bucket "
+    "domain.",
+)
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("score"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("lab"),
+    )
+    dom = b.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lab").alias("pos")
+    )
+    wcum = W.orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy()
+    cum = dom.select(
+        "n",
+        "pos",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("pos").over(wcum).alias("cp"),
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("pos").over(wall).alias("np"),
+    )
+    bucketed = cum.select(
+        F.least(
+            F.floor((F.col("cn") - 1) * 10 / F.col("nn")),
+            F.lit(9).cast("long"),
+        ).alias("decile"),
+        "n",
+        "pos",
+        "cp",
+        "cn",
+        "nn",
+        "np",
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("pos").alias("n_pos"),
+            (
+                F.round(F.max("cp").cast("double") / F.max("np"), 6)
+                + F.lit(0.0)
+            ).alias("cum_capture_rate"),
+            (
+                F.round(
+                    (F.max("cp").cast("double") / F.max("cn"))
+                    / (F.max("np").cast("double") / F.max("nn")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
