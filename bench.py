@@ -240,6 +240,7 @@ STATS = [
     "purchase_cadence",
     "keyness_terms",
     "gains_table",
+    "session_copresence",
 ]
 
 

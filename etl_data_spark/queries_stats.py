@@ -6321,3 +6321,120 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "session_copresence",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM tagged
+    ),
+    st AS (
+      SELECT DISTINCT user_id, session_seq, event_type FROM sess
+    ),
+    n_sessions AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ns
+      FROM (SELECT DISTINCT user_id, session_seq FROM st)
+    ),
+    tcnt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM st GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND((CAST(p.n_both AS DOUBLE) * ns.ns)
+                 / (CAST(ta.n AS DOUBLE) * tb.n), 6) + 0.0 AS lift
+    FROM pairs p
+    JOIN tcnt ta ON ta.event_type = p.type_a
+    JOIN tcnt tb ON tb.event_type = p.type_b
+    CROSS JOIN n_sessions ns
+    ORDER BY type_a, type_b
+    """,
+    doc="Within-session co-presence of event-type pairs with lift vs "
+    "independence — which actions happen together in one sitting (the "
+    "behavioral basket analysis; lift >> 1 for click+purchase is the "
+    "session-intent signal). The pair join blocks on (user, session) "
+    "with fan-out bounded by distinct types per session (<= 5); type "
+    "counts and the session total ride as broadcast dims.",
+)
+def q_session_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    wlag = W.partitionBy("user_id").orderBy("ts")
+    tagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(wlag).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wlag))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    st = (
+        tagged.withColumn(
+            "session_seq",
+            F.sum("is_new").over(wlag.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+        .persist()
+    )
+    ns = F.broadcast(
+        st.select("user_id", "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    tcnt = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select("user_id", "session_seq", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_seq", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_seq"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tcnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    tb = tcnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(ns)
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.round(
+                    (F.col("n_both").cast("double") * F.col("ns"))
+                    / (F.col("na").cast("double") * F.col("nb")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
