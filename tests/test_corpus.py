@@ -217,3 +217,17 @@ def test_packing_efficiency_closed_bins_at_least_full(spark):
         # closed bins carry budget + boundary spill-in: >= 1, modestly so
         assert 1.0 <= r.full_bin_utilization < 1.5, r
         assert r.n_bins >= 1 and r.total_tokens > 0
+
+
+def test_keyness_g2_nonnegative_and_overused(spark):
+    from etl_data_spark.catalog import REGISTRY
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["keyness_terms"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    langs = {r.lang for r in rows}
+    assert len(langs) == 5  # every language slice gets key terms
+    for r in rows:
+        assert r.g2 >= 0.0  # G2 is a log-likelihood ratio
+        assert r.tf_in_lang > 0

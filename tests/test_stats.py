@@ -697,3 +697,25 @@ def test_pareto_front_broadcasts_runmax(spark):
     p = plan(q(spark, "pareto_front"))
     assert "BroadcastHashJoin" in p
     assert p.count("Scan parquet") <= 2  # fact + daily-domain reuse
+
+
+def test_gains_table_monotone_capture(spark):
+    rows = q(spark, "gains_table").orderBy("decile").collect()
+    caps = [r.cum_capture_rate for r in rows]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 1.0) < 1e-9  # full population captures all
+    assert rows[0].cum_lift >= rows[-1].cum_lift  # lift decays to 1
+    assert abs(rows[-1].cum_lift - 1.0) < 1e-9
+
+
+def test_session_copresence_lift_positive(spark):
+    for r in q(spark, "session_copresence").collect():
+        assert r.n_both >= 1
+        assert r.lift > 0.0
+        assert r.type_a < r.type_b
+
+
+def test_purchase_cadence_ordering(spark):
+    for r in q(spark, "purchase_cadence").collect():
+        assert r.p90_gap_days >= r.median_gap_days >= 0
+        assert r.n_gaps > 0
