@@ -241,6 +241,7 @@ STATS = [
     "keyness_terms",
     "gains_table",
     "session_copresence",
+    "revenue_bridge",
 ]
 
 

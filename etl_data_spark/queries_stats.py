@@ -6438,3 +6438,107 @@ def q_session_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "revenue_bridge",
+    """
+    WITH cm AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_custkey AS cust,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    prev AS (
+      SELECT month + INTERVAL 1 MONTH AS month, cust, rev AS prev_rev
+      FROM cm
+    ),
+    j AS (
+      SELECT COALESCE(c.month, p.month) AS month,
+             COALESCE(c.cust, p.cust) AS cust,
+             c.rev AS cur_rev, p.prev_rev
+      FROM cm c FULL OUTER JOIN prev p
+        ON p.month = c.month AND p.cust = c.cust
+    ),
+    fm AS (SELECT MIN(month) AS first_month FROM cm)
+    SELECT j.month,
+           CAST(SUM(CASE WHEN prev_rev IS NULL THEN cur_rev END) AS DOUBLE)
+             + 0.0 AS new_rev,
+           CAST(SUM(CASE WHEN cur_rev IS NULL THEN -prev_rev END) AS DOUBLE)
+             + 0.0 AS churned_rev,
+           CAST(SUM(CASE WHEN cur_rev > prev_rev
+                    THEN cur_rev - prev_rev END) AS DOUBLE) + 0.0
+             AS expansion_rev,
+           CAST(SUM(CASE WHEN cur_rev < prev_rev
+                    THEN cur_rev - prev_rev END) AS DOUBLE) + 0.0
+             AS contraction_rev,
+           CAST(SUM(COALESCE(cur_rev, 0) - COALESCE(prev_rev, 0))
+                AS DOUBLE) + 0.0 AS net_change
+    FROM j CROSS JOIN fm
+    WHERE j.month > fm.first_month AND j.month <= (
+      SELECT MAX(month) FROM cm)
+    GROUP BY j.month ORDER BY j.month
+    """,
+    doc="Month-over-month revenue bridge (waterfall): the net change "
+    "decomposed into new-customer revenue, churned revenue, and "
+    "expansion/contraction of retained customers — the components "
+    "always sum exactly to the net because every term is the same "
+    "exact decimal (customer, month) revenue. Shape: one reduction to "
+    "customer-months, a self full-outer join shifted by one month "
+    "(co-partitioned on customer), partial agg per month. The first "
+    "and beyond-last synthetic months are excluded.",
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.col("o_custkey").alias("cust"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    cm = cm.persist()
+    prev = cm.select(
+        (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("month"),
+        "cust",
+        F.col("rev").alias("prev_rev"),
+    )
+    j = cm.withColumnRenamed("rev", "cur_rev").join(
+        prev, ["month", "cust"], "full_outer"
+    )
+    bounds = F.broadcast(
+        cm.agg(
+            F.min("month").alias("first_month"),
+            F.max("month").alias("last_month"),
+        )
+    )
+    cur, pv = F.col("cur_rev"), F.col("prev_rev")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        j.crossJoin(bounds)
+        .filter(
+            (F.col("month") > F.col("first_month"))
+            & (F.col("month") <= F.col("last_month"))
+        )
+        .groupBy("month")
+        .agg(
+            (F.sum(F.when(pv.isNull(), cur)).cast("double") + F.lit(0.0)).alias(
+                "new_rev"
+            ),
+            (F.sum(F.when(cur.isNull(), -pv)).cast("double") + F.lit(0.0)).alias(
+                "churned_rev"
+            ),
+            (
+                F.sum(F.when(cur > pv, cur - pv)).cast("double")
+                + F.lit(0.0)
+            ).alias("expansion_rev"),
+            (
+                F.sum(F.when(cur < pv, cur - pv)).cast("double")
+                + F.lit(0.0)
+            ).alias("contraction_rev"),
+            (
+                F.sum(
+                    F.coalesce(cur, zero) - F.coalesce(pv, zero)
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("net_change"),
+        )
+        .orderBy("month")
+    )

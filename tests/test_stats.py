@@ -719,3 +719,17 @@ def test_purchase_cadence_ordering(spark):
     for r in q(spark, "purchase_cadence").collect():
         assert r.p90_gap_days >= r.median_gap_days >= 0
         assert r.n_gaps > 0
+
+
+def test_revenue_bridge_components_sum_to_net(spark):
+    for r in q(spark, "revenue_bridge").collect():
+        parts = sum(
+            x or 0.0
+            for x in [
+                r.new_rev,
+                r.churned_rev,
+                r.expansion_rev,
+                r.contraction_rev,
+            ]
+        )
+        assert abs(parts - r.net_change) < 1e-6, r
