@@ -242,6 +242,7 @@ STATS = [
     "gains_table",
     "session_copresence",
     "revenue_bridge",
+    "rfm_migration",
 ]
 
 

@@ -6542,3 +6542,68 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+_RFM_MIG_CUTOFF = "1998-01-01"
+
+
+@register(
+    "rfm_migration",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey AS cust,
+             (o_orderdate < TIMESTAMP '{_RFM_MIG_CUTOFF}') AS before_cut,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT cust, before_cut,
+             NTILE(4) OVER (PARTITION BY before_cut
+                            ORDER BY rev, cust) AS quartile
+      FROM spend
+    )
+    SELECT b.quartile AS seg_before, a.quartile AS seg_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM seg b JOIN seg a
+      ON a.cust = b.cust AND b.before_cut AND NOT a.before_cut
+    GROUP BY 1, 2 ORDER BY seg_before, seg_after
+    """,
+    doc="RFM-style value-segment migration matrix: customers' spend "
+    f"quartile before vs after {_RFM_MIG_CUTOFF} — who moved up, who "
+    "lapsed — the actionable follow-on to the static RFM snapshot. "
+    "NTILE ties are pinned by (spend, custkey) so quartile assignment "
+    "is deterministic in both engines; the quartile windows run over "
+    "the two customer-domain partitions, and the migration join is "
+    "customer-keyed. Customers active in only one period drop out of "
+    "the matrix (they appear in new/churned accounting instead — see "
+    "revenue_bridge).",
+)
+def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        (
+            F.col("o_orderdate") < F.lit(_RFM_MIG_CUTOFF).cast("timestamp")
+        ).alias("before_cut"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    seg = spend.select(
+        "cust",
+        "before_cut",
+        F.ntile(4)
+        .over(W.partitionBy("before_cut").orderBy("rev", "cust"))
+        .alias("quartile"),
+    ).persist()
+    b = seg.filter(F.col("before_cut")).select(
+        "cust", F.col("quartile").alias("seg_before")
+    )
+    a = seg.filter(~F.col("before_cut")).select(
+        "cust", F.col("quartile").alias("seg_after")
+    )
+    return (
+        b.join(a, "cust")
+        .groupBy("seg_before", "seg_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("seg_before", "seg_after")
+    )
