@@ -243,6 +243,7 @@ STATS = [
     "session_copresence",
     "revenue_bridge",
     "rfm_migration",
+    "supplier_hhi",
 ]
 
 

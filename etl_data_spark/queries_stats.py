@@ -6607,3 +6607,70 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("seg_before", "seg_after")
     )
+
+
+@register(
+    "supplier_hhi",
+    """
+    WITH sr AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    nt AS (SELECT nation, SUM(rev) AS tot FROM sr GROUP BY nation)
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POWER(CAST(sr.rev AS DOUBLE) / CAST(nt.tot AS DOUBLE),
+                           2)), 6) + 0.0 AS hhi
+    FROM sr
+    JOIN nt USING (nation)
+    JOIN nation n ON n.n_nationkey = sr.nation
+    GROUP BY n.n_name ORDER BY nation
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per nation: "
+    "sum of squared revenue shares — HHI near 1/n is a competitive "
+    "supply base, near 1.0 a single-supplier dependency (the "
+    "procurement-risk screen). Per-(nation, supplier) revenue is an "
+    "exact decimal reduction; shares are each ONE division of two "
+    "exact decimals, squared and summed over the supplier domain "
+    "(per-nation partitions). Broadcast nation dim for names.",
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    sr = (
+        li.join(
+            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == su["s_suppkey"],
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nation_key"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(12,2)"))
+            ).alias("rev")
+        )
+    )
+    nt = sr.groupBy("nation_key").agg(F.sum("rev").alias("tot"))
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    return (
+        sr.join(F.broadcast(nt), "nation_key")
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("nation_key") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.round(F.sum(F.pow(share, 2)), 6) + F.lit(0.0)).alias(
+                "hhi"
+            ),
+        )
+        .orderBy("nation")
+    )
