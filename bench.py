@@ -244,6 +244,7 @@ STATS = [
     "revenue_bridge",
     "rfm_migration",
     "supplier_hhi",
+    "price_realization",
 ]
 
 

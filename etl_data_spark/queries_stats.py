@@ -6674,3 +6674,71 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "price_realization",
+    """
+    WITH j AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_quantity AS DECIMAL(12,2)) AS qty,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS net_rev,
+             CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2)) AS retail_value
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(net_rev) AS DOUBLE) + 0.0 AS net_revenue,
+           CAST(SUM(retail_value) AS DOUBLE) + 0.0 AS retail_value,
+           ROUND(CAST(SUM(net_rev) AS DOUBLE)
+                 / CAST(SUM(retail_value) AS DOUBLE), 6) + 0.0
+             AS realization_rate
+    FROM j GROUP BY brand ORDER BY brand
+    """,
+    doc="Price realization per brand: net revenue actually captured vs "
+    "the retail value of the quantities sold (list price x qty) — the "
+    "discount-depth readout merchandising teams steer by; a brand "
+    "realizing far below peers is being given away. Both sides are "
+    "exact decimal sums (broadcast part dim onto lineitem), divided "
+    "once at emit.",
+)
+def q_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("net_rev"),
+        (
+            F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(12,2)")
+        ).alias("retail_value"),
+    )
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("net_rev").cast("double") + F.lit(0.0)).alias(
+                "net_revenue"
+            ),
+            (F.sum("retail_value").cast("double") + F.lit(0.0)).alias(
+                "retail_value"
+            ),
+            (
+                F.round(
+                    F.sum("net_rev").cast("double")
+                    / F.sum("retail_value").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("realization_rate"),
+        )
+        .orderBy("brand")
+    )
