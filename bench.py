@@ -245,6 +245,7 @@ STATS = [
     "rfm_migration",
     "supplier_hhi",
     "price_realization",
+    "mktsegment_profile",
 ]
 
 

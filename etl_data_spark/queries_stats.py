@@ -6742,3 +6742,73 @@ def q_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "mktsegment_profile",
+    """
+    WITH crev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(COALESCE(cr.n_orders, 0)) AS BIGINT) AS n_orders,
+           CAST(SUM(COALESCE(cr.rev, 0)) AS DOUBLE) + 0.0 AS revenue,
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) + 0.0 AS avg_acctbal,
+           CAST(SUM(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_negative_balance,
+           CAST(SUM(CASE WHEN cr.o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_never_ordered
+    FROM customer c LEFT JOIN crev cr ON cr.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+    doc="Market-segment health profile: customers, orders, revenue, "
+    "decimal-exact average account balance, negative-balance count, "
+    "and never-ordered count per segment — the one-glance segment "
+    "scorecard joining the customer dim's unused attributes with the "
+    "order fact. Per-customer revenue reduces first (fact-sized "
+    "groupBy), then the customer dim LEFT JOINs it so inactive "
+    "customers stay visible.",
+)
+def q_mktsegment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    crev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    j = c.join(crev, c["c_custkey"] == crev["o_custkey"], "left")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.sum(F.coalesce(F.col("rev"), zero)).cast("double")
+                + F.lit(0.0)
+            ).alias("revenue"),
+            (
+                F.round(
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_acctbal"),
+            F.sum((F.col("c_acctbal") < 0).cast("long")).alias(
+                "n_negative_balance"
+            ),
+            F.sum(F.col("o_custkey").isNull().cast("long")).alias(
+                "n_never_ordered"
+            ),
+        )
+        .orderBy("segment")
+    )
