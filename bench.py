@@ -246,6 +246,7 @@ STATS = [
     "supplier_hhi",
     "price_realization",
     "mktsegment_profile",
+    "shipping_lag_profile",
 ]
 
 

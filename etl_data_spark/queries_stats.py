@@ -6812,3 +6812,56 @@ def q_mktsegment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "shipping_lag_profile",
+    """
+    WITH lag_days AS (
+      SELECT o.o_orderpriority,
+             CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(d, 0.5), 6) + 0.0 AS median_lag_days,
+           ROUND(quantile_cont(d, 0.9), 6) + 0.0 AS p90_lag_days,
+           CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shipped_before_order
+    FROM lag_days GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Order-to-ship lag profile per priority: median and p90 days "
+    "between order placement and line shipment, plus the "
+    "shipped-before-ordered anomaly count (a data-quality tripwire on "
+    "the cross-table temporal relationship). Co-partitioned order-key "
+    "join; exact per-priority quantiles over the integer day lags.",
+)
+def q_shipping_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag_days = li.join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("d"),
+    )
+    return (
+        lag_days.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.round(F.percentile("d", F.lit(0.5)), 6) + F.lit(0.0)
+            ).alias("median_lag_days"),
+            (
+                F.round(F.percentile("d", F.lit(0.9)), 6) + F.lit(0.0)
+            ).alias("p90_lag_days"),
+            F.sum((F.col("d") < 0).cast("long")).alias(
+                "n_shipped_before_order"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
