@@ -247,6 +247,8 @@ STATS = [
     "price_realization",
     "mktsegment_profile",
     "shipping_lag_profile",
+    "return_rate_by_brand",
+    "brand_cross_shopping",
 ]
 
 

@@ -6865,3 +6865,112 @@ def q_shipping_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "return_rate_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand AS brand,
+             (l.l_returnflag = 'R') AS returned,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS val
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           ROUND(CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) + 0.0 AS return_rate,
+           ROUND(CAST(SUM(CASE WHEN returned THEN val END) AS DOUBLE)
+                 / CAST(SUM(val) AS DOUBLE), 6) + 0.0
+             AS returned_value_share
+    FROM j GROUP BY brand ORDER BY brand
+    """,
+    doc="Return rate per brand, by line count and by value share — the "
+    "merchandising quality signal (a brand whose returned VALUE share "
+    "far exceeds its line-count rate is failing on its expensive "
+    "items). Broadcast part dim onto lineitem; exact decimal value "
+    "sums, two divisions at emit.",
+)
+def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("val"),
+    )
+    ret = F.col("returned")
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ret.cast("long")).alias("n_returned"),
+            (
+                F.round(
+                    F.sum(ret.cast("long")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("return_rate"),
+            (
+                F.round(
+                    F.sum(F.when(ret, F.col("val"))).cast("double")
+                    / F.sum("val").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("returned_value_share"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "brand_cross_shopping",
+    """
+    WITH cb AS (
+      SELECT o.o_custkey AS cust,
+             CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY o.o_custkey
+    )
+    SELECT n_brands,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM cb GROUP BY n_brands ORDER BY n_brands
+    """,
+    doc="Brand cross-shopping distribution: how many distinct brands "
+    "each customer has bought, histogrammed — single-brand loyalists "
+    "vs assortment shoppers, the input to cross-sell targeting. "
+    "Order-key join co-partitions lineitem with orders; the brand dim "
+    "broadcasts; distinct-count per customer then a bucket-sized "
+    "rollup.",
+)
+def q_brand_cross_shopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    cb = (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.countDistinct("p_brand").alias("n_brands"))
+    )
+    return (
+        cb.groupBy("n_brands")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_brands")
+    )
