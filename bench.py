@@ -249,6 +249,7 @@ STATS = [
     "shipping_lag_profile",
     "return_rate_by_brand",
     "brand_cross_shopping",
+    "nation_trade_balance",
 ]
 
 

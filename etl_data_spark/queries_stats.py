@@ -6974,3 +6974,94 @@ def q_brand_cross_shopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("n_brands")
     )
+
+
+@register(
+    "nation_trade_balance",
+    """
+    WITH supply AS (
+      SELECT s.s_nationkey AS nk,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS sell_rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1
+    ),
+    demand AS (
+      SELECT c.c_nationkey AS nk,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS buy_spend
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(COALESCE(s.sell_rev, 0) AS DOUBLE) + 0.0 AS supply_revenue,
+           CAST(COALESCE(d.buy_spend, 0) AS DOUBLE) + 0.0 AS demand_spend,
+           CAST(COALESCE(s.sell_rev, 0) - COALESCE(d.buy_spend, 0)
+                AS DOUBLE) + 0.0 AS trade_balance
+    FROM nation n
+    LEFT JOIN supply s ON s.nk = n.n_nationkey
+    LEFT JOIN demand d ON d.nk = n.n_nationkey
+    ORDER BY nation
+    """,
+    doc="Per-nation trade balance: revenue its suppliers sell vs what "
+    "its customers spend — the two fact-to-dim relationships of the "
+    "star read against each other (TPC-H Q7's bilateral flows "
+    "collapsed to a per-nation net position). Two independent exact "
+    "decimal reductions, merged on the 25-row nation dim with LEFT "
+    "joins so inactive nations stay visible.",
+)
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    supply = (
+        li.join(
+            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == su["s_suppkey"],
+        )
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(12,2)"))
+            ).alias("sell_rev")
+        )
+    )
+    demand = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "buy_spend"
+            )
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        n.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation"))
+        .join(F.broadcast(supply), "nk", "left")
+        .join(F.broadcast(demand), "nk", "left")
+        .select(
+            "nation",
+            (
+                F.coalesce(F.col("sell_rev"), zero).cast("double")
+                + F.lit(0.0)
+            ).alias("supply_revenue"),
+            (
+                F.coalesce(F.col("buy_spend"), zero).cast("double")
+                + F.lit(0.0)
+            ).alias("demand_spend"),
+            (
+                (
+                    F.coalesce(F.col("sell_rev"), zero)
+                    - F.coalesce(F.col("buy_spend"), zero)
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("trade_balance"),
+        )
+        .orderBy("nation")
+    )
