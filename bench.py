@@ -250,6 +250,7 @@ STATS = [
     "return_rate_by_brand",
     "brand_cross_shopping",
     "nation_trade_balance",
+    "slow_movers",
 ]
 
 

@@ -7065,3 +7065,80 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "slow_movers",
+    """
+    WITH last_sold AS (
+      SELECT l_partkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+      FROM lineitem GROUP BY l_partkey
+    ),
+    horizon AS (
+      SELECT MAX(CAST(l_shipdate AS DATE)) - INTERVAL 12 MONTH AS cutoff
+      FROM lineitem
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN ls.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS never_sold,
+           CAST(SUM(CASE WHEN ls.last_ship < h.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS stale_12mo,
+           CAST(SUM(CASE WHEN ls.l_partkey IS NULL
+                         OR ls.last_ship < h.cutoff
+                    THEN CAST(p.p_retailprice AS DECIMAL(18,2))
+                    ELSE 0 END) AS DOUBLE) + 0.0 AS at_risk_retail_value
+    FROM part p
+    LEFT JOIN last_sold ls ON ls.l_partkey = p.p_partkey
+    CROSS JOIN horizon h
+    GROUP BY p.p_brand ORDER BY brand
+    """,
+    doc="Slow-mover / dead-stock screen per brand: parts never sold or "
+    "not shipped in the final 12 months of the data, with the retail "
+    "value parked in them — the inventory-risk readout. The fact side "
+    "reduces to last-ship-per-part first; the part dim LEFT JOINs it "
+    "so never-sold parts surface; the horizon is a broadcast scalar.",
+)
+def q_slow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    last_sold = li.groupBy("l_partkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    horizon = F.broadcast(
+        li.agg(
+            F.add_months(F.max(F.to_date("l_shipdate")), -12).alias(
+                "cutoff"
+            )
+        )
+    )
+    j = (
+        p.join(last_sold, p["p_partkey"] == last_sold["l_partkey"], "left")
+        .crossJoin(horizon)
+    )
+    at_risk = F.col("l_partkey").isNull() | (
+        F.col("last_ship") < F.col("cutoff")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        j.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("l_partkey").isNull().cast("long")).alias(
+                "never_sold"
+            ),
+            F.sum(
+                (F.col("last_ship") < F.col("cutoff")).cast("long")
+            ).alias("stale_12mo"),
+            (
+                F.sum(
+                    F.when(
+                        at_risk,
+                        F.col("p_retailprice").cast("decimal(18,2)"),
+                    ).otherwise(zero)
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("at_risk_retail_value"),
+        )
+        .orderBy("brand")
+    )
