@@ -251,6 +251,7 @@ STATS = [
     "brand_cross_shopping",
     "nation_trade_balance",
     "slow_movers",
+    "supplier_risk_screen",
 ]
 
 

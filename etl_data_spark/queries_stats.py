@@ -7142,3 +7142,65 @@ def q_slow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "supplier_risk_screen",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS dep_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+           CAST(s.s_acctbal AS DOUBLE) + 0.0 AS acctbal,
+           CAST(COALESCE(r.dep_rev, 0) AS DOUBLE) + 0.0
+             AS dependent_revenue
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    LEFT JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal < 0
+    ORDER BY CAST(COALESCE(r.dep_rev, 0) AS DOUBLE) DESC, s.s_suppkey
+    LIMIT 20
+    """,
+    doc="Supplier financial-risk screen: negative-balance suppliers "
+    "ranked by the revenue that depends on them — financially fragile "
+    "AND load-bearing is the procurement escalation list (pairs with "
+    "supplier_hhi's concentration view). Fact revenue reduces per "
+    "supplier first; the supplier/nation dims broadcast; top-20 is "
+    "TakeOrderedAndProject.",
+)
+def q_supplier_risk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("dep_rev")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        s.filter(F.col("s_acctbal") < 0)
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            s["s_nationkey"] == n["n_nationkey"],
+        )
+        .join(rev, s["s_suppkey"] == rev["l_suppkey"], "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            (F.col("s_acctbal").cast("double") + F.lit(0.0)).alias(
+                "acctbal"
+            ),
+            (
+                F.coalesce(F.col("dep_rev"), zero).cast("double")
+                + F.lit(0.0)
+            ).alias("dependent_revenue"),
+        )
+        .orderBy(F.desc("dependent_revenue"), "s_suppkey")
+        .limit(20)
+    )
