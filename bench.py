@@ -252,6 +252,7 @@ STATS = [
     "nation_trade_balance",
     "slow_movers",
     "supplier_risk_screen",
+    "size_price_regression",
 ]
 
 

@@ -7204,3 +7204,68 @@ def q_supplier_risk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dependent_revenue"), "s_suppkey")
         .limit(20)
     )
+
+
+@register(
+    "size_price_regression",
+    """
+    WITH b AS (
+      SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+             CAST(p_retailprice AS DECIMAL(18,2)) AS y
+      FROM part
+    ),
+    s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy
+      FROM b GROUP BY p_brand
+    )
+    SELECT p_brand AS brand, n,
+           ROUND((n * sxy - sx * sy) / (n * sx2 - CAST(sx AS DOUBLE) * sx),
+                 6) + 0.0 AS price_per_size_unit,
+           ROUND((sy - ((n * sxy - sx * sy)
+                  / (n * sx2 - CAST(sx AS DOUBLE) * sx)) * sx) / n, 6)
+             + 0.0 AS base_price
+    FROM s ORDER BY brand
+    """,
+    doc="Retail price vs size regression per brand: the price-per-"
+    "size-unit slope and base price — the pricing-architecture readout "
+    "(is a brand's price ladder proportional to size or flat?). Same "
+    "exact-moment-sum construction as regr_daily_trend: integer "
+    "x-moments, decimal y-moments, doubles only in the final "
+    "closed-form expressions.",
+)
+def q_size_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    b = p.select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("y"),
+    )
+    s = b.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.select(
+        F.col("p_brand").alias("brand"),
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("price_per_size_unit"),
+        (
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+            )
+            + F.lit(0.0)
+        ).alias("base_price"),
+    ).orderBy("brand")
