@@ -253,6 +253,7 @@ STATS = [
     "slow_movers",
     "supplier_risk_screen",
     "size_price_regression",
+    "priority_mix_trend",
 ]
 
 

@@ -7269,3 +7269,46 @@ def q_size_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("base_price"),
     ).orderBy("brand")
+
+
+@register(
+    "priority_mix_trend",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (SELECT month, CAST(SUM(n) AS BIGINT) AS tot FROM m GROUP BY month)
+    SELECT m.month, m.o_orderpriority, m.n,
+           ROUND(CAST(m.n AS DOUBLE) / t.tot, 6) + 0.0 AS share
+    FROM m JOIN t USING (month)
+    ORDER BY m.month, m.o_orderpriority
+    """,
+    doc="Monthly order-priority mix: per-priority counts and shares over "
+    "time — a drift in the urgent share is an upstream process change "
+    "(or a data bug) that the static rollups hide. One partial-agg "
+    "groupBy to (month, priority), monthly totals joined back on the "
+    "month domain.",
+)
+def q_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = m.groupBy("month").agg(F.sum("n").alias("tot"))
+    return (
+        m.join(F.broadcast(t), "month")
+        .select(
+            "month",
+            "o_orderpriority",
+            "n",
+            (
+                F.round(F.col("n").cast("double") / F.col("tot"), 6)
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+        .orderBy("month", "o_orderpriority")
+    )
