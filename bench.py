@@ -312,8 +312,20 @@ def main() -> None:
     ops_timings = results.get("scale_ops", {})
     stats_timings = results.get("stats", {})
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    method = (
+        f"min-of-{reps} reps, isolated session per group, "
+        "cache cleared between queries, noop-write materialization"
+    )
+    # Full per-query detail goes to a sidecar file: the driver captures only
+    # the tail of stdout, and ~280 per-query timings on one line truncate
+    # the headline total right out of the record (BENCH_r03/r04 both
+    # parsed: null). The FINAL stdout line stays compact — headline total,
+    # group totals, and the 21 headline per-query times only.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(os.path.dirname(__file__), "bench_detail.json")
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -326,8 +338,24 @@ def main() -> None:
                 "stats_total": round(sum(stats_timings.values()), 4),
                 "stats_queries": stats_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "method": f"min-of-{reps} reps, isolated session per group, "
-                "cache cleared between queries, noop-write materialization",
+                "method": method,
+            },
+            f,
+            indent=1,
+        )
+    print(f"detail: {detail_path}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "tpch_total": round(sum(tpch_timings.values()), 4),
+                "scale_ops_total": round(sum(ops_timings.values()), 4),
+                "stats_total": round(sum(stats_timings.values()), 4),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "method": method,
             }
         )
     )
