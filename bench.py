@@ -259,7 +259,7 @@ STATS = [
 
 def run_group(names: list[str], sf_dir: str, reps: int) -> dict[str, float]:
     """Time one group in a fresh, isolated Spark session."""
-    from etl_data_spark import get_spark
+    from etl_data_spark import get_spark, release_all
     from etl_data_spark.catalog import REGISTRY
 
     spark = get_spark(app_name="etl-data-spark-bench")
@@ -270,6 +270,7 @@ def run_group(names: list[str], sf_dir: str, reps: int) -> dict[str, float]:
         best: dict[str, float] = {}
         for _ in range(reps):
             for name in names:
+                release_all()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 df = REGISTRY[name].fn(spark, sf_dir)
@@ -277,6 +278,7 @@ def run_group(names: list[str], sf_dir: str, reps: int) -> dict[str, float]:
                 dt = time.perf_counter() - t0
                 if name not in best or dt < best[name]:
                     best[name] = dt
+        release_all()
         spark.catalog.clearCache()
         return {n: round(t, 4) for n, t in best.items()}
     finally:

@@ -14,4 +14,5 @@ operators cannot express the semantics.
 
 __version__ = "0.1.0"
 
+from etl_data_spark.caching import pin, release_all  # noqa: F401
 from etl_data_spark.session import get_spark  # noqa: F401

@@ -9,47 +9,14 @@ The driver verifies a bounded prefix of the registry (observed: the first
 Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds — entries that earned a driver-green CORRECTNESS row
 in a previous round are demoted to make room for entries that have never
-been driver-verified. Round 1 verified the first 50 relational/pipeline
-queries; round 2 verified TPC-H + LLM + corpus entries; round 3 holds the
-19 entries no round had verified yet, the queries repaired/upgraded this
-round (multimodal_embed, dedup_simhash, the ANN family,
-streaming_sessionize's new oracle), the new analytics/statistics/
-streaming entries, and re-verification of touched code paths. Round-3
-additions past slot 50 (the remaining statistics/streaming/graph
-queries, plus the late-round-3 families: BFS hops, hypothesis tests,
-hypertable rollup, sliding bitmap distinct, the Gram matrix, RRF hybrid
-search, passage overlap, the prefix-filtered set-similarity join,
-quantile normalization, the seasonal anomaly screen, the weighted
-median, entity resolution, the forecast backtest, the equi-depth
-histogram, session paths, the DQ expectations suite, the RAG chunker, target
-encoding, feature hashing, the PSI drift screen, the point-in-time SCD2
-join, clustering coefficients, the Kimball-pattern trio, the imputation
-pair, winsorized stats, Mann-Whitney U, drill-across, lag features,
-k-anonymity, seasonal decomposition, the A/B lift readout, EWMA,
-Kaplan-Meier survival, cohort LTV, and the post-restart continuation
-families: model evaluation (ROC-AUC, PR curve, calibration), link
-prediction, item-item CF, corpus lexical stats (PMI collocations, BPE
-pair counts, Zipf slope), CUSUM changepoint, token-budget sharding,
-linear attribution, l-diversity, the Pareto front, Holt smoothing,
-the watermark late-data-drop entry, MMR re-ranking, churn labels,
-contrastive negatives, per-source KL, vocab coverage, FD discovery,
-the join-skew report, A-priori triples, incremental delta dedup,
-Theil-Sen, the conformal band, personalized PageRank, group k-fold,
-association rules, the Brier decomposition, NDCG@10, embedding drift,
-diff-in-diff, missing-days, posting lists, assortativity, lang-ID
-kappa, the geometric median, packing efficiency, the export manifest,
-KS/Cramér's-V/Spearman/CCF/skew-kurtosis statistics, the dedup
-threshold curve and cluster sizes, source-overlap and audience
-matrices, order reconciliation + the FK sweep, temperature mixing,
-CDC net changes, PRF expansion, kNN MRR, session entry/exit,
-concentration and new-vs-returning trends, the A/B MDE, char entropy,
-and the Heaps vocabulary curve — the full map lives in COVERAGE.md)
-are next round's rotation. All entries remain
+been driver-verified. Rounds 1-3 verified 138 unique entries (round 4 was
+a no-op and re-ran round 3's window). Round 5 holds the 3 typed-hash
+refixes + star_build's oracle promotion + 46 never-driver-verified family
+anchors; ROTATION.md records the full r5 window and the planned r6/r7
+windows covering the remaining never-verified entries. All entries remain
 pytest-oracle-checked locally every round regardless of position
-(tests/test_queries_oracle.py enumerates REGISTRY), and the full
-registry was driver-simulated green at sf0.01 repeatedly this round
-(vanilla session, .claude/skills/verify recipe — most recently over the
-full ~190-oracle surface after the rank-machinery determinism fix).
+(tests/test_queries_oracle.py enumerates REGISTRY under the
+driver-strict Arrow-typed harness).
 """
 
 from __future__ import annotations
@@ -68,98 +35,83 @@ import etl_data_spark.queries_stats as _stats  # noqa: F401  (registers on impor
 import etl_data_spark.queries_tpch as _tpch  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401
 
-# First-50 verification window, most valuable first. Round-3 rotation:
-# (a) the 19 entries that have never received a driver CORRECTNESS row
-#     (10 round-2 TPC-H shapes, the 7 incremental-warehouse queries,
-#     embedding_topk_vectorized, window_function_surface);
-# (b) the 6 queries repaired/upgraded this round (multimodal_embed fix,
-#     dedup_simhash + frame_sample + the three ANN entries promoted from
-#     rows-only to full oracles);
-# (c) the 10 new round-3 analytics/retrieval queries;
-# (d) 15 re-verification slots for entries whose code paths this round
-#     touched (similarity/multimodal/dedup families) or that anchor the
-#     reference surface (star_join, tpch_q5).
+# First-50 verification window, most valuable first. Round-5 rotation
+# (see ROTATION.md for the full r5/r6/r7 plan over the 142 entries that
+# have never earned a driver CORRECTNESS row):
+# (a) the 3 queries whose r3/r4 rows failed only the driver's typed
+#     value-hash — re-windowed after the explicit BIGINT/DOUBLE output
+#     CASTs on both Spark and oracle sides;
+# (b) star_build, promoted this round from rows-only to a full 1-row
+#     SQL-checkable build summary (fact count, id uniqueness, dim
+#     contents);
+# (c) never-driver-verified family anchors: set-similarity join,
+#     incremental dedup, entity resolution, hypertable rollup, sliding
+#     bitmap distinct, Gram matrix, hybrid retrieval, decontamination
+#     overlap, RAG chunking, point-in-time SCD2, fuzzy matching, model
+#     evaluation, the four remaining streaming entries, the DQ
+#     expectations suite, the graph family, the Kimball trio +
+#     drill-across + CDC net changes;
+# (d) the heaviest plan-audited entries (geometric median, personalized
+#     PageRank, export manifest, packing) so their plans earn driver rows;
+# (e) corpus-lexical and statistics anchors (PMI, BPE, Zipf, vocab
+#     coverage, KL, temperature mixing, the hypothesis-test quartet,
+#     survival, drift, association rules).
 PRIORITY = [
-    # (a) never-driver-verified TPC-H shapes
-    "tpch_q4_priority_queue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_supply",
+    # (a) typed-hash refixes (r3/r4 hash_match:false, values proven equal)
     "tpch_q12_ship_mode",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_promotion_supplier",
-    # (a) never-driver-verified incremental-warehouse family
-    "cdc_snapshot_diff",
-    "cdc_merge_upsert",
-    "scd2_apply",
-    "bitmap_distinct_merge",
-    "hll_incremental_distinct",
-    "interval_merge",
-    "zorder_layout_stats",
-    # (a) never-driver-verified misc
-    "embedding_topk_vectorized",
-    "window_function_surface",
-    # (b) repaired / oracle-upgraded this round
-    "multimodal_embed",
-    "multimodal_frame_sample",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup_lsh",
-    # (c) new round-3 analytics/retrieval queries
-    "tfidf_topk",
-    "bm25_search",
-    "unigram_logprob",
-    "hash_sample",
-    "stratified_sample",
-    "funnel_counts",
-    "cohort_retention",
-    "event_transitions",
     "value_histogram",
     "moments_merge",
-    # (d) re-verification of touched code paths (similarity/multimodal) +
-    # new round-3 entries. dedup_exact / dedup_ngram_jaccard /
-    # dedup_minhash_lsh / session_window_native / tpch_q5_regional earned
-    # green rows in r1-r2 on unchanged code and yield their slots to
-    # never-verified round-3 queries (they stay pytest-oracle-gated).
-    # multimodal_decode, knn_join_sample, embedding_topk,
-    # embedding_near_dup, and star_join (green r1/r2, code paths
-    # unchanged) yield their slots to the new hash-verified families
-    # below (all remain pytest-oracle-gated every round)
-    # exact-moment-sum correlation matrix (new r3, single scan)
-    "corr_matrix",
-    # Pareto/ABC via distributed prefix sum (new r3)
-    "abc_analysis",
-    # upgraded r3: rows-only -> full oracle (closed sessions = batch
-    # sessions minus each user's still-open final session)
-    "streaming_sessionize",
-    # iterative-algorithm family, hash-verified via unrolled-CTE oracle
-    "pagerank_copurchase",
-    # mergeable-sketch family member 3 (bitmap/HLL/count-min)
-    "countmin_heavy_hitters",
-    # the round-3 production hash path (pmod(xxhash64)) — the code that
-    # actually changed in the MinHash family this round
-    "dedup_minhash_lsh_native",
-    # deterministic Efraimidis-Spirakis weighted sampling (new r3)
-    "weighted_sample",
-    # composed curation pipeline (new r3): lang -> quality -> dedup -> split
-    "corpus_curate_end2end",
-    # watermarked stream-stream join, hash-verified vs batch range join
-    "streaming_stream_join",
-    # end-to-end dedup output (new r3, recursive-closure oracle)
-    "dedup_survivor_docs",
-    # hash-verified Structured Streaming entry (same oracle as its batch
-    # twin window_agg_5min — complete-mode state at stream end)
-    "streaming_window_counts",
-    # statistics family (new r3): exact-sums regression, distributed-rank
-    # Gini, one-scan profiling, basket co-occurrence
-    "regr_daily_trend",
-    "gini_revenue",
-    "column_profile",
-    "basket_pairs",
+    # (b) rows-only -> full oracle promotion
+    "star_build",
+    # (c) family anchors, never driver-verified
+    "setsim_join_prefix",
+    "dedup_incremental_pairs",
+    "entity_resolution",
+    "hypertable_rollup",
+    "sliding_distinct_users",
+    "embedding_gram_matrix",
+    "rrf_hybrid_search",
+    "passage_overlap",
+    "doc_chunking",
+    "pit_scd2_join",
+    "fuzzy_name_match",
+    "roc_auc",
+    "streaming_dedup_keys",
+    "streaming_dq_counts",
+    "streaming_static_enrich",
+    "streaming_late_data_drop",
+    "dq_expectations",
+    "lpa_communities",
+    "bfs_hops",
+    "triangle_count",
+    "knn_mrr",
+    "accumulating_snapshot",
+    "late_arriving_dim",
+    "junk_dimension",
+    "drill_across",
+    "cdc_net_changes",
+    # (d) heaviest plan-audited entries
+    "geometric_median",
+    "personalized_pagerank",
+    "corpus_export_manifest",
+    "packing_efficiency",
+    "shard_token_budget",
+    # (e) corpus-lexical + statistics anchors
+    "dedup_cluster_sizes",
+    "dedup_threshold_curve",
+    "collocation_pmi",
+    "bpe_pair_merge_counts",
+    "zipf_slope",
+    "vocab_coverage",
+    "source_kl_divergence",
+    "mixture_temperature_weights",
+    "welch_t_test",
+    "mann_whitney_u",
+    "chi_square_independence",
+    "ks_two_sample",
+    "survival_km",
+    "drift_psi",
+    "association_rules",
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"

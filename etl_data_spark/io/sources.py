@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_data_spark.caching import pin
+
 CORRUPT_COL = "_corrupt_record"
 
 
@@ -83,7 +85,7 @@ def split_valid(df: DataFrame) -> tuple[DataFrame, int]:
     batch is cached first — which the subsequent valid-row consumer wants
     anyway.
     """
-    df = df.cache()
+    df = pin(df)
     rejected = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
     valid = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return valid, rejected

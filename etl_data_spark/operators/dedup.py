@@ -29,6 +29,8 @@ from pyspark.storagelevel import StorageLevel
 
 from etl_data_spark.operators.text import fingerprint
 
+from etl_data_spark.caching import pin
+
 
 def _shingled_docs(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc_id, sh) with empty-shingle docs dropped, persisted.
@@ -41,7 +43,7 @@ def _shingled_docs(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     """
     spread = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(spread)  # a single parquet file must not mean 1 task
+        pin(df.repartition(spread)  # a single parquet file must not mean 1 task
         # sh is empty iff the doc has < n tokens; filtering on the cheap
         # token count BEFORE the projection matters: a filter on size(sh)
         # gets pushed below the project and the interpreted higher-order
@@ -50,8 +52,7 @@ def _shingled_docs(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
         .select(
             F.col(id_col).alias("doc_id"),
             word_shingles(text_col, n).alias("sh"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ), StorageLevel.MEMORY_AND_DISK)
     )
 
 # --- shingling ---------------------------------------------------------------
@@ -214,12 +215,11 @@ def minhash_lsh_pairs(
     # signature is computed twice. Banded rows are (id, band-key) — tiny
     # (~100x smaller than the shingle sets) even at full corpus scale.
     banded = (
-        docs.withColumn("bh", base_hashes("sh", hash_impl))
+        pin(docs.withColumn("bh", base_hashes("sh", hash_impl))
         .select("doc_id", minhash_signature("bh", num_hashes).alias("sig"))
         .select(
             "doc_id", F.explode(band_keys("sig", bands, rows_per_band)).alias("band")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ), StorageLevel.MEMORY_AND_DISK)
     )
 
     left = banded.alias("l")
@@ -324,7 +324,7 @@ def connected_components(
     edges = fwd.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct()
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = pin(edges, StorageLevel.MEMORY_AND_DISK)
 
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -426,7 +426,7 @@ def simhash_pairs(
         "doc_id", simhash("bh", bits).alias("sig")
     )
 
-    banded = sigs.select(
+    banded = pin(sigs.select(
         "doc_id",
         "sig",
         F.explode(  # persisted below: self-join evaluates both aliases
@@ -444,7 +444,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("band"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ), StorageLevel.MEMORY_AND_DISK)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -583,13 +583,12 @@ def minhash_lsh_pairs_incremental(
     rows_per_band = num_hashes // bands
     docs = _shingled_docs(df, id_col, text_col, shingle_n)
     banded = (
-        docs.withColumn("bh", base_hashes("sh", hash_impl))
+        pin(docs.withColumn("bh", base_hashes("sh", hash_impl))
         .select("doc_id", minhash_signature("bh", num_hashes).alias("sig"))
         .select(
             "doc_id",
             F.explode(band_keys("sig", bands, rows_per_band)).alias("band"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ), StorageLevel.MEMORY_AND_DISK)
     )
     is_delta = df.select(
         F.col(id_col).alias("doc_id"), delta_pred.alias("__is_delta")

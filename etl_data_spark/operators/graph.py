@@ -56,25 +56,31 @@ def label_propagation(
     ``localCheckpoint`` lineage truncation.
     """
     g = symmetrize(edges, src, dst).persist()
-    labels = g.select(F.col(src).alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    )
-    for it in range(1, iters + 1):
-        hist = (
-            g.join(labels.withColumnRenamed("v", src), src)
-            .groupBy(F.col(dst).alias("v"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    try:
+        labels = g.select(F.col(src).alias("v")).distinct().select(
+            "v", F.col("v").alias("label")
         )
-        # most frequent neighbor label, smallest label on ties — as a
-        # partial-agg min over (-cnt, label), not a per-vertex window
-        labels = hist.groupBy("v").agg(
-            F.min(F.struct((-F.col("cnt")).alias("neg"), "label"))
-            .getField("label")
-            .alias("label")
-        )
-        if it % CHECKPOINT_EVERY == 0 and it < iters:
-            labels = labels.localCheckpoint(eager=True)
-    return labels
+        for it in range(1, iters + 1):
+            hist = (
+                g.join(labels.withColumnRenamed("v", src), src)
+                .groupBy(F.col(dst).alias("v"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # most frequent neighbor label, smallest label on ties — as a
+            # partial-agg min over (-cnt, label), not a per-vertex window
+            labels = hist.groupBy("v").agg(
+                F.min(F.struct((-F.col("cnt")).alias("neg"), "label"))
+                .getField("label")
+                .alias("label")
+            )
+            if it % CHECKPOINT_EVERY == 0 and it < iters:
+                labels = labels.localCheckpoint(eager=True)
+        # materialize (|V| rows) so the returned frame no longer references
+        # the scratch edge frame, which the finally releases — the operator
+        # leaves no storage behind (self-containment contract, caching.py)
+        return labels.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
 
 
 def bfs_hops(
@@ -109,25 +115,30 @@ def bfs_hops(
     per-level join is co-located; the loop is unchanged.
     """
     g = symmetrize(edges, src, dst).persist()
-    verts = g.select(F.col(src).alias("v")).distinct()
-    dist = verts.filter(source).select("v", F.lit(0).alias("hops"))
-    frontier = dist.select("v")
-    for h in range(1, max_hops + 1):
-        reached = (
-            g.join(frontier.withColumnRenamed("v", src), src)
-            .select(F.col(dst).alias("v"))
-            .distinct()
-        )
-        new = reached.join(dist, "v", "left_anti").select(
-            "v", F.lit(h).alias("hops")
-        )
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
-        # derive the next frontier FROM the checkpointed dist, not from
-        # `new` — `new`'s lineage (join + distinct + anti-join) would be
-        # re-executed by the next level's join (the plan-branch reuse rule,
-        # SCALE.md §11; measured 8.0s -> ~2s at sf0.1)
-        frontier = dist.filter(F.col("hops") == h).select("v")
-    return dist
+    try:
+        verts = g.select(F.col(src).alias("v")).distinct()
+        dist = verts.filter(source).select("v", F.lit(0).alias("hops"))
+        frontier = dist.select("v")
+        for h in range(1, max_hops + 1):
+            reached = (
+                g.join(frontier.withColumnRenamed("v", src), src)
+                .select(F.col(dst).alias("v"))
+                .distinct()
+            )
+            new = reached.join(dist, "v", "left_anti").select(
+                "v", F.lit(h).alias("hops")
+            )
+            dist = dist.unionByName(new).localCheckpoint(eager=True)
+            # derive the next frontier FROM the checkpointed dist, not from
+            # `new` — `new`'s lineage (join + distinct + anti-join) would be
+            # re-executed by the next level's join (the plan-branch reuse
+            # rule, SCALE.md §11; measured 8.0s -> ~2s at sf0.1)
+            frontier = dist.filter(F.col("hops") == h).select("v")
+        # dist is already checkpointed every level, so releasing the edge
+        # frame here leaves the returned plan self-contained
+        return dist
+    finally:
+        g.unpersist()
 
 
 def pagerank(
@@ -144,26 +155,34 @@ def pagerank(
     >= 1, so there is no dangling mass to redistribute.
     """
     g = symmetrize(edges, src, dst).persist()
-    deg = g.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    # one scalar to the driver: the vertex count (N of the PageRank formula)
-    n = float(deg.count())
-    ge = g.join(deg, src).persist()
+    ge = None
+    try:
+        deg = g.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        # one scalar to the driver: the vertex count (N of the formula)
+        n = float(deg.count())
+        ge = g.join(deg, src).persist()
 
-    ranks = deg.select(
-        F.col(src).alias("v"), (F.lit(1.0) / F.lit(n)).alias("r")
-    )
-    for it in range(1, iters + 1):
-        contrib = ge.join(
-            ranks.withColumnRenamed("v", src), src
-        ).groupBy(F.col(dst).alias("v"))
-        ranks = contrib.agg(
-            (
-                F.lit(1.0 - damping) / F.lit(n)
-                + F.lit(damping) * F.sum(F.col("r") / F.col("deg"))
-            ).alias("r")
+        ranks = deg.select(
+            F.col(src).alias("v"), (F.lit(1.0) / F.lit(n)).alias("r")
         )
-        if it % CHECKPOINT_EVERY == 0 and it < iters:
-            # truncate lineage: the rank frame is |V| rows — cheap to
-            # materialize, and the alternative is a 2*it-join mega-plan
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+        for it in range(1, iters + 1):
+            contrib = ge.join(
+                ranks.withColumnRenamed("v", src), src
+            ).groupBy(F.col(dst).alias("v"))
+            ranks = contrib.agg(
+                (
+                    F.lit(1.0 - damping) / F.lit(n)
+                    + F.lit(damping) * F.sum(F.col("r") / F.col("deg"))
+                ).alias("r")
+            )
+            if it % CHECKPOINT_EVERY == 0 and it < iters:
+                # truncate lineage: the rank frame is |V| rows — cheap to
+                # materialize; the alternative is a 2*it-join mega-plan
+                ranks = ranks.localCheckpoint(eager=True)
+        # materialize (|V| rows) to decouple from the scratch frames the
+        # finally releases (self-containment contract, caching.py)
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
+        if ge is not None:
+            ge.unpersist()

@@ -39,11 +39,21 @@ def gram_matrix(
         F.col("x").cast("double").cast("decimal(18,9)").alias("x"),
     )
     a, b = x.alias("a"), x.alias("b")
+    # round the EXACT decimal sum to 9dp before the double cast: a
+    # scale-18 decimal -> double conversion is not correctly rounded in
+    # every engine (int128 / 1e18 in float arithmetic), which shows up as
+    # last-ulp hash mismatches; at scale 9 the integer part is
+    # double-exact and the division by 1e9 is a single correctly-rounded
+    # IEEE op, so both engines emit the identical double
     return (
         a.join(b, on=id_col)
         .filter(F.col("a.i") <= F.col("b.i"))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("double").alias("gram"))
+        .agg(
+            F.round(F.sum(F.col("a.x") * F.col("b.x")), 9)
+            .cast("double")
+            .alias("gram")
+        )
     )
 
 

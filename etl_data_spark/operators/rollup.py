@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_data_spark.caching import pin
+
 ROLLUP_MEASURES = ("n_events", "sum_value", "min_value", "max_value")
 
 
@@ -76,8 +78,8 @@ def grain_chain(
     incremental-refresh dependency order a scheduler would run. Exactly
     one scan of the fact table regardless of how many grains are emitted.
     """
-    p5 = partial_buckets(df, ts_col, value_col, minutes=5).persist()
-    hourly = reaggregate(p5, F.date_trunc("hour", F.col("bucket"))).persist()
+    p5 = pin(partial_buckets(df, ts_col, value_col, minutes=5))
+    hourly = pin(reaggregate(p5, F.date_trunc("hour", F.col("bucket"))))
     daily = reaggregate(hourly, F.date_trunc("day", F.col("bucket")))
 
     def emit(frame: DataFrame, grain: str) -> DataFrame:

@@ -454,18 +454,19 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_histogram",
     """
     SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bucket,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_total,
-           ROUND(MIN(o_totalprice), 2) AS min_total,
-           ROUND(MAX(o_totalprice), 2) AS max_total
+           CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS min_total,
+           CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS max_total
     FROM orders
     GROUP BY bucket
     """,
     doc="Fixed-width value histogram of order totals. The bucket key is "
     "computed in the scan's codegen stage; the aggregate is partial+final "
-    "with ~20 groups — a pure map-side-combine plan. Sums are decimal so "
-    "the hash is fold-order-independent.",
+    "with ~20 groups — a pure map-side-combine plan. Sums accumulate in "
+    "exact decimal (fold-order-independent) and every output column is "
+    "CAST to a driver-hash-stable type (BIGINT/DOUBLE) on both sides.",
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -476,12 +477,12 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket")
         )
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_total"),
-            F.round(F.min("o_totalprice"), 2).alias("min_total"),
-            F.round(F.max("o_totalprice"), 2).alias("max_total"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("min_total"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("max_total"),
         )
     )
 
@@ -501,11 +502,11 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged AS (
       SELECT SUM(n) AS n, SUM(s1) AS s1, SUM(s2) AS s2 FROM partials
     )
-    SELECT n,
-           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
-           ROUND((CAST(s2 AS DOUBLE)
-                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                 / (n - 1), 6) AS var_value
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ROUND(CAST(s1 AS DOUBLE) / n, 6) AS DOUBLE) AS mean_value,
+           CAST(ROUND((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1), 6) AS DOUBLE) AS var_value
     FROM merged
     """,
     doc="Mergeable moments: per-day (n, sum, sum-of-squares) partials in "
@@ -526,8 +527,10 @@ def q_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"), F.sum("s1").alias("s1"), F.sum("s2").alias("s2")
     )
     return merged.select(
-        "n",
-        F.round(F.col("s1").cast("double") / F.col("n"), 6).alias("mean_value"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("s1").cast("double") / F.col("n"), 6)
+        .cast("double")
+        .alias("mean_value"),
         F.round(
             (
                 F.col("s2").cast("double")
@@ -537,7 +540,9 @@ def q_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / (F.col("n") - 1),
             6,
-        ).alias("var_value"),
+        )
+        .cast("double")
+        .alias("var_value"),
     )
 
 
@@ -550,12 +555,40 @@ def q_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "star_build",
-    None,  # write-path operator (current_date audit cols, generated ids):
-    # correctness is pinned by test_pipeline.py (id uniqueness, dim upsert
-    # idempotence, no-global-sort plan); this entry exists to BENCH the
-    # default scale-mode build at sf-scale fact volumes.
+    """
+    WITH silver AS (
+      SELECT o.o_orderkey AS id, c.c_name AS user_name,
+             o.o_orderpriority AS product_category, n.n_name AS region,
+             o.o_orderstatus AS customer_status,
+             CAST(o.o_orderkey % 100 AS INT) AS transaction_count
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS fact_rows,
+           CAST(COUNT(*) AS BIGINT) AS distinct_fact_ids,
+           CAST(SUM(transaction_count) AS BIGINT) AS sum_txn,
+           CAST(COUNT(DISTINCT user_name) AS BIGINT) AS fact_customers,
+           CAST(COUNT(DISTINCT product_category) AS BIGINT) AS fact_products,
+           CAST(COUNT(DISTINCT region) AS BIGINT) AS fact_regions,
+           CAST(COUNT(DISTINCT customer_status) AS BIGINT) AS fact_statuses,
+           CAST(COUNT(DISTINCT user_name) AS BIGINT) AS dim_customers,
+           MIN(user_name) AS first_customer,
+           MAX(user_name) AS last_customer,
+           CAST(COUNT(DISTINCT product_category) AS BIGINT) AS dim_products,
+           CAST(COUNT(DISTINCT region) AS BIGINT) AS dim_regions,
+           CAST(COUNT(DISTINCT customer_status) AS BIGINT) AS dim_statuses
+    FROM silver
+    """,
     doc="Full star-schema build (4 dim upserts + broadcast fact load, "
-    "scale-mode shuffle-free fact ids) over an orders-derived silver frame.",
+    "scale-mode shuffle-free fact ids) over an orders-derived silver frame, "
+    "summarised to one SQL-checkable row: fact count, fact_id uniqueness "
+    "(distinct_fact_ids must equal fact_rows — the oracle emits COUNT(*) "
+    "for both, so any monotonically_increasing_id collision mismatches), "
+    "surrogate-key join resolution (fact_* distinct id counts must equal "
+    "the base-table key cardinalities), and dim contents (cardinality + "
+    "min/max natural key per the customer dim). Reference parity: "
+    "init_database.py:272-347 fn_dm_data_load.",
 )
 def q_star_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_spark.star import build_star
@@ -583,7 +616,36 @@ def q_star_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("current_flag"),
         )
     )
-    return build_star(silver).fact
+    star = build_star(silver)
+    fact_summary = star.fact.agg(
+        F.count(F.lit(1)).cast("long").alias("fact_rows"),
+        F.countDistinct("fact_id").cast("long").alias("distinct_fact_ids"),
+        F.sum("transaction_count").cast("long").alias("sum_txn"),
+        F.countDistinct("customer_id").cast("long").alias("fact_customers"),
+        F.countDistinct("product_id").cast("long").alias("fact_products"),
+        F.countDistinct("region_id").cast("long").alias("fact_regions"),
+        F.countDistinct("status_id").cast("long").alias("fact_statuses"),
+    )
+    cust = star.dims["dim_customer"].agg(
+        F.count(F.lit(1)).cast("long").alias("dim_customers"),
+        F.min("customer_name").alias("first_customer"),
+        F.max("customer_name").alias("last_customer"),
+    )
+    prod = star.dims["dim_product"].agg(
+        F.count(F.lit(1)).cast("long").alias("dim_products")
+    )
+    reg = star.dims["dim_region"].agg(
+        F.count(F.lit(1)).cast("long").alias("dim_regions")
+    )
+    stat = star.dims["dim_status"].agg(
+        F.count(F.lit(1)).cast("long").alias("dim_statuses")
+    )
+    return (
+        fact_summary.crossJoin(F.broadcast(cust))
+        .crossJoin(F.broadcast(prod))
+        .crossJoin(F.broadcast(reg))
+        .crossJoin(F.broadcast(stat))
+    )
 
 
 _WEIGHTED_K = 50

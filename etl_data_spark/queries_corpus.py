@@ -20,6 +20,8 @@ from etl_data_spark.operators.text import BPE_PATTERN
 from etl_data_spark.queries import load_table, register
 from etl_data_spark.queries_llm import _SQL_PAIR_JACCARD, _SQL_QUALITY, _SQL_SHINGLES
 
+from etl_data_spark.caching import pin
+
 # Whitespace token count, identical to text.py::token_count.
 _DUCK_NTOK = """
     CASE WHEN length(trim(text)) = 0 THEN 0
@@ -585,20 +587,18 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus (SCALE.md branch-recompute rule; measured 5.8s -> ~2s
     # at sf0.1)
     uni = (
-        nonempty.select(
+        pin(nonempty.select(
             F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
         )
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("c")))
     )
     from etl_data_spark.operators.corpus import _ngram_array
 
     bi_all = (
-        d.select(F.explode(_ngram_array("text", 2)).alias("bigram"))
+        pin(d.select(F.explode(_ngram_array("text", 2)).alias("bigram"))
         .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("c_ab")))
     )
     bi = bi_all.filter(F.col("c_ab") >= 5)
     nu = uni.agg(F.sum("c").alias("nu"))
@@ -796,7 +796,7 @@ _SHARD_BUDGET = 20_000  # chars per output shard
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
       FROM h
     )
-    SELECT (running - n_chars) // {_SHARD_BUDGET} AS shard_id,
+    SELECT CAST((running - n_chars) // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS shard_chars
     FROM r GROUP BY 1 ORDER BY shard_id
@@ -974,7 +974,7 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
     # sf feeds three consumers (stot, cf, the final join): persist to
     # avoid re-tokenizing the corpus per branch (SCALE.md §11)
-    sf = sf.persist()
+    sf = pin(sf)
     stot = sf.groupBy("source").agg(F.sum("tf").alias("n"))
     cf = sf.groupBy("w").agg(F.sum("tf").alias("ctf"))
     ctot = F.broadcast(cf.agg(F.sum("ctf").alias("cn")))
@@ -1043,7 +1043,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
     )
-    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    vocab = pin(toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf")))
     ranked = vocab.select(
         "tf", F.row_number().over(W.orderBy(F.desc("tf"), "w")).alias("rnk")
     )
@@ -1190,7 +1190,7 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS off
       FROM sized
     )
-    SELECT off // {_SHARD_BUDGET} AS shard_id,
+    SELECT CAST(off // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
            ROUND(CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE)
@@ -1376,12 +1376,11 @@ _HEAPS_STEP = 50  # checkpoint every 50 docs in doc_id order
 def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = (
-        d.filter(F.length(F.trim("text")) > 0)
+        pin(d.filter(F.length(F.trim("text")) > 0)
         .select(
             "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
         )
-        .filter(F.col("w") != "")
-        .persist()
+        .filter(F.col("w") != ""))
     )
     firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     doc_tokens = toks.groupBy("doc_id").agg(
@@ -1477,7 +1476,7 @@ def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w") != "")
     )
-    lt = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("a")).persist()
+    lt = pin(toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("a")))
     wt = lt.groupBy("w").agg(F.sum("a").alias("wtot"))
     ltot = lt.groupBy("lang").agg(F.sum("a").alias("ln_tot"))
     nn = F.broadcast(lt.agg(F.sum("a").alias("n")))

@@ -19,6 +19,8 @@ from etl_data_spark.operators import temporal as TP
 from etl_data_spark.operators import text as TX
 from etl_data_spark.queries import load_table, register
 
+from etl_data_spark.caching import pin
+
 # SQL fragments reused across oracles ---------------------------------------
 
 _SQL_SHINGLES = """
@@ -1226,7 +1228,8 @@ def q_window_agg_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(18,9)) AS x
       FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
     )
-    SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS DOUBLE) AS gram
+    SELECT a.i AS i, b.i AS j,
+           CAST(ROUND(SUM(a.x * b.x), 9) AS DOUBLE) AS gram
     FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
     """,
@@ -1280,9 +1283,9 @@ _PASSAGE_MIN_SHARED = 3
 )
 def q_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    f = TX.with_winnow_fingerprints(
+    f = pin(TX.with_winnow_fingerprints(
         d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
-    ).persist()
+    ))
     keep = f.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _PASSAGE_MAX_DF
     )
@@ -1822,9 +1825,9 @@ def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("truth"),
         TX.language_id("text").alias("guess"),
     )
-    conf = pred.groupBy("truth", "guess").agg(
+    conf = pin(pred.groupBy("truth", "guess").agg(
         F.count(F.lit(1)).alias("n")
-    ).persist()
+    ))
     nn = conf.agg(F.sum("n").alias("nn"))
     n_agree = conf.filter(F.col("truth") == F.col("guess")).agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_agree")
@@ -1930,6 +1933,16 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     ).persist()
+    try:
+        return _weiszfeld(e)
+    finally:
+        # the result is a driver-literal frame — fully decoupled, so the
+        # scratch embedding cache is released before return
+        # (self-containment contract, caching.py)
+        e.unpersist()
+
+
+def _weiszfeld(e: DataFrame) -> DataFrame:
     dims = _ANN_DIM
     c0_rows = (
         e.select(F.posexplode("embedding").alias("pos", "val"))
@@ -2064,7 +2077,7 @@ _THRESH_CURVE = [0.5, 0.6, 0.7, 0.8, 0.9]
     WITH pairs AS (
       {_SQL_PAIR_JACCARD.format(shingles=_SQL_SHINGLES, threshold=0.0).replace("WHERE jaccard >= 0.0", "WHERE jaccard > 0")}
     )
-    SELECT t.threshold,
+    SELECT CAST(t.threshold AS DOUBLE) AS threshold,
            CAST(COUNT(*) FILTER (WHERE p.jaccard >= t.threshold) AS BIGINT)
              AS n_pairs,
            CAST(COUNT(DISTINCT CASE WHEN p.jaccard >= t.threshold
@@ -2086,9 +2099,9 @@ _THRESH_CURVE = [0.5, 0.6, 0.7, 0.8, 0.9]
 )
 def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(
+    pairs = pin(D.ngram_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=1e-9
-    ).persist()
+    ))
     th = d.sparkSession.createDataFrame(
         [(t,) for t in _THRESH_CURVE], "threshold double"
     )
@@ -2143,7 +2156,7 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    aud = e.select("event_type", "user_id").distinct().persist()
+    aud = pin(e.select("event_type", "user_id").distinct())
     sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = aud.select(F.col("event_type").alias("type_a"), "user_id")
     b = aud.select(F.col("event_type").alias("type_b"), "user_id")
@@ -2307,15 +2320,14 @@ def q_knn_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input split) against the broadcast bounded query side, so the
     # scoring parallelizes over executors
     j = (
-        b.repartition(32)
+        pin(b.repartition(32)
         .crossJoin(F.broadcast(qa))
         .filter(F.col("cand") != F.col("q"))
         .select(
             "q",
             "cand",
             F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("sim"),
-        )
-        .persist()
+        ))
     )
     qset = j.filter(F.col("sim") >= 0.4).select("q").distinct()
     ranked = j.join(F.broadcast(qset), "q").withColumn(

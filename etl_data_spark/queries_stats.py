@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from etl_data_spark.operators.rank import global_row_number
 from etl_data_spark.queries import load_table, register
 
+from etl_data_spark.caching import pin
+
 # --------------------------------------------------------------------------
 # Exact linear regression / correlation
 # --------------------------------------------------------------------------
@@ -311,13 +313,9 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     g = (
-        _copurchase_edges(li)
+        pin(_copurchase_edges(li)
         .filter(F.col("n_orders") >= 2)
-        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
-        # consumed by three join arms + the edge count; without persist
-        # each arm re-runs the whole co-purchase aggregation (measured:
-        # 4 lineitem scans, 19.7s -> one scan after)
-        .persist()
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v")))
     )
     e1 = g.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = g.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -982,7 +980,7 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     # consumed by both the sketch build and the exact-top-20 probe side
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")).persist()
+    tf = pin(toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")))
     # depth as an exploded dimension, NOT a 4-way union of selects — union
     # branches re-run the token aggregation per branch (the corr_matrix
     # lesson: no exchange reuse across union arms)
@@ -1147,10 +1145,10 @@ def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = li.join(od, li["l_orderkey"] == od["o_orderkey"])
     f = (
-        j.filter(F.col("o_orderstatus") == "F").select("l_partkey").persist()
+        pin(j.filter(F.col("o_orderstatus") == "F").select("l_partkey"))
     )
     o = (
-        j.filter(F.col("o_orderstatus") == "O").select("l_partkey").persist()
+        pin(j.filter(F.col("o_orderstatus") == "O").select("l_partkey"))
     )
 
     def summarize(df: DataFrame, label: str) -> DataFrame:
@@ -1757,12 +1755,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cells = (
-        o.groupBy(
+        pin(o.groupBy(
             F.col("o_orderstatus").alias("st"),
             F.col("o_orderpriority").alias("pr"),
         )
-        .agg(F.count(F.lit(1)).alias("obs"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("obs")))
     )
     rt = cells.groupBy("st").agg(F.sum("obs").alias("row_n"))
     ct = cells.groupBy("pr").agg(F.sum("obs").alias("col_n"))
@@ -2110,7 +2107,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.split("p_name", " ")[0].alias("tok"),
     )
-    names = p.select("p_name", "tok").distinct().persist()
+    names = pin(p.select("p_name", "tok").distinct())
     a = names.select(F.col("p_name").alias("id_a"), "tok")
     b = names.select(F.col("p_name").alias("id_b"), "tok")
     pairs = a.join(b, "tok").filter(
@@ -2164,9 +2161,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    d = e.groupBy(
+    d = pin(e.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    ).agg(F.count(F.lit(1)).alias("cnt")))
     a, b = d.alias("a"), d.alias("b")
     j = a.join(
         b,
@@ -2327,9 +2324,8 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without persist the second branch re-runs the fact aggregation
     # (plan-branch reuse rule, SCALE.md §11)
     g = (
-        o.groupBy(F.col("o_orderpriority").alias("pr"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s"))
-        .persist()
+        pin(o.groupBy(F.col("o_orderpriority").alias("pr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")))
     )
     tot = g.agg(
         (F.sum("s").cast("double") / F.sum("n")).alias("gm")
@@ -2523,10 +2519,9 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     g0 = (
-        _copurchase_edges(li)
+        pin(_copurchase_edges(li)
         .filter(F.col("n_orders") >= 2)
-        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
-        .persist()
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v")))
     )
     g = g0.unionAll(g0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = g.groupBy(F.col("u").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
@@ -2993,7 +2988,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     w7 = W.orderBy("day").rowsBetween(-3, 3)
-    t = d.select(
+    t = pin(d.select(
         "day",
         "cnt",
         F.sum("cnt").over(w7).alias("d7"),
@@ -3001,7 +2996,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(
             F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")), 7
         ).alias("dow"),
-    ).filter(F.col("n7") == 7).persist()
+    ).filter(F.col("n7") == 7))
     eff = t.groupBy("dow").agg(
         F.count(F.lit(1)).alias("k"),
         F.sum(7 * F.col("cnt") - F.col("d7")).alias("s"),
@@ -3201,7 +3196,8 @@ def q_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_at_risk
       FROM byd CROSS JOIN tot
     )
-    SELECT d AS day_since_click, n_at_risk, n_events,
+    SELECT d AS day_since_click, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_events,
            ROUND(CASE WHEN MAX(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0
                                 END) OVER w = 1 THEN 0.0
                  ELSE EXP(SUM(LN(CASE WHEN n_events < n_at_risk THEN
@@ -3689,12 +3685,9 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_link_predict_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     g = (
-        _copurchase_edges(li)
+        pin(_copurchase_edges(li)
         .filter(F.col("n_orders") >= 2)
-        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
-        # consumed by adj (x2), the anti-join arm: persist or the
-        # co-purchase aggregation re-runs per arm (triangle_count lesson)
-        .persist()
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v")))
     )
     adj = g.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionAll(
         g.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
@@ -3778,7 +3771,7 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct (order, part) frame feeds the edge self-join (twice)
     # AND the per-item counts — persist it or each branch re-scans and
     # re-deduplicates lineitem
-    d = li.select("l_orderkey", "l_partkey").distinct().persist()
+    d = pin(li.select("l_orderkey", "l_partkey").distinct())
     cnt = d.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -4427,7 +4420,7 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct().persist()
+    d = pin(li.select("l_orderkey", "l_partkey").distinct())
     b = d.withColumnRenamed("l_partkey", "p2")
     pr = (
         d.withColumnRenamed("l_partkey", "p1")
@@ -4514,7 +4507,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic even though tied rows' rank assignment is not.
     from etl_data_spark.operators.rank import global_row_number
 
-    slopes = slopes.persist()
+    slopes = pin(slopes)
     ranked = global_row_number(slopes, ["s"], out_col="rn")
     n = F.broadcast(slopes.agg(F.count(F.lit(1)).alias("n")))
     mid = ranked.crossJoin(n).filter(
@@ -4568,9 +4561,9 @@ def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
-    d = e.groupBy(
+    d = pin(e.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    ).agg(F.count(F.lit(1)).alias("cnt")))
     a, b = d.alias("a"), d.alias("b")
     resid = a.join(
         b,
@@ -4677,35 +4670,44 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _PAGERANK_DAMPING
     g = symmetrize(edges, "u", "v").persist()
-    deg = g.groupBy("u").agg(
-        F.count(F.lit(1)).cast("double").alias("deg")
-    )
-    is_seed = F.col("u") % _PPR_SEED_MOD == 0
-    ns = float(deg.filter(is_seed).count())
-    ge = g.join(deg, "u").persist()
-    ranks = deg.select(
-        F.col("u").alias("v"),
-        F.when(is_seed, F.lit(1.0) / F.lit(ns))
-        .otherwise(F.lit(0.0))
-        .alias("r"),
-    )
-    for it in range(1, _PPR_ITERS + 1):
-        contrib = ge.join(
-            ranks.withColumnRenamed("v", "u"), "u"
-        ).groupBy(F.col("v"))
-        tele = (
-            F.when(
-                F.col("v") % _PPR_SEED_MOD == 0,
-                F.lit(1.0 - d) / F.lit(ns),
-            ).otherwise(F.lit(0.0))
+    ge = None
+    try:
+        deg = g.groupBy("u").agg(
+            F.count(F.lit(1)).cast("double").alias("deg")
         )
-        ranks = contrib.agg(
-            F.sum(F.col("r") / F.col("deg")).alias("__c")
-        ).select(
-            "v", (tele + F.lit(d) * F.col("__c")).alias("r")
+        is_seed = F.col("u") % _PPR_SEED_MOD == 0
+        ns = float(deg.filter(is_seed).count())
+        ge = g.join(deg, "u").persist()
+        ranks = deg.select(
+            F.col("u").alias("v"),
+            F.when(is_seed, F.lit(1.0) / F.lit(ns))
+            .otherwise(F.lit(0.0))
+            .alias("r"),
         )
-        if it % 3 == 0 and it < _PPR_ITERS:
-            ranks = ranks.localCheckpoint(eager=True)
+        for it in range(1, _PPR_ITERS + 1):
+            contrib = ge.join(
+                ranks.withColumnRenamed("v", "u"), "u"
+            ).groupBy(F.col("v"))
+            tele = (
+                F.when(
+                    F.col("v") % _PPR_SEED_MOD == 0,
+                    F.lit(1.0 - d) / F.lit(ns),
+                ).otherwise(F.lit(0.0))
+            )
+            ranks = contrib.agg(
+                F.sum(F.col("r") / F.col("deg")).alias("__c")
+            ).select(
+                "v", (tele + F.lit(d) * F.col("__c")).alias("r")
+            )
+            if it % 3 == 0 and it < _PPR_ITERS:
+                ranks = ranks.localCheckpoint(eager=True)
+        # |V|-row materialization decouples the result from the scratch
+        # frames the finally releases (self-containment, caching.py)
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
+        if ge is not None:
+            ge.unpersist()
     r8 = F.round(F.col("r"), 8) + F.lit(0.0)
     return (
         ranks.select(F.col("v").alias("p_partkey"), r8.alias("ppr_score"))
@@ -4813,7 +4815,7 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct().persist()
+    d = pin(li.select("l_orderkey", "l_partkey").distinct())
     nt = F.broadcast(
         d.agg(F.countDistinct("l_orderkey").alias("n"))
     )
@@ -5120,13 +5122,13 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_spark.operators.graph import symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
-    g = symmetrize(
+    g = pin(symmetrize(
         _copurchase_edges(li)
         .filter(F.col("n_orders") >= 2)
         .select(F.col("p1").alias("u"), F.col("p2").alias("v")),
         "u",
         "v",
-    ).persist()
+    ))
     deg = g.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("u"), F.col("deg").alias("x"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
@@ -5395,12 +5397,12 @@ def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     o = load_table(spark, sf_dir, "orders")
-    b = o.select(
+    b = pin(o.select(
         F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
         .cast("long")
         .alias("x"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
-    ).persist()
+    ))
 
     def ranks(col):
         dom = b.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
@@ -5492,14 +5494,14 @@ _CCF_MAX_LAG = 7
 )
 def q_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+    d = pin(e.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias(
             "clicks"
         ),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias(
             "purchases"
         ),
-    ).persist()
+    ))
     lags = e.sparkSession.createDataFrame(
         [(lag,) for lag in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)],
         "lag int",
@@ -6245,7 +6247,7 @@ def q_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
              n, pos, cp, cn, nn, np
       FROM cum
     )
-    SELECT decile,
+    SELECT CAST(decile AS BIGINT) AS decile,
            CAST(SUM(n) AS BIGINT) AS n_rows,
            CAST(SUM(pos) AS BIGINT) AS n_pos,
            ROUND(CAST(MAX(cp) AS DOUBLE) / MAX(np), 6) + 0.0
@@ -6395,13 +6397,12 @@ def q_session_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0),
     )
     st = (
-        tagged.withColumn(
+        pin(tagged.withColumn(
             "session_seq",
             F.sum("is_new").over(wlag.rowsBetween(W.unboundedPreceding, 0)),
         )
         .select("user_id", "session_seq", "event_type")
-        .distinct()
-        .persist()
+        .distinct())
     )
     ns = F.broadcast(
         st.select("user_id", "session_seq")
@@ -6494,7 +6495,7 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("month"),
         F.col("o_custkey").alias("cust"),
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
-    cm = cm.persist()
+    cm = pin(cm)
     prev = cm.select(
         (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("month"),
         "cust",
@@ -6588,13 +6589,13 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate") < F.lit(_RFM_MIG_CUTOFF).cast("timestamp")
         ).alias("before_cut"),
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
-    seg = spend.select(
+    seg = pin(spend.select(
         "cust",
         "before_cut",
         F.ntile(4)
         .over(W.partitionBy("before_cut").orderBy("rev", "cust"))
         .alias("quartile"),
-    ).persist()
+    ))
     b = seg.filter(F.col("before_cut")).select(
         "cust", F.col("quartile").alias("seg_before")
     )

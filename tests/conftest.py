@@ -23,6 +23,9 @@ def _isolate_session_cache():
     yield
     from pyspark.sql import SparkSession
 
+    from etl_data_spark.caching import release_all
+
+    release_all()
     s = SparkSession.getActiveSession()
     if s is not None:
         s.catalog.clearCache()

@@ -1,0 +1,200 @@
+#!/usr/bin/env python3
+"""Scale-slope measurement for the heaviest operators (SCALE.md §12).
+
+Builds synthetic sf0.5 / sf1.0 inputs (5x / 10x the driver's sf0.1) and
+times the candidate-generation-heavy entries at each scale, so the
+"would this survive a 100x scale-up" judgment rests on measured slopes,
+not plan reading alone.
+
+Scaling construction (documented with the results in SCALE.md):
+
+- ``documents``: k salted copies of the sf0.1 corpus. Every token gets a
+  per-copy suffix (``token~i``), so shingle sets NEVER match across
+  copies: within-copy near-dup structure is preserved exactly while
+  cross-copy candidates are zero — i.e. a corpus k times larger with the
+  same duplicate rate, which is how a real corpus grows. (Naive
+  concatenation of identical copies would instead make every document a
+  cross-copy near-duplicate and quadratically inflate the pair list —
+  that measures a different workload.)
+- ``lineitem``: k copies with disjoint order/part key ranges — k
+  disconnected copies of the same co-purchase graph, i.e. a graph with
+  k times the edges and identical degree structure.
+
+The incremental-dedup delta predicate uses ``doc_id % COPY_STRIDE`` so
+the delta FRACTION stays constant across scales (the registered entry's
+absolute-id predicate would classify every scaled copy as delta).
+
+Run: python tools_scale_slope.py [--scales 0.1,0.5,1.0] [--reps 1]
+Writes one JSON line per (entry, sf) to stdout and a summary table at
+the end; paste/refresh the table into SCALE.md §12.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+COPY_STRIDE = 10_000_000
+SRC = "/root/testdata/sf0.1"
+OUT_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale")
+# constant 20% delta fraction at every scale (doc_id % stride >= 4000 of
+# 5000 per copy); the registered entry's absolute _DELTA_FROM=400 would
+# select a scale-dependent share on scaled corpora
+DELTA_MOD_FROM = 4000
+
+
+def build_scaled(spark, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    li_path = os.path.join(out_dir, "lineitem.parquet")
+    if os.path.exists(docs_path) and os.path.exists(li_path):
+        return
+
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(factor):
+        salted = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.concat(x, F.lit(f"~{i}")),
+            ),
+            " ",
+        )
+        parts.append(
+            d.select(
+                (F.col("doc_id") + F.lit(i * COPY_STRIDE)).alias("doc_id"),
+                salted.alias("text"),
+                "lang",
+                "source",
+                F.length(salted).alias("n_chars"),
+            )
+        )
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    scaled.write.mode("overwrite").parquet(docs_path)
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    lparts = []
+    for i in range(factor):
+        lparts.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * COPY_STRIDE)
+            ).withColumn(
+                "l_partkey", F.col("l_partkey") + F.lit(i * COPY_STRIDE)
+            )
+        )
+    sli = lparts[0]
+    for p in lparts[1:]:
+        sli = sli.unionByName(p)
+    sli.write.mode("overwrite").parquet(li_path)
+
+
+def entries():
+    """(name, fn(spark, sf_dir) -> DataFrame) for the slope suite."""
+    from pyspark.sql import functions as F
+
+    import etl_data_spark.operators.dedup as D
+    from etl_data_spark.operators.graph import bfs_hops, pagerank, symmetrize
+    from etl_data_spark.queries import load_table
+    from etl_data_spark.queries_stats import _copurchase_edges
+
+    def edges_of(spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            _copurchase_edges(li)
+            .filter(F.col("n_orders") >= 2)
+            .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        )
+
+    def q_setsim(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return D.setsim_prefix_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.4)
+
+    def q_minhash(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return D.minhash_lsh_pairs(
+            d, "doc_id", "text", shingle_n=3, num_hashes=64, bands=16, threshold=0.8
+        )
+
+    def q_minhash_incr(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return D.minhash_lsh_pairs_incremental(
+            d,
+            delta_pred=(F.col("doc_id") % COPY_STRIDE) >= DELTA_MOD_FROM,
+            shingle_n=3,
+            num_hashes=64,
+            bands=16,
+            threshold=0.8,
+        )
+
+    def q_pagerank(spark, sf_dir):
+        return pagerank(edges_of(spark, sf_dir), iters=10)
+
+    def q_bfs(spark, sf_dir):
+        e = edges_of(spark, sf_dir)
+        src_id = symmetrize(e).agg(F.min("u").alias("m")).collect()[0]["m"]
+        return bfs_hops(e, F.col("v") == F.lit(src_id), max_hops=6)
+
+    return [
+        ("setsim_join_prefix", q_setsim),
+        ("dedup_minhash_lsh", q_minhash),
+        ("minhash_lsh_incremental", q_minhash_incr),
+        ("pagerank_copurchase", q_pagerank),
+        ("bfs_hops", q_bfs),
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="0.1,0.5,1.0")
+    ap.add_argument("--reps", type=int, default=1)
+    args = ap.parse_args()
+    scales = [float(s) for s in args.scales.split(",")]
+
+    from etl_data_spark import get_spark, release_all
+
+    spark = get_spark(app_name="etl-data-spark-scale-slope")
+    dirs = {}
+    for s in scales:
+        if abs(s - 0.1) < 1e-9:
+            dirs[s] = SRC
+        else:
+            factor = round(s / 0.1)
+            out = os.path.join(OUT_ROOT, f"sf{s}")
+            build_scaled(spark, factor, out)
+            dirs[s] = out
+
+    results: dict[str, dict[float, float]] = {}
+    for name, fn in entries():
+        results[name] = {}
+        for s in scales:
+            best = None
+            for _ in range(args.reps):
+                release_all()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, dirs[s]).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results[name][s] = round(best, 2)
+            print(json.dumps({"entry": name, "sf": s, "sec": results[name][s]}), flush=True)
+
+    print("\n| entry | " + " | ".join(f"sf{s}" for s in scales)
+          + " | slope vs linear |")
+    print("|---|" + "---|" * (len(scales) + 1))
+    for name, r in results.items():
+        base_s, base_t = scales[0], r[scales[0]]
+        last_s, last_t = scales[-1], r[scales[-1]]
+        ratio = (last_t / base_t) / (last_s / base_s) if base_t else float("nan")
+        cells = " | ".join(f"{r[s]:.2f}s" for s in scales)
+        print(f"| {name} | {cells} | {ratio:.2f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
