@@ -238,9 +238,13 @@ def minhash_lsh_pairs(
 
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # the shingle-set frames are CORPUS-sized: pin sort-merge so a size
+    # misestimate can never promote them to a driver-built broadcast
+    # (observed at 5x bench scale via tools_scale_slope.py — the broadcast
+    # build OOMs the driver long before 100 TB)
     verified = (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .select("id_a", "id_b", F.round(jaccard("sh_a", "sh_b"), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -280,9 +284,10 @@ def ngram_jaccard_pairs(
 
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # corpus-cardinality size frames: never broadcast (see minhash verify)
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        shared.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -499,10 +504,15 @@ def setsim_prefix_pairs(
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
     tok_df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("tok_df"))
     w = Window.partitionBy("doc_id").orderBy("tok_df", "shingle")
+    # tok_df is the per-shingle document-frequency map — CORPUS-sized
+    # (distinct shingles grow with the corpus). A post-agg size
+    # misestimate promoted it to broadcast at 5x bench scale and OOM'd
+    # the driver building the table (tools_scale_slope.py); pin
+    # sort-merge so the plan stays spillable at any corpus size.
     ranked = (
-        inv.join(tok_df, "shingle")
+        inv.join(tok_df.hint("merge"), "shingle")
         .withColumn("rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .join(sizes.hint("merge"), "doc_id")
     )
     plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = ranked.filter(F.col("rk") <= plen).select(
@@ -540,8 +550,8 @@ def setsim_prefix_pairs(
     # interpreted array walk twice per candidate — measured 2x on the
     # verify stage, which dominates this operator's cost.
     return (
-        cands.join(da, "id_a")
-        .join(db, "id_b")
+        cands.join(da.hint("merge"), "id_a")
+        .join(db.hint("merge"), "id_b")
         .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
         .select(
             "id_a",
@@ -614,9 +624,10 @@ def minhash_lsh_pairs_incremental(
     )
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # corpus-sized shingle frames: pin sort-merge (see minhash verify)
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",

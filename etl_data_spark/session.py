@@ -12,7 +12,15 @@ the engine. Config defaults are chosen for the 100 TB design point:
   external oracles regardless of host timezone;
 - broadcast threshold left at default 10 MB — dimension tables here are
   orders of magnitude smaller; explicit ``F.broadcast`` hints are still used
-  at call sites so intent survives statistics loss.
+  at call sites so intent survives statistics loss (and corpus-sized join
+  sides carry explicit ``merge`` hints so a misestimate can never promote
+  them to broadcast — operators/dedup.py);
+- local driver heap sized to the machine (``SPARK_GRAFT_DRIVER_MEM``,
+  default 16g) — in ``local[*]`` the driver JVM IS every executor, and
+  Spark's 1g default makes 32 task threads share one gigabyte, which
+  spills constantly and OOMs the first scaled-up broadcast build. Only
+  applied when this factory launches the JVM (driver memory cannot change
+  on an already-running session) and never on a real cluster master.
 """
 
 from __future__ import annotations
@@ -51,10 +59,16 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )
+    local = master.startswith("local") if master is not None else not os.environ.get("SPARK_MASTER")
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cores}]")
+    if local:
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
