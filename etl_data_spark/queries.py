@@ -413,7 +413,10 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        # customer SCALES with SF — no forced broadcast (the size-based
+        # planner broadcasts it while it fits and demotes at scale);
+        # nation/region are constant-size and stay hinted
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
     )

@@ -642,7 +642,7 @@ def q_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
 
     a = (
-        o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        o.join(c, c["c_custkey"] == o["o_custkey"])
         .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
         .groupBy(
             F.date_trunc("month", "o_orderdate").alias("month"),
@@ -656,7 +656,7 @@ def q_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     b = (
-        li.join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        li.join(s, s["s_suppkey"] == li["l_suppkey"])
         .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
         .groupBy(
             F.date_trunc("month", "l_shipdate").alias("month"),

@@ -2235,9 +2235,11 @@ def q_source_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = meta.select(
         F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
     )
+    # per-document metadata is corpus-sized — no forced broadcast (the
+    # size-based planner decides; see operators/dedup.py merge-hint note)
     tagged = (
-        pairs.join(F.broadcast(da), "id_a")
-        .join(F.broadcast(db), "id_b")
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
         .select(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),

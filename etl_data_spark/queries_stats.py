@@ -1608,8 +1608,8 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").alias("o_dist"),
         )
     )
-    enriched = p.join(F.broadcast(names), ["tok", "p_name"]).join(
-        F.broadcast(nearest_other), ["tok", "p_name"], "left"
+    enriched = p.join(names, ["tok", "p_name"]).join(
+        nearest_other, ["tok", "p_name"], "left"
     )
     dup = F.col("n_keys") > 1
     same_name_buddy = F.when(
@@ -2116,7 +2116,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(pairs)
     resolved = p.join(
-        F.broadcast(cc), p["p_name"] == cc["doc_id"], "left"
+        cc, p["p_name"] == cc["doc_id"], "left"
     ).select(
         "p_partkey",
         F.coalesce("cluster_id", "p_name").alias("root"),
@@ -3714,8 +3714,8 @@ def q_link_predict_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("z").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("z").alias("b"), F.col("deg").alias("deg_b"))
     out = (
-        cand.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        cand.join(da, "a")
+        .join(db, "b")
         .select(
             F.col("a").alias("p_a"),
             F.col("b").alias("p_b"),
@@ -3787,8 +3787,8 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = cnt.select(F.col("p").alias("p1"), F.col("n").alias("n1"))
     c2 = cnt.select(F.col("p").alias("p2"), F.col("n").alias("n2"))
     out = (
-        e.join(F.broadcast(c1), "p1")
-        .join(F.broadcast(c2), "p2")
+        e.join(c1, "p1")
+        .join(c2, "p2")
         .select(
             "p1",
             "p2",
@@ -4831,8 +4831,9 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
-    ia = F.broadcast(item.select(F.col("p").alias("p1"), F.col("supp").alias("supp_1")))
-    ib = F.broadcast(item.select(F.col("p").alias("p2"), F.col("supp").alias("supp_2")))
+    # per-part support frames SCALE with the catalog — no forced broadcast
+    ia = item.select(F.col("p").alias("p1"), F.col("supp").alias("supp_1"))
+    ib = item.select(F.col("p").alias("p2"), F.col("supp").alias("supp_2"))
     ej = e.join(ia, "p1").join(ib, "p2")
     fwd = ej.select(
         F.col("p1").alias("antecedent"),
@@ -5132,7 +5133,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = g.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("u"), F.col("deg").alias("x"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
-    pairs = g.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    pairs = g.join(du, "u").join(dv, "v")
     s = pairs.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("x").alias("sx"),
@@ -6644,7 +6645,7 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     sr = (
         li.join(
-            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            su.select("s_suppkey", "s_nationkey"),
             li["l_suppkey"] == su["s_suppkey"],
         )
         .groupBy(
@@ -6709,7 +6710,7 @@ def q_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     j = li.join(
-        F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+        p.select("p_partkey", "p_brand", "p_retailprice"),
         li["l_partkey"] == p["p_partkey"],
     ).select(
         F.col("p_brand").alias("brand"),
@@ -6898,7 +6899,7 @@ def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     j = li.join(
-        F.broadcast(p.select("p_partkey", "p_brand")),
+        p.select("p_partkey", "p_brand"),
         li["l_partkey"] == p["p_partkey"],
     ).select(
         F.col("p_brand").alias("brand"),
@@ -6964,7 +6965,7 @@ def q_brand_cross_shopping(spark: SparkSession, sf_dir: str) -> DataFrame:
             li["l_orderkey"] == o["o_orderkey"],
         )
         .join(
-            F.broadcast(p.select("p_partkey", "p_brand")),
+            p.select("p_partkey", "p_brand"),
             li["l_partkey"] == p["p_partkey"],
         )
         .groupBy(F.col("o_custkey").alias("cust"))
@@ -7018,7 +7019,7 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     supply = (
         li.join(
-            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            su.select("s_suppkey", "s_nationkey"),
             li["l_suppkey"] == su["s_suppkey"],
         )
         .groupBy(F.col("s_nationkey").alias("nk"))
@@ -7031,7 +7032,7 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     demand = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            c.select("c_custkey", "c_nationkey"),
             o["o_custkey"] == c["c_custkey"],
         )
         .groupBy(F.col("c_nationkey").alias("nk"))

@@ -100,10 +100,10 @@ def q_tpch_q2_min_cost_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         ps.join(
-            F.broadcast(p.filter(F.col("p_type") == "LARGE").select("p_partkey")),
+            p.filter(F.col("p_type") == "LARGE").select("p_partkey"),
             ps["l_partkey"] == F.col("p_partkey"),
         )
-        .join(F.broadcast(eu), ps["l_suppkey"] == F.col("s_suppkey"))
+        .join(eu, ps["l_suppkey"] == F.col("s_suppkey"))
     )
     w = Window.partitionBy("p_partkey")  # keyed window — no global sort
     return (
@@ -204,10 +204,10 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_12")
     ) | ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_8"))
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("supp_nation").isin("NATION_8", "NATION_12"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair_ok)
         .groupBy(
             "supp_nation",
@@ -282,12 +282,12 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     return (
         li.join(
-            F.broadcast(p.filter(F.col("p_type") == "STANDARD").select("p_partkey")),
+            p.filter(F.col("p_type") == "STANDARD").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("volume", _vol())
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -344,8 +344,8 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amount10 = _vol() * 10 - _dec("p_retailprice", 12) * _dec("l_quantity", 12)
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p.select("p_partkey", "p_retailprice"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(((F.sum(amount10).cast("double")) / F.lit(10.0)).cast("double").alias("sum_profit"))
@@ -389,7 +389,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_vol()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -439,7 +439,7 @@ def q_tpch_q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("s_suppkey")
     )
     v = (
-        li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        li.join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(_vol()).alias("val"))
     )
@@ -567,7 +567,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
     )
 
@@ -610,8 +610,8 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 2000.0
     ).select("s_suppkey")
     return (
-        ps.join(F.broadcast(bad_supp), ps["l_suppkey"] == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(bad_supp, ps["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .join(p.select("p_partkey", "p_brand", "p_type", "p_size"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -655,7 +655,7 @@ def q_tpch_q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     zero = F.lit(0).cast("decimal(12,2)")
     psq = (
-        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.when(in_1997, _dec("l_quantity", 12)).otherwise(zero)).alias("qty_1997"),
@@ -744,7 +744,7 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         uniq_late.join(fin, uniq_late["l_orderkey"] == fin["o_orderkey"], "left_semi")
-        .join(F.broadcast(s), uniq_late["l_suppkey"] == s["s_suppkey"])
+        .join(s, uniq_late["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

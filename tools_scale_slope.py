@@ -51,7 +51,10 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     docs_path = os.path.join(out_dir, "documents.parquet")
     li_path = os.path.join(out_dir, "lineitem.parquet")
-    if os.path.exists(docs_path) and os.path.exists(li_path):
+    if all(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
+        for t in ("documents", "lineitem", "events", "embeddings", "region")
+    ):
         return
 
     d = spark.read.parquet(f"{SRC}/documents.parquet")
@@ -92,6 +95,57 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
     for p in lparts[1:]:
         sli = sli.unionByName(p)
     sli.write.mode("overwrite").parquet(li_path)
+
+    # events: k user populations over the same time range (a k-fold busier
+    # stream with identical per-user behavior)
+    from etl_data_spark.queries import load_table
+
+    ev = load_table(spark, SRC, "events")
+    eparts = [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(i * COPY_STRIDE))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * COPY_STRIDE))
+        for i in range(factor)
+    ]
+    sev = eparts[0]
+    for p in eparts[1:]:
+        sev = sev.unionByName(p)
+    sev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    # embeddings: k copies with a deterministic per-copy perturbation
+    # (hash-free, +/-1e-3 per dim keyed on copy and vec_id) so duplicated
+    # vectors are near but not identical — cross-copy near-dup structure
+    # stays bounded instead of every vector gaining k-1 exact twins
+    em = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    mparts = []
+    for i in range(factor):
+        pert = F.transform(
+            F.col("embedding"),
+            lambda x, j: x
+            + ((F.col("vec_id") * 31 + j * 7 + i) % 11 - 5).cast("double")
+            * 1e-3,
+        )
+        mparts.append(
+            em.select(
+                (F.col("vec_id") + F.lit(i * COPY_STRIDE)).alias("vec_id"),
+                pert.alias("embedding"),
+                *[c for c in em.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    sem = mparts[0]
+    for p in mparts[1:]:
+        sem = sem.unionByName(p)
+    sem.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+    # small/constant tables: symlink from the source so registry entries
+    # that join dims can run against the scaled dir unchanged
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+    ):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
 
 
 def entries():
@@ -140,13 +194,35 @@ def entries():
         src_id = symmetrize(e).agg(F.min("u").alias("m")).collect()[0]["m"]
         return bfs_hops(e, F.col("v") == F.lit(src_id), max_hops=6)
 
-    return [
+    out = [
         ("setsim_join_prefix", q_setsim),
         ("dedup_minhash_lsh", q_minhash),
         ("minhash_lsh_incremental", q_minhash_incr),
         ("pagerank_copurchase", q_pagerank),
         ("bfs_hops", q_bfs),
     ]
+    # registry entries runnable against the scaled dir as-is (their input
+    # tables — documents/lineitem/events/embeddings — are the scaled ones;
+    # dims are symlinked). Chosen for cost and family diversity: text
+    # retrieval, fingerprint overlap, the composed export, the robust
+    # centroid, the exact Gram, hypertable rollup, sliding bitmap
+    # distinct, iterative PPR, triangle counting.
+    from etl_data_spark.catalog import REGISTRY
+
+    for name in (
+        "passage_overlap",
+        "tfidf_topk",
+        "bm25_search",
+        "corpus_export_manifest",
+        "geometric_median",
+        "embedding_gram_matrix",
+        "hypertable_rollup",
+        "sliding_distinct_users",
+        "personalized_pagerank",
+        "triangle_count",
+    ):
+        out.append((name, REGISTRY[name].fn))
+    return out
 
 
 def main() -> None:
