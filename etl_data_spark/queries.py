@@ -42,11 +42,33 @@ def events_ts_unit(sf_dir: str) -> str:
 
     The driver regenerates /root/testdata between rounds and has shipped
     both nanosecond (round 1) and microsecond (round 2) encodings; a cheap
-    pyarrow footer read keeps the loader correct for either.
+    pyarrow footer read keeps the loader correct for either. The path may
+    be a single parquet file (driver testdata) or a directory of part
+    files (anything Spark itself wrote) — for a directory, any one part
+    footer carries the schema.
     """
+    import os
+
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if parts:
+            path = os.path.join(path, parts[0])
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("ts")
+    # Distinguish by PHYSICAL type: the driver's round-1 encoding is
+    # INT64 with a nanosecond logical timestamp (Spark needs the
+    # nanosAsLong escape hatch), while Spark's own INT96 output also
+    # surfaces as timestamp[ns] in the arrow schema but reads natively
+    # as TIMESTAMP — only genuine INT64-nanos takes the legacy branch.
+    if meta.schema.column(idx).physical_type != "INT64":
+        return "us"
+    t = meta.schema_arrow.field(idx).type
     return getattr(t, "unit", "us") or "us"
 
 

@@ -191,6 +191,28 @@ def test_ns_events_read_restores_conf_and_truncates(spark, tmp_path):
     assert got[2].microsecond == 987654  # truncation, not rounding
 
 
+def test_spark_written_events_dir_reads_as_timestamp(spark, tmp_path):
+    """load_table must accept a DIRECTORY-style events table written by
+    Spark itself (part files, INT96 physical timestamps). pyarrow surfaces
+    INT96 as timestamp[ns] in the arrow schema, so a naive unit sniff would
+    wrongly take the int64-nanos legacy branch and fail analysis; the sniff
+    keys on the parquet PHYSICAL type instead. This is the shape any
+    re-materialized events table has (scale harness, staging copies).
+    """
+    from etl_data_spark.queries import events_ts_unit, load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events.parquet")
+    src.limit(100).write.mode("overwrite").parquet(out)
+
+    assert events_ts_unit(str(tmp_path)) == "us"
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        "ts"
+    ] == "timestamp"
+    assert df.count() == 100
+
+
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     """ORC sink/source round-trip preserves schema+values, and predicate
     pushdown reaches the ORC scan like it does for parquet."""

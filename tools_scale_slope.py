@@ -245,6 +245,13 @@ def main() -> None:
             build_scaled(spark, factor, out)
             dirs[s] = out
 
+    # restart the JVM between data build and timing: the 10x unions churn
+    # enough heap that first-entry timings otherwise measure the builder's
+    # GC debris, not the operator (observed: setsim 20.6s from a clean JVM
+    # vs 70.9s right after an in-JVM build of events+embeddings at 2 scales)
+    spark.stop()
+    spark = get_spark(app_name="etl-data-spark-scale-slope-timing")
+
     results: dict[str, dict[float, float]] = {}
     for name, fn in entries():
         results[name] = {}
