@@ -585,8 +585,10 @@ def minhash_lsh_pairs_incremental(
     Plan shape: band keys are computed for the whole frame once (at a
     real deployment the base side's signatures are a PERSISTED table —
     computing them here keeps the entry self-contained; the join
-    structure is identical), the delta side's banded rows are broadcast
-    against the full banded set, and exact-Jaccard verification runs
+    structure is identical), the delta side's banded rows equi-join the
+    full banded set on the band key (the planner broadcasts a small
+    banded delta and falls back to a spillable band-key shuffle for a
+    large one), and exact-Jaccard verification runs
     only on candidates with a delta member. Pairs fully inside the
     delta batch are included (both docs are new).
     """
@@ -608,9 +610,13 @@ def minhash_lsh_pairs_incremental(
     )
     l = delta_banded.alias("l")
     r = banded.alias("r")
-    # broadcast the delta side: the batch is small relative to the corpus
+    # no forced broadcast of the delta side: a "small" batch is a deploy
+    # assumption, not a construction bound (20% of a 100 TB corpus is not
+    # driver-buildable). The band equi-join lets the size-based planner
+    # broadcast a genuinely small banded delta and demote a large one to
+    # a spillable sort-merge shuffle on the band key.
     candidates = (
-        F.broadcast(l)
+        l
         .join(
             r,
             (F.col("l.band") == F.col("r.band"))

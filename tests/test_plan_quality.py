@@ -347,3 +347,20 @@ def test_pit_join_is_keyed_equi_join(spark):
     p = plan(q(spark, "pit_scd2_join"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_setsim_corpus_frames_stay_sort_merge(spark):
+    # the per-shingle document-frequency map and shingle-set verify
+    # frames are CORPUS-sized; their merge hints must survive to the
+    # physical plan so a statistics misestimate can never promote them
+    # to a driver-built broadcast (observed OOM at 5x bench data,
+    # SCALE.md §21). Sides bounded by construction may still broadcast.
+    p = plan(q(spark, "setsim_join_prefix"))
+    assert "SortMergeJoin" in p
+
+
+def test_minhash_verify_stays_sort_merge(spark):
+    # exact-Jaccard verification joins candidates back to the
+    # corpus-sized shingle frames — merge-hinted for the same reason
+    p = plan(q(spark, "dedup_minhash_lsh_native"))
+    assert "SortMergeJoin" in p
