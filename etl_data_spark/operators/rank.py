@@ -45,8 +45,8 @@ _OFFSET_MASK = (1 << _OFFSET_BITS) - 1
 def global_running_sum(
     df: DataFrame,
     order_cols: list[str],
-    val_col: str,
-    out_col: str = "running",
+    val_col: str | list[str],
+    out_col: str | list[str] = "running",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed ``SUM(val) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
@@ -61,6 +61,10 @@ def global_running_sum(
     sum must be reproducible bit-for-bit: the fold order within and
     across partitions is fixed by the sort, but exact types make the
     result independent of the decomposition by construction.
+
+    ``val_col``/``out_col`` may be parallel lists to cumulate several
+    columns over ONE range decomposition (one exchange, one window pass,
+    one offsets broadcast — vs. re-partitioning per column).
     """
     if num_partitions is None:
         num_partitions = int(
@@ -83,28 +87,40 @@ def global_running_sum(
         .drop(_MID)
         .localCheckpoint(eager=True)
     )
-    local = parts.withColumn(
-        "__gr_local_sum",
-        F.sum(val_col).over(
-            Window.partitionBy(_PID)
-            .orderBy(*keys)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(val_cols) != len(out_cols):
+        raise ValueError("val_col and out_col must have equal arity")
+    wrun = (
+        Window.partitionBy(_PID)
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    totals = parts.groupBy(_PID).agg(F.sum(val_col).alias("__gr_tot"))
+    local = parts
+    for vc in val_cols:
+        local = local.withColumn(f"__gr_local_{vc}", F.sum(vc).over(wrun))
+    totals = parts.groupBy(_PID).agg(
+        *[F.sum(vc).alias(f"__gr_tot_{vc}") for vc in val_cols]
+    )
+    wprev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         _PID,
-        F.coalesce(
-            F.sum("__gr_tot").over(
-                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0).cast("long"),
-        ).alias("__gr_off"),
+        *[
+            F.coalesce(
+                F.sum(f"__gr_tot_{vc}").over(wprev), F.lit(0).cast("long")
+            ).alias(f"__gr_off_{vc}")
+            for vc in val_cols
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, F.col("__gr_local_sum") + F.col("__gr_off"))
-        .drop(_PID, "__gr_local_sum", "__gr_off")
+    out = local.join(F.broadcast(offsets), _PID)
+    for vc, oc in zip(val_cols, out_cols):
+        out = out.withColumn(
+            oc, F.col(f"__gr_local_{vc}") + F.col(f"__gr_off_{vc}")
+        )
+    return out.drop(
+        _PID,
+        *[f"__gr_local_{vc}" for vc in val_cols],
+        *[f"__gr_off_{vc}" for vc in val_cols],
     )
 
 

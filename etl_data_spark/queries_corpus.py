@@ -1044,7 +1044,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
     )
     vocab = pin(toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf")))
-    ranked = vocab.select(
+    # only ranks <= max(K) ever contribute to coverage, so rank a
+    # top-max(K) truncation (TakeOrderedAndProject — distributed, no
+    # vocab-sized single-partition sort; the vocabulary domain scales
+    # with the corpus under Heaps' law) and window the bounded frame
+    top = vocab.orderBy(F.desc("tf"), "w").limit(max(_VOCAB_CURVE_KS))
+    ranked = top.select(
         "tf", F.row_number().over(W.orderBy(F.desc("tf"), "w")).alias("rnk")
     )
     tot = F.broadcast(vocab.agg(F.sum("tf").alias("n")))

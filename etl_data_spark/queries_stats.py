@@ -5205,7 +5205,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "domain, one max.",
 )
 def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from etl_data_spark.operators.rank import global_running_sum
 
     o = load_table(spark, sf_dir, "orders")
     v = o.filter(
@@ -5218,16 +5218,13 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("grp_a").cast("long")).alias("ca"),
         F.sum((~F.col("grp_a")).cast("long")).alias("cb"),
     )
-    # totals come from a whole-frame window over the SAME domain frame,
-    # so the plan is structurally one scan (no second tot branch)
-    wcum = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
-    wall = W.partitionBy()
-    cum = dom.select(
-        F.sum("ca").over(wcum).alias("cua"),
-        F.sum("cb").over(wcum).alias("cub"),
-        F.sum("ca").over(wall).alias("na"),
-        F.sum("cb").over(wall).alias("nb"),
-    )
+    # the value domain (distinct prices) SCALES with the data — cumulate
+    # both group counts over one distributed range decomposition
+    # (operators/rank.py), never a single-partition global window; the
+    # two totals are the running sums' final values (1-row broadcast)
+    r = global_running_sum(dom, ["x"], ["ca", "cb"], ["cua", "cub"])
+    tot = r.agg(F.max("cua").alias("na"), F.max("cub").alias("nb"))
+    cum = r.crossJoin(F.broadcast(tot))
     d = F.max(
         F.abs(F.col("nb") * F.col("cua") - F.col("na") * F.col("cub"))
     )
@@ -5389,13 +5386,14 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tie-aware and EXACT: the average rank of a tied value group is a "
     "half-integer, so DOUBLED ranks (2*cum_before + count + 1) keep "
     "every moment sum in bigint — the x2 scaling cancels in the "
-    "Pearson-on-ranks formula. Ranks come from cumulative windows over "
-    "the two VALUE DOMAINS (days / distinct prices), never a "
-    "row-ranking of the fact table; the fact rows just join their "
-    "group's rank back in.",
+    "Pearson-on-ranks formula. Ranks come from distributed prefix "
+    "counts over the two VALUE DOMAINS (days / distinct prices; "
+    "operators/rank.py range decomposition), never a row-ranking of "
+    "the fact table; the fact rows just join their group's rank back "
+    "in.",
 )
 def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from etl_data_spark.operators.rank import global_running_sum
 
     o = load_table(spark, sf_dir, "orders")
     b = pin(o.select(
@@ -5406,14 +5404,17 @@ def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
     def ranks(col):
+        # value domains scale with the data (distinct prices under y) —
+        # the tied-rank prefix count runs on the distributed range
+        # decomposition, not a single-partition global window. The
+        # inclusive running count minus own count is the strict-below
+        # cumulative the doubled-rank formula needs.
         dom = b.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        wprev = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
-        return dom.select(
+        run = global_running_sum(dom, [col], "c", out_col="__run")
+        return run.select(
             col,
             (
-                2 * F.coalesce(F.sum("c").over(wprev), F.lit(0))
-                + F.col("c")
-                + 1
+                2 * (F.col("__run") - F.col("c")) + F.col("c") + 1
             ).alias(f"r2{col}"),
         )
 

@@ -33,7 +33,6 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "etl_data_spark")
 # (relative file, enclosing function) -> number of F.broadcast call sites,
 # each individually reviewed as bounded-by-construction.
 ALLOWED = {
-    ("operators/dedup.py", "minhash_lsh_pairs_incremental"): 1,  # delta batch (small by contract)
     ("operators/rank.py", "global_row_number"): 1,  # per-partition offsets
     ("operators/rank.py", "global_running_sum"): 1,  # per-partition offsets
     ("queries.py", "q_latest_batch"): 1,  # 1-row max
@@ -75,6 +74,7 @@ ALLOWED = {
     ("queries_stats.py", "q_drift_psi"): 2,  # per-bin reference/current totals
     ("queries_stats.py", "q_equidepth_histogram"): 1,  # 1-row N
     ("queries_stats.py", "q_funnel_strict_sequence"): 2,  # 1-row step counts
+    ("queries_stats.py", "q_ks_two_sample"): 1,  # 1-row group totals
     ("queries_stats.py", "q_impute_group_median"): 1,  # per-event-type medians
     ("queries_stats.py", "q_mad_value"): 1,  # 1-row median
     ("queries_stats.py", "q_mutual_info_type_hour"): 3,  # type/hour margins + total
