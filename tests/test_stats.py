@@ -665,10 +665,17 @@ def test_brier_decomposition_identity(spark):
 # -- plan pins for the continuation wave ------------------------------------
 
 
-def test_ks_two_sample_single_scan_partial_agg(spark):
+def test_ks_two_sample_distributed_cumulation(spark):
+    # the distinct-price domain is cumulated via the rank.py range
+    # decomposition: the plan reads the checkpointed ranged frame (the
+    # one parquet scan happened inside the eager checkpoint), and the
+    # data itself is never run through a single-partition global window
+    # — the only Windows are the per-partition fold and the
+    # #partitions-row offset fold
     p = plan(q(spark, "ks_two_sample"))
-    assert p.count("Scan parquet") == 1
+    assert "Scan ExistingRDD" in p and "Scan parquet" not in p
     assert "HashAggregate" in p
+    assert "Window" in p  # the bounded folds, not a domain-wide funnel
 
 
 def test_spearman_bounds_and_sign(spark):

@@ -229,8 +229,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="0.1,0.5,1.0")
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument(
+        "--entries",
+        default="",
+        help="comma-separated entry-name filter (default: all)",
+    )
     args = ap.parse_args()
     scales = [float(s) for s in args.scales.split(",")]
+    only = {e for e in args.entries.split(",") if e}
 
     from etl_data_spark import get_spark, release_all
 
@@ -254,6 +260,8 @@ def main() -> None:
 
     results: dict[str, dict[float, float]] = {}
     for name, fn in entries():
+        if only and name not in only:
+            continue
         results[name] = {}
         for s in scales:
             best = None
