@@ -23,21 +23,58 @@ The contract:
 ``release_all`` is idempotent and safe to call with queries in flight on
 *other* DataFrames: unpersist only marks blocks for eviction and any
 still-running job recomputes the subplan.
+
+**Every long-lived entrypoint MUST call** :func:`release_all` (or wrap its
+work in :func:`pinned_scope`) after materializing results — the registry
+intentionally holds strong references, because SQL-layer caches live in
+the JVM CacheManager until an explicit unpersist (GC-based reclaim would
+also silently degrade a pinned subplan the caller has not materialized
+yet, which is the failure mode this module exists to prevent). A consumer
+that never releases accumulates executor storage; :func:`pin` emits a
+``ResourceWarning`` past a high-water mark so that bug is loud, not
+silent.
 """
 
 from __future__ import annotations
+
+import warnings
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _PINNED: list[DataFrame] = []
 
+# A healthy consumer releases between queries; the widest single plan in
+# the repo pins < 10 frames. Hundreds outstanding means someone is looping
+# without release_all() — warn loudly instead of leaking quietly.
+_LEAK_WARN_THRESHOLD = 128
+
 
 def pin(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     """Persist ``df`` (default storage level unless given) and record it."""
     df = df.persist(level) if level is not None else df.persist()
     _PINNED.append(df)
+    if len(_PINNED) == _LEAK_WARN_THRESHOLD:
+        warnings.warn(
+            f"{_LEAK_WARN_THRESHOLD} pinned DataFrames outstanding - a "
+            "long-lived consumer is not calling "
+            "etl_data_spark.caching.release_all() (or use pinned_scope()); "
+            "executor storage grows without bound until it does.",
+            ResourceWarning,
+            stacklevel=2,
+        )
     return df
+
+
+@contextmanager
+def pinned_scope():
+    """Scope wrapper for consumers: everything pinned inside the block is
+    released on exit (materialize results before leaving the block)."""
+    try:
+        yield
+    finally:
+        release_all()
 
 
 def pinned_count() -> int:

@@ -91,6 +91,15 @@ def global_running_sum(
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(val_cols) != len(out_cols):
         raise ValueError("val_col and out_col must have equal arity")
+    if len(set(val_cols)) != len(val_cols) or len(set(out_cols)) != len(out_cols):
+        raise ValueError(
+            f"val_col/out_col must be unique (got {val_cols} -> {out_cols}): "
+            "duplicates would silently collide in the generated scratch columns"
+        )
+    clash = [vc for vc in val_cols if f"__gr_local_{vc}" in df.columns
+             or f"__gr_tot_{vc}" in df.columns or f"__gr_off_{vc}" in df.columns]
+    if clash:
+        raise ValueError(f"input columns collide with scratch names for {clash}")
     wrun = (
         Window.partitionBy(_PID)
         .orderBy(*keys)

@@ -57,8 +57,13 @@ def events_ts_unit(sf_dir: str) -> str:
             f for f in os.listdir(path)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-        if parts:
-            path = os.path.join(path, parts[0])
+        if not parts:
+            raise FileNotFoundError(
+                f"{path} is a directory with no *.parquet part files "
+                "(only markers like _SUCCESS?) - cannot sniff the events "
+                "ts encoding from an empty table directory"
+            )
+        path = os.path.join(path, parts[0])
     meta = pq.ParquetFile(path)
     idx = meta.schema_arrow.get_field_index("ts")
     # Distinguish by PHYSICAL type: the driver's round-1 encoding is

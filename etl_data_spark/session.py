@@ -36,6 +36,32 @@ def _local_cores() -> str:
     return os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
 
 
+def _local_driver_mem() -> str:
+    """Default local driver heap: min(16g, ~70% of MemAvailable).
+
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides. The floor is 1g (Spark's own
+    default); on small CI/cgroup hosts asking for a fixed 16g would fail
+    JVM launch or draw the OOM killer, so the default is derived from
+    what the host actually has. Note the setting only applies when THIS
+    factory launches the JVM — getOrCreate() against an existing session
+    silently keeps the original heap.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = next(
+                int(line.split()[1])
+                for line in f
+                if line.startswith("MemAvailable:")
+            )
+        gb = max(1, min(16, int(kb * 0.7 / 1024 / 1024)))
+    except (OSError, StopIteration, ValueError):
+        gb = 4  # no /proc (macOS/container quirk): modest, safe default
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -65,10 +91,7 @@ def get_spark(
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cores}]")
     if local:
-        builder = builder.config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
+        builder = builder.config("spark.driver.memory", _local_driver_mem())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
