@@ -304,68 +304,129 @@ def ngram_jaccard_pairs(
 # --- duplicate clustering ----------------------------------------------------
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", Alg. 1): every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Input/output are
+    canonical (hi, lo) edge pairs; one groupBy shuffle + one keyed join."""
+    both = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = both.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        both.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round (ibid., Alg. 2): orient every edge toward its
+    larger endpoint, then connect each node's smaller neighbors (and
+    itself) to the minimum neighbor."""
+    oriented = edges.select("hi", "lo")  # already hi > lo
+    mins = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
+    relink = (
+        oriented.join(mins, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    center = mins.select(F.col("hi"), F.col("m").alias("lo"))
+    return relink.union(center).distinct()
+
+
+def star_contraction(
+    edges: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction to star graphs.
+
+    Converges in O(log^2 n) rounds REGARDLESS of component diameter — the
+    upgrade over min-label propagation (O(diameter) rounds), which
+    degenerates on long-chain components (a 10k-node chain needs 10k
+    label-propagation rounds but ~2*log2(n) star rounds; pinned by
+    tests/test_operators.py::test_star_contraction_chain_rounds).
+
+    Input: canonical (hi, lo) pairs, hi > lo. Output: (star_edges, rounds)
+    where star_edges maps every non-root node (hi) to its component
+    minimum (lo). Each round is two groupBy shuffles + two keyed joins;
+    ``localCheckpoint`` truncates lineage per round (reliable-storage
+    checkpoints on a real cluster). Convergence is detected by an edge-set
+    checksum (count + xor of xxhash64 — overflow-proof under ANSI mode; the
+    edge set is distinct, so set equality is what's being tested) — one
+    lightweight action per round instead of a set-difference join.
+    """
+    edges = edges.localCheckpoint(eager=True)
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    sig = _sig(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return edges, rounds
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every document in a near-dup pair; cluster_id
     is the minimum doc id reachable through the pair graph.
 
-    Iterative min-label propagation (the dataflow core of Pregel-style
-    connected components): each round every node takes the min of its own
-    label and its neighbors' labels; converges in O(graph diameter) rounds —
-    near-dup graphs are unions of small cliques, so a handful. Each round is
-    one shuffle keyed by node id; ``localCheckpoint`` truncates the lineage
-    so the plan doesn't grow with iterations (at cluster scale, checkpoint
-    to reliable storage instead and add the large-star/small-star
-    optimization of Kiveris et al. for skewed components).
+    Implemented as alternating large-star/small-star contraction (Kiveris
+    et al. 2014) — O(log^2 n) rounds independent of component diameter, so
+    skewed/chain-shaped components cost the same as the clique-shaped ones
+    near-dup graphs usually produce (the r5 min-label implementation was
+    O(diameter); see star_contraction). Each round shuffles the current
+    edge set keyed by node id; no step materializes a neighborhood larger
+    than the node's degree, and the edge set only shrinks toward one edge
+    per non-root node — 100 TB-safe.
 
     This is the step that turns pairwise similarity output into dedup
     groups (keep min-id per cluster, drop the rest).
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
-    edges = pin(edges, StorageLevel.MEMORY_AND_DISK)
-
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    canonical = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    nodes = pin(nodes, StorageLevel.MEMORY_AND_DISK)
 
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    stars, _ = star_contraction(canonical, max_iter=max_iter)
+    labels = nodes.join(
+        stars.select(F.col("hi").alias("node"), F.col("lo").alias("root")),
+        "node",
+        "left",
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("root", "node").alias("cluster_id"),
+    )
+    result = labels.localCheckpoint(eager=True)
+    nodes.unpersist()
+    return result
 
 
 def dedup_survivors(

@@ -63,6 +63,108 @@ def _fake_decode(blob: bytes) -> dict[str, Any]:
     }
 
 
+def sniff_media(blob: bytes | None) -> dict[str, Any]:
+    """REAL, dependency-free media-container decoder (PNG / GIF / WAV).
+
+    Parses actual file headers — no PIL/librosa needed:
+
+    - PNG: 8-byte magic then the IHDR chunk (width/height, big-endian,
+      PNG spec §11.2.2);
+    - GIF: GIF87a/GIF89a magic then the logical-screen descriptor
+      (width/height, little-endian);
+    - WAV: RIFF/WAVE container walked chunk-by-chunk for ``fmt `` (audio
+      format, channels, sample rate, bits/sample) and ``data`` (payload
+      size); duration_ms = data_bytes * 1000 // byte_rate.
+
+    Unknown or truncated containers return ok=False rather than raising, so
+    a 100 TB scan over a dirty media lake degrades to a filterable flag
+    instead of a dead executor. This is the default ``decode_fn`` of
+    :func:`decode_media_meta`; pass a richer decoder (PIL/av) with the same
+    return contract to extend it.
+    """
+    import struct
+
+    meta: dict[str, Any] = {
+        "ok": False,
+        "media_type": None,
+        "format": None,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "duration_ms": None,
+        "n_bytes": 0 if blob is None else len(blob),
+    }
+    if blob is None:
+        return meta
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 24 and blob[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", blob[16:24])
+            meta.update(ok=True, media_type="image", format="png", width=w, height=h)
+        elif blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+            w, h = struct.unpack("<HH", blob[6:10])
+            meta.update(ok=True, media_type="image", format="gif", width=w, height=h)
+        elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            off, sr, byte_rate, data_size = 12, None, None, None
+            while off + 8 <= len(blob):
+                cid = blob[off : off + 4]
+                (size,) = struct.unpack("<I", blob[off + 4 : off + 8])
+                body = blob[off + 8 : off + 8 + size]
+                if cid == b"fmt " and size >= 16:
+                    _, _, sr, byte_rate, _, _ = struct.unpack("<HHIIHH", body[:16])
+                elif cid == b"data":
+                    data_size = size
+                off += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+            if sr and byte_rate and data_size is not None:
+                meta.update(
+                    ok=True,
+                    media_type="audio",
+                    format="wav",
+                    sample_rate=sr,
+                    duration_ms=data_size * 1000 // byte_rate,
+                )
+    except (struct.error, IndexError):
+        pass  # truncated container -> ok stays False
+    return meta
+
+
+DECODE_META_SCHEMA = (
+    "media_id long, ok boolean, media_type string, format string, "
+    "width int, height int, sample_rate int, duration_ms long, n_bytes long"
+)
+
+
+def decode_media_meta(
+    df: DataFrame,
+    decode_fn: Callable[[bytes], dict[str, Any]] | None = None,
+) -> DataFrame:
+    """Blob -> real container metadata via Arrow-batched mapInPandas.
+
+    Default codec is :func:`sniff_media` (real PNG/GIF/WAV header parsing,
+    zero native deps). Same scale shape as :func:`decode_media`: stateless
+    per-batch compute, metadata out, blobs never shuffled.
+    """
+    fn = decode_fn or sniff_media
+    cols = [
+        "ok",
+        "media_type",
+        "format",
+        "width",
+        "height",
+        "sample_rate",
+        "duration_ms",
+        "n_bytes",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fn(b) for b in pdf["blob"]]
+            out = {"media_id": pdf["media_id"].to_numpy()}
+            out.update({c: [f.get(c) for f in feats] for c in cols})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=DECODE_META_SCHEMA)
+
+
 DECODE_RESULT_SCHEMA = "media_id long, ok boolean, n_bytes long, checksum long"
 
 
@@ -151,18 +253,154 @@ def sample_frames(
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Marked stub: real image resize needs PIL, absent in this container.
+def png_decode_pixels(blob: bytes):
+    """Full PNG pixel decode, dependency-free (zlib + numpy).
 
-    Raises NotImplementedError when invoked with real decoding intent; the
-    metadata-only shape transform (update meta.width/height) is provided so
-    downstream schema contracts can be tested.
+    Supports the filter suite of the PNG spec (None/Sub/Up/Average/Paeth,
+    §9) for 8-bit grayscale (color type 0) and 8-bit RGB (color type 2),
+    non-interlaced — the formats a data pipeline's thumbnail path actually
+    produces. Returns (height, width, channels) uint8 ndarray, or None for
+    anything it cannot decode (caller degrades to ok=False, never raises
+    on dirty data).
     """
-    raise NotImplementedError(
-        "image resize requires an image library (PIL/opencv) not present in "
-        "this environment; use decode_media/extract_embedding with a custom "
-        "decode_fn, or patch meta via with_meta_resized()"
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if blob[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        off, ihdr, idat = 8, None, b""
+        while off + 8 <= len(blob):
+            (length,) = struct.unpack(">I", blob[off : off + 4])
+            typ = blob[off + 4 : off + 8]
+            body = blob[off + 8 : off + 8 + length]
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            off += 12 + length  # len + type + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, bit_depth, color_type, _, _, interlace = ihdr
+        if bit_depth != 8 or interlace != 0 or color_type not in (0, 2):
+            return None
+        ch = 1 if color_type == 0 else 3
+        raw = zlib.decompress(idat)
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(h):
+            row = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+            ).copy()
+            ftype = raw[r * (stride + 1)]
+            if ftype == 1:  # Sub
+                for i in range(ch, stride):
+                    row[i] = (row[i] + row[i - ch]) & 0xFF
+            elif ftype == 2:  # Up
+                row = (row.astype(np.int16) + prev).astype(np.uint8)
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = int(row[i - ch]) if i >= ch else 0
+                    row[i] = (row[i] + (left + int(prev[i])) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = int(row[i - ch]) if i >= ch else 0
+                    b = int(prev[i])
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[i] = (row[i] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            out[r] = row
+            prev = out[r]
+        return out.reshape(h, w, ch)
+    except Exception:
+        return None
+
+
+def png_encode_pixels(arr) -> bytes:
+    """(h, w, ch) uint8 ndarray -> spec-complete PNG bytes (filter 0 rows,
+    single zlib IDAT, CRC32s). Grayscale (ch=1) or RGB (ch=3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, ch = arr.shape
+    color_type = 0 if ch == 1 else 2
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
     )
+
+
+RESIZE_RESULT_SCHEMA = "media_id long, ok boolean, blob binary"
+
+
+def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize: PNG decode -> nearest-neighbor resample ->
+    PNG re-encode, all dependency-free, via Arrow-batched mapInPandas.
+
+    Same failure contract as the decode family: undecodable/unsupported
+    blobs yield (ok=false, blob=null) instead of killing the task. The
+    per-blob work is embarrassingly parallel and stateless; blobs stay
+    executor-local (no shuffle of media bytes). A production deployment
+    can swap a faster codec by replacing the inner function — the
+    operator shape (schema, batching, degradation) is the contract.
+    """
+    import numpy as np
+
+    def one(blob):
+        px = png_decode_pixels(blob) if blob is not None else None
+        if px is None:
+            return None
+        h0, w0, _ = px.shape
+        rows = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+        cols = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+        return png_encode_pixels(px[rows][:, cols])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "ok": [b is not None for b in out],
+                    "blob": out,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_RESULT_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Kept for back-compat with the r1-r5 stub contract; the real
+    implementation is :func:`resize_png` (dependency-free PNG decode /
+    nearest-neighbor / re-encode). This alias now delegates to it."""
+    return resize_png(df, width, height)
 
 
 def with_meta_resized(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -76,14 +76,33 @@ def knn_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    allow_cross: bool = False,
+    max_pairs: int = 100_000_000,
 ) -> DataFrame:
     """Exact k-NN join: for each left row, its k nearest right rows.
 
     Small/medium corpora only (cross join). The scale path is
     ``lsh_bucket_assign`` + per-bucket knn_join, which prunes the cross
     product to bucket-local candidates.
+
+    Cross-join guard: unless ``allow_cross=True``, both sides are counted
+    (two linear scans — trivial next to the quadratic join they gate) and
+    the call aborts if left*right exceeds ``max_pairs``. This makes an
+    accidental 100 TB invocation fail fast with a pointer to the ANN path
+    instead of launching an unbounded cartesian stage.
     """
     from pyspark.sql import Window
+
+    if not allow_cross:
+        n_l, n_r = left.count(), right.count()
+        if n_l * n_r > max_pairs:
+            raise ValueError(
+                f"knn_join would materialize {n_l} x {n_r} = {n_l * n_r:,} "
+                f"candidate pairs (> max_pairs={max_pairs:,}). Use the "
+                "bucketed ANN path (lsh_bucket_assign / ivf_assign) for "
+                "corpora this size, or pass allow_cross=True if the cross "
+                "join is intentional."
+            )
 
     l = left.select(
         F.col(left_id).alias("query_id"), F.col(vec_col).alias("qv")
@@ -111,13 +130,24 @@ def near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_cross: bool = False,
+    max_pairs: int = 100_000_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
 
     All-pairs verification baseline: O(n^2) dot products, JVM-side fold,
     no Python. Use for candidate verification or small corpora; the scale
-    path is ``near_dup_pairs_lsh`` (bucket-pruned candidates).
+    path is ``near_dup_pairs_lsh`` (bucket-pruned candidates). Same
+    fail-fast cross-join guard as ``knn_join``.
     """
+    if not allow_cross:
+        n = df.count()
+        if n * n > max_pairs:
+            raise ValueError(
+                f"near_dup_pairs would score {n}^2 = {n * n:,} pairs "
+                f"(> max_pairs={max_pairs:,}). Use near_dup_pairs_lsh for "
+                "corpora this size, or pass allow_cross=True."
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

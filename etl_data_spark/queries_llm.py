@@ -429,9 +429,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 #
 # No binary testdata ships, so the corpus is derived deterministically from
-# the documents table (blob = utf-8 bytes of text — printable ASCII, so
-# DuckDB's ord() mirrors the byte values exactly). That makes the stubbed
-# decode step a REAL correctness entry despite the mapInPandas path.
+# the documents table. Two fixtures:
+# - _media_from_documents: blob = utf-8 bytes of text (printable ASCII, so
+#   DuckDB's ord() mirrors the byte values exactly) — used by the stub-codec
+#   embed/frame entries;
+# - _real_media_from_documents: blob = an ACTUAL PNG or WAV file built
+#   around the text bytes (zlib IDAT + CRCs for PNG; RIFF/fmt/data chunks
+#   for WAV), so multimodal_decode exercises the REAL header codec
+#   (operators/multimodal.sniff_media) while every decoded field stays pure
+#   arithmetic on length(text)/doc_id — i.e. SQL-expressible for the oracle.
 
 
 def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,23 +451,116 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_wav(data: bytes, sample_rate: int) -> bytes:
+    """A complete, valid mono 8-bit PCM WAV file wrapping ``data``."""
+    import struct
+
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+    dat = b"data" + struct.pack("<I", len(data)) + data
+    body = b"WAVE" + fmt + dat
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_png(data: bytes) -> bytes:
+    """A complete, valid 8-bit grayscale PNG whose pixels are ``data``.
+
+    width = len % 64 + 1, height = ceil(len / width) (>= 1), zero-padded —
+    both reconstructable from len alone, which keeps the decode oracle
+    SQL-expressible while the file itself is fully spec-compliant
+    (IHDR + zlib IDAT with per-row filter bytes + CRC32s + IEND).
+    """
+    import struct
+    import zlib
+
+    n = len(data)
+    width = n % 64 + 1
+    height = max(1, -(-n // width))
+    padded = data + b"\x00" * (width * height - n)
+    raw = b"".join(
+        b"\x00" + padded[r * width : (r + 1) * width] for r in range(height)
+    )
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc corpus -> real media files: even doc_id -> WAV (sample rate
+    8/16/24 kHz by doc_id % 3), odd doc_id -> PNG. Built executor-side in
+    Arrow batches; blobs never hit the driver."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                if did % 2 == 0:
+                    blobs.append(make_wav(data, 8000 * (1 + did % 3)))
+                else:
+                    blobs.append(make_png(data))
+            yield pd.DataFrame({"media_id": pdf["doc_id"].to_numpy(), "blob": blobs})
+
+    return d.mapInPandas(build, schema="media_id long, blob binary")
+
+
 @register(
     "multimodal_decode",
+    # Real-codec decode over real containers: every decoded field is pure
+    # arithmetic on length(text) / doc_id (see make_wav/make_png), so the
+    # REAL header parse (sniff_media) is hash-verified end-to-end.
     """
     SELECT doc_id AS media_id,
            TRUE AS ok,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
-                    i -> ord(substr(text, i, 1)))), 0) % 2147483648 AS BIGINT) AS checksum
+           CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN NULL
+                ELSE CAST(length(text) % 64 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN NULL
+                ELSE CAST(greatest(1, CAST(ceil(length(text) /
+                       (length(text) % 64 + 1.0)) AS BIGINT)) AS INT)
+                END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(8000 * (1 + doc_id % 3) AS INT)
+                ELSE NULL END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((length(text) * 1000) // (8000 * (1 + doc_id % 3)) AS BIGINT)
+                ELSE NULL END AS duration_ms
     FROM documents
     """,
-    doc="Arrow-batched mapInPandas media decode (deterministic stub codec); "
-    "blob features oracle-checked byte-for-byte.",
+    doc="REAL media decode: documents are wrapped in actual WAV/PNG files "
+    "(valid RIFF chunks / zlib IDAT + CRCs) and parsed back by the "
+    "dependency-free header codec sniff_media via Arrow-batched "
+    "mapInPandas; width/height/sample_rate/duration all hash-verified.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_spark.operators import multimodal as MM
 
-    return MM.decode_media(_media_from_documents(spark, sf_dir))
+    meta = MM.decode_media_meta(_real_media_from_documents(spark, sf_dir))
+    return meta.select(
+        "media_id",
+        "ok",
+        "media_type",
+        "format",
+        "width",
+        "height",
+        "sample_rate",
+        "duration_ms",
+    )
 
 
 @register(

@@ -198,8 +198,146 @@ def test_multimodal_decode_plumbing(spark):
     resized = M.with_meta_resized(df, 32, 32).first()
     assert resized["meta"]["width"] == 32
 
-    with pytest.raises(NotImplementedError):
-        M.resize_stub(df, 32, 32)
+
+def test_sniff_media_real_codecs():
+    """The dependency-free codec parses real PNG/GIF/WAV headers and
+    degrades (ok=False, no raise) on junk/truncated/None blobs."""
+    from etl_data_spark.queries_llm import make_png, make_wav
+
+    png = M.sniff_media(make_png(b"x" * 130))
+    assert png["ok"] and png["media_type"] == "image" and png["format"] == "png"
+    assert png["width"] == 130 % 64 + 1 and png["height"] == -(-130 // (130 % 64 + 1))
+
+    # independently-constructed PNG (not via make_png): 3x2 via raw spec
+    import struct
+    import zlib
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    hand = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00abc\x00def"))
+        + chunk(b"IEND", b"")
+    )
+    got = M.sniff_media(hand)
+    assert (got["width"], got["height"]) == (3, 2)
+
+    wav = M.sniff_media(make_wav(b"\x00" * 16000, 16000))
+    assert wav["ok"] and wav["format"] == "wav"
+    assert wav["sample_rate"] == 16000 and wav["duration_ms"] == 1000
+
+    gif = M.sniff_media(b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10)
+    assert gif["ok"] and gif["format"] == "gif" and gif["width"] == 320
+
+    assert not M.sniff_media(None)["ok"]
+    assert not M.sniff_media(b"")["ok"]
+    assert not M.sniff_media(b"\x89PNG\r\n\x1a\nIHDRonly")["ok"]  # truncated
+    assert not M.sniff_media(b"RIFF\x04\x00\x00\x00JUNK")["ok"]
+    assert M.sniff_media(b"not media at all")["n_bytes"] == 16
+
+
+def test_png_pixel_codec_roundtrip_and_filters():
+    """png_encode_pixels/png_decode_pixels are exact inverses, and the
+    decoder reconstructs all five PNG row filters per spec §9."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for shape in ((5, 7, 1), (4, 3, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = M.png_decode_pixels(M.png_encode_pixels(img))
+        assert back is not None and np.array_equal(back, img)
+
+    # hand-filter a known grayscale image with every filter type and check
+    # the decoder inverts each (spec: Sub=1, Up=2, Average=3, Paeth=4)
+    img = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ftype)
+        for i in range(6):
+            x = int(img[r, i])
+            left = int(img[r, i - 1]) if i > 0 else 0
+            up = int(img[r - 1, i]) if r > 0 else 0
+            ul = int(img[r - 1, i - 1]) if (r > 0 and i > 0) else 0
+            if ftype == 0:
+                raw.append(x)
+            elif ftype == 1:
+                raw.append((x - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((x - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((x - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((x - paeth(left, up, ul)) & 0xFF)
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = M.png_decode_pixels(png)
+    assert got is not None and np.array_equal(got.reshape(5, 6), img)
+
+    assert M.png_decode_pixels(b"junk") is None
+    assert M.png_decode_pixels(png[:40]) is None
+
+
+def test_resize_png_distributed(spark):
+    """Real resize end-to-end: decode -> nearest-neighbor -> re-encode."""
+    import numpy as np
+
+    base = np.arange(16, dtype=np.uint8).reshape(4, 4, 1) * 16
+    rows = [(1, M.png_encode_pixels(base)), (2, b"not a png"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = {r["media_id"]: r for r in M.resize_png(df, 2, 2).collect()}
+    assert out[1]["ok"] and not out[2]["ok"] and not out[3]["ok"]
+    small = M.png_decode_pixels(bytes(out[1]["blob"]))
+    # nearest-neighbor with floor mapping picks rows/cols 0 and 2
+    assert np.array_equal(small.reshape(2, 2), base.reshape(4, 4)[[0, 2]][:, [0, 2]])
+    # back-compat alias delegates to the real implementation
+    assert {r["media_id"]: r["ok"] for r in M.resize_stub(df, 2, 2).collect()}[1]
+
+
+def test_decode_media_meta_distributed(spark):
+    """decode_media_meta end-to-end over a mixed real-media frame."""
+    from etl_data_spark.queries_llm import make_png, make_wav
+
+    rows = [
+        (1, make_png(b"q" * 70)),
+        (2, make_wav(b"\x01\x02" * 4000, 8000)),
+        (3, b"corrupt"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = {r["media_id"]: r for r in M.decode_media_meta(df).collect()}
+    assert out[1]["format"] == "png" and out[1]["width"] == 70 % 64 + 1
+    assert out[2]["format"] == "wav" and out[2]["duration_ms"] == 1000
+    assert not out[3]["ok"] and out[3]["n_bytes"] == 7
+    assert not out[4]["ok"] and out[4]["n_bytes"] == 0
 
 
 def test_ivf_recall_and_probe_pruning(spark):
@@ -265,6 +403,52 @@ def test_connected_components_and_survivors(spark):
     docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 5, 10, 11]], ["doc_id", "text"])
     kept = D.dedup_survivors(docs, D.connected_components(pairs), "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5, 10]
+
+
+def test_star_contraction_skewed_components(spark):
+    """Large-star/small-star must label a long chain + cliques correctly in
+    O(log^2 n) rounds — the case where min-label propagation needs O(n)."""
+    import random
+
+    from etl_data_spark.operators import dedup as D
+
+    n_chain = 4096
+    edges = [(i, i + 1) for i in range(n_chain - 1)]  # one 4096-node chain
+    # two cliques and a random blob, offset past the chain
+    for base, k in ((10_000, 12), (20_000, 8)):
+        edges += [(base + i, base + j) for i in range(k) for j in range(i + 1, k)]
+    rng = random.Random(7)
+    blob = [30_000 + i for i in range(200)]
+    edges += [tuple(rng.sample(blob, 2)) for _ in range(300)]
+
+    # union-find ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(8)
+    canonical = (
+        pairs.selectExpr("greatest(id_a, id_b) AS hi", "least(id_a, id_b) AS lo")
+        .filter("hi != lo")
+        .distinct()
+    )
+    stars, rounds = D.star_contraction(canonical)
+    # diameter-independent bound: ~2*log2(4096)=24 rounds, far below O(n)=4096
+    assert rounds <= 30, f"star contraction took {rounds} rounds on a chain"
+
+    cc = {r["doc_id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert cc == truth
 
 
 def test_kmeans_refine_improves_objective(spark):

@@ -220,6 +220,16 @@ def entries():
         "sliding_distinct_users",
         "personalized_pagerank",
         "triangle_count",
+        # r6-window heavies, slope-run BEFORE their driver window lands
+        # (r5 lesson: the slope run catches broadcast-promotion/estimator
+        # bugs the sf0.1 bench never reaches)
+        "ndcg_bm25",
+        "posting_lists",
+        "item_item_cosine",
+        "link_predict_scores",
+        "mmr_diverse_topk",
+        # r6 rewrite: star-contraction connected components end-to-end
+        "dedup_survivor_docs",
     ):
         out.append((name, REGISTRY[name].fn))
     return out
