@@ -10,13 +10,13 @@ Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds — entries that earned a driver-green CORRECTNESS row
 in a previous round are demoted to make room for entries that have never
 been driver-verified. Rounds 1-3 verified 138 unique entries (round 4 was
-a no-op and re-ran round 3's window). Round 5 holds the 3 typed-hash
-refixes + star_build's oracle promotion + 46 never-driver-verified family
-anchors; ROTATION.md records the full r5 window and the planned r6/r7
-windows covering the remaining never-verified entries. All entries remain
-pytest-oracle-checked locally every round regardless of position
-(tests/test_queries_oracle.py enumerates REGISTRY under the
-driver-strict Arrow-typed harness).
+a no-op re-run); round 5 went 50/50 green (184 unique). Round 6 holds
+ROTATION.md's planned r6 window — 50 never-driver-verified entries
+(-> 234 unique when green) — and PRIORITY_R7 pre-stages the final window
+(remaining 42 + 8 regression sentinels) so the next rotation is a
+one-line swap. All entries remain pytest-oracle-checked locally every
+round regardless of position (tests/test_queries_oracle.py enumerates
+REGISTRY under the driver-strict Arrow-typed harness).
 """
 
 from __future__ import annotations
@@ -35,86 +35,127 @@ import etl_data_spark.queries_stats as _stats  # noqa: F401  (registers on impor
 import etl_data_spark.queries_tpch as _tpch  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401
 
-# First-50 verification window, most valuable first. Round-5 rotation
-# (see ROTATION.md for the full r5/r6/r7 plan over the 142 entries that
-# have never earned a driver CORRECTNESS row):
-# (a) the 3 queries whose r3/r4 rows failed only the driver's typed
-#     value-hash — re-windowed after the explicit BIGINT/DOUBLE output
-#     CASTs on both Spark and oracle sides;
-# (b) star_build, promoted this round from rows-only to a full 1-row
-#     SQL-checkable build summary (fact count, id uniqueness, dim
-#     contents);
-# (c) never-driver-verified family anchors: set-similarity join,
-#     incremental dedup, entity resolution, hypertable rollup, sliding
-#     bitmap distinct, Gram matrix, hybrid retrieval, decontamination
-#     overlap, RAG chunking, point-in-time SCD2, fuzzy matching, model
-#     evaluation, the four remaining streaming entries, the DQ
-#     expectations suite, the graph family, the Kimball trio +
-#     drill-across + CDC net changes;
-# (d) the heaviest plan-audited entries (geometric median, personalized
-#     PageRank, export manifest, packing) so their plans earn driver rows;
-# (e) corpus-lexical and statistics anchors (PMI, BPE, Zipf, vocab
-#     coverage, KL, temperature mixing, the hypothesis-test quartet,
-#     survival, drift, association rules).
+# First-50 verification window, most valuable first. Round-6 rotation:
+# the 50 entries below are exactly ROTATION.md's planned r6 window — all
+# never driver-verified before this round (sessionization, retrieval
+# metrics, lexical statistics, anomaly/outlier family, forecasting,
+# feature engineering, privacy, attribution, recommender scores). After
+# this window lands green, unique driver-verified coverage reaches
+# 234 of 280; PRIORITY_R7 below pre-stages the final window so a no-op
+# round can never waste a verification window (the r4 failure mode).
 PRIORITY = [
-    # (a) typed-hash refixes (r3/r4 hash_match:false, values proven equal)
-    "tpch_q12_ship_mode",
-    "value_histogram",
-    "moments_merge",
-    # (b) rows-only -> full oracle promotion
-    "star_build",
-    # (c) family anchors, never driver-verified
-    "setsim_join_prefix",
-    "dedup_incremental_pairs",
-    "entity_resolution",
-    "hypertable_rollup",
-    "sliding_distinct_users",
-    "embedding_gram_matrix",
-    "rrf_hybrid_search",
-    "passage_overlap",
-    "doc_chunking",
-    "pit_scd2_join",
-    "fuzzy_name_match",
-    "roc_auc",
-    "streaming_dedup_keys",
-    "streaming_dq_counts",
-    "streaming_static_enrich",
-    "streaming_late_data_drop",
-    "dq_expectations",
-    "lpa_communities",
-    "bfs_hops",
-    "triangle_count",
-    "knn_mrr",
-    "accumulating_snapshot",
-    "late_arriving_dim",
-    "junk_dimension",
-    "drill_across",
-    "cdc_net_changes",
-    # (d) heaviest plan-audited entries
-    "geometric_median",
-    "personalized_pagerank",
-    "corpus_export_manifest",
-    "packing_efficiency",
-    "shard_token_budget",
-    # (e) corpus-lexical + statistics anchors
-    "dedup_cluster_sizes",
-    "dedup_threshold_curve",
-    "collocation_pmi",
-    "bpe_pair_merge_counts",
-    "zipf_slope",
-    "vocab_coverage",
-    "source_kl_divergence",
-    "mixture_temperature_weights",
-    "welch_t_test",
-    "mann_whitney_u",
-    "chi_square_independence",
-    "ks_two_sample",
-    "survival_km",
-    "drift_psi",
-    "association_rules",
+    "session_paths",
+    "ndcg_bm25",
+    "posting_lists",
+    "prf_expansion_terms",
+    "mmr_diverse_topk",
+    "embedding_drift",
+    "lang_id_kappa",
+    "audience_overlap",
+    "source_overlap_pairs",
+    "char_entropy",
+    "contrastive_negatives",
+    "vocab_growth_curve",
+    "keyness_terms",
+    "document_profile",
+    "event_entropy",
+    "mutual_info_type_hour",
+    "outlier_zscore",
+    "rolling_stats",
+    "calendar_dim",
+    "regex_surface",
+    "funnel_strict_sequence",
+    "mad_value",
+    "bag_set_ops",
+    "outlier_robust_z",
+    "benford_deviation",
+    "attribution_first_touch",
+    "rfm_segments",
+    "quantile_normalize",
+    "seasonal_anomaly",
+    "weighted_median",
+    "forecast_backtest",
+    "equidepth_histogram",
+    "target_encoding",
+    "feature_hashing",
+    "graph_clustering_coeff",
+    "impute_group_median",
+    "interpolate_linear",
+    "winsorized_stats",
+    "lag_features",
+    "k_anonymity",
+    "seasonal_decompose",
+    "ab_test_lift",
+    "ewma_level",
+    "cohort_ltv",
+    "pr_curve_points",
+    "calibration_bins",
+    "link_predict_scores",
+    "item_item_cosine",
+    "cusum_changepoint",
+    "attribution_linear",
+]
+
+# Pre-staged round-7 window (ROTATION.md): the remaining 42 never-verified
+# entries + 8 regression sentinels (re-verification of entries whose code
+# paths changed in r5/r6, then the highest-value r1 anchors). Next round:
+# `PRIORITY = PRIORITY_R7` is the entire rotation step.
+PRIORITY_R7 = [
+    "l_diversity",
+    "pareto_front",
+    "holt_linear",
+    "churn_labels",
+    "fd_discovery",
+    "join_skew_report",
+    "frequent_triples",
+    "theil_sen_trend",
+    "forecast_conformal",
+    "group_kfold",
+    "brier_decomposition",
+    "diff_in_diff",
+    "missing_days_report",
+    "degree_assortativity",
+    "cramers_v",
+    "spearman_rho",
+    "ccf_click_purchase",
+    "order_reconciliation",
+    "fk_orphan_report",
+    "skew_kurtosis",
+    "session_entry_exit",
+    "concentration_trend",
+    "new_vs_returning",
+    "ab_test_mde",
+    "monthly_quantile_bands",
+    "session_length_histogram",
+    "purchase_cadence",
+    "gains_table",
+    "session_copresence",
+    "revenue_bridge",
+    "rfm_migration",
+    "supplier_hhi",
+    "price_realization",
+    "mktsegment_profile",
+    "shipping_lag_profile",
+    "return_rate_by_brand",
+    "brand_cross_shopping",
+    "nation_trade_balance",
+    "slow_movers",
+    "supplier_risk_screen",
+    "size_price_regression",
+    "priority_mix_trend",
+    # regression sentinels: r5/r6 code-path changes + r1 anchors
+    "dedup_cluster_sizes",   # connected-components rewrite (r6)
+    "dedup_clusters",        # connected-components rewrite (r6)
+    "multimodal_decode",     # real PNG/WAV codec (r6)
+    "knn_join_sample",       # cross-join guard (r6)
+    "pricing_summary",       # r1 anchor
+    "star_join",             # r1 anchor
+    "dedup_minhash_lsh",     # r1 anchor
+    "cleanse_case",          # r1 anchor
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"
+assert len(PRIORITY_R7) == 50, f"PRIORITY_R7 must fill the window exactly: {len(PRIORITY_R7)}"
 
 
 def _ordered() -> dict[str, QuerySpec]:
