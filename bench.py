@@ -318,6 +318,20 @@ def main() -> None:
         f"min-of-{reps} reps, isolated session per group, "
         "cache cleared between queries, noop-write materialization"
     )
+    # Stamp the measured commit so record<->code can be matched exactly
+    # (r5 verdict: two HEAD-labeled artifacts disagreed inside noise band).
+    try:
+        import subprocess
+
+        git_sha = subprocess.run(
+            ["git", "describe", "--always", "--dirty"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_sha = None
     # Full per-query detail goes to a sidecar file: the driver captures only
     # the tail of stdout, and ~280 per-query timings on one line truncate
     # the headline total right out of the record (BENCH_r03/r04 both
@@ -341,6 +355,7 @@ def main() -> None:
                 "stats_queries": stats_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "method": method,
+                "git_sha": git_sha,
             },
             f,
             indent=1,
@@ -358,6 +373,7 @@ def main() -> None:
                 "stats_total": round(sum(stats_timings.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "method": method,
+                "git_sha": git_sha,
             }
         )
     )
