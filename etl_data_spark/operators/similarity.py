@@ -433,9 +433,12 @@ def brute_force_topk_vectorized(
     of corpus size.
 
     Accumulation differs from the sequential JVM fold only in float
-    summation order (BLAS pairwise vs left fold) — equality to the exact
-    path is asserted in tests with a 1e-9 tolerance; the driver check is
-    rows-only for the same reason.
+    summation order (BLAS pairwise vs left fold) — far below the 6-decimal
+    rounding applied at emit, so the rounded output is deterministic and
+    engine-independent. Selection is deterministic too: each batch picks
+    its local top-k by the ROUNDED score with an id tiebreak (the same
+    total order the final global sort and any SQL oracle use), so a tie
+    at the local boundary can never drop a row the global order prefers.
     """
     import numpy as np
     import pandas as pd
@@ -450,20 +453,24 @@ def brute_force_topk_vectorized(
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1)
             # zero vectors have undefined cosine; score them 0 instead of
-            # letting 0/0 NaNs poison argpartition's ordering
+            # letting 0/0 NaNs poison the ordering
             denom = norms * qn
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom > 0.0, (mat @ q) / denom, 0.0)
-            if len(sims) > k:
-                idx = np.argpartition(-sims, k)[:k]
-            else:
-                idx = np.arange(len(sims))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[idx],
-                    "cosine_sim": np.round(sims[idx], 6),
-                }
+                sims = np.round(
+                    np.where(denom > 0.0, (mat @ q) / denom, 0.0), 6
+                )
+            # local top-k under (rounded sim desc, id asc) — pandas sort
+            # handles any id dtype; the matvec dominates the batch cost
+            out = (
+                pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), "cosine_sim": sims}
+                )
+                .sort_values(
+                    ["cosine_sim", id_col], ascending=[False, True]
+                )
+                .head(k)
             )
+            yield out
 
     # carry the id column's real type through the Arrow schema instead of
     # hardcoding long (vec ids can be int/string in other corpora)

@@ -662,9 +662,20 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_topk_vectorized",
-    None,  # float fold order differs from SQL; exactness pinned by pytest
+    # Full oracle (promoted r6 from rows-only): BLAS pairwise vs SQL
+    # sequential fold differ ~1e-15, far below the 6-decimal rounding both
+    # sides apply, and the operator now SELECTS its local top-k by the
+    # rounded score with an id tiebreak — the same total order as this
+    # ORDER BY — so row selection is engine-independent, not just values.
+    f"""
+    SELECT e.vec_id, {_SQL_COSINE} AS cosine_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
     doc="BLAS-batched brute-force top-k (mapInPandas matvec, per-batch local "
-    "top-k) — the high-dimension fast path of embedding_topk.",
+    "top-k under the rounded-score order) — the high-dimension fast path of "
+    "embedding_topk, hash-verified against the same SQL-cosine oracle.",
 )
 def q_embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
