@@ -143,15 +143,20 @@ PRIORITY_R7 = [
     "supplier_risk_screen",
     "size_price_regression",
     "priority_mix_trend",
+    # entries that gained a full oracle mid-r6 (registered after the r6
+    # window was pinned, so r7 is their first driver shot)
+    "multimodal_resize",     # real pixel pipeline end-to-end (new in r6)
+    "embedding_topk_vectorized",  # promoted rows-only -> oracle (r6)
     # regression sentinels: r5/r6 code-path changes + r1 anchors
+    # (dedup_cluster_sizes covers the CC rewrite; dedup_clusters shares
+    # the exact code path, and cleanse_case's path is untouched since r1 —
+    # both gave up their slots to the new-oracle entries above)
     "dedup_cluster_sizes",   # connected-components rewrite (r6)
-    "dedup_clusters",        # connected-components rewrite (r6)
     "multimodal_decode",     # real PNG/WAV codec (r6)
     "knn_join_sample",       # cross-join guard (r6)
     "pricing_summary",       # r1 anchor
     "star_join",             # r1 anchor
     "dedup_minhash_lsh",     # r1 anchor
-    "cleanse_case",          # r1 anchor
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"

@@ -302,7 +302,7 @@ def png_decode_pixels(blob: bytes):
             ftype = raw[r * (stride + 1)]
             if ftype == 1:  # Sub
                 for i in range(ch, stride):
-                    row[i] = (row[i] + row[i - ch]) & 0xFF
+                    row[i] = (int(row[i]) + int(row[i - ch])) & 0xFF
             elif ftype == 2:  # Up
                 row = (row.astype(np.int16) + prev).astype(np.uint8)
             elif ftype == 3:  # Average

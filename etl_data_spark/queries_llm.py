@@ -629,6 +629,93 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", F.length("frame_bytes").alias("n"))
 
 
+@register(
+    "multimodal_resize",
+    # End-to-end REAL pixel pipeline: every document becomes a real
+    # grayscale PNG (pixels = its text bytes zero-padded; w0 = n%64+1,
+    # h0 = ceil(n/w0) — see make_png), resize_png decodes it, resamples
+    # nearest-neighbor to 8x8 and re-encodes, and the verifier decodes the
+    # OUTPUT PNG again. Nearest-neighbor at out pixel (r,c) reads source
+    # pixel ((r*h0)//8, (c*w0)//8) — always in range for r,c < 8 — whose
+    # byte index is ri*w0 + ci into the padded text, so the decoded pixel
+    # sum is pure arithmetic on the ASCII text: fully SQL-expressible.
+    """
+    WITH src AS (
+      SELECT doc_id AS media_id,
+             COALESCE(text, '') AS t,
+             length(COALESCE(text, '')) AS n,
+             length(COALESCE(text, '')) % 64 + 1 AS w0,
+             greatest(1, CAST(ceil(length(COALESCE(text, ''))
+                 / (length(COALESCE(text, '')) % 64 + 1.0)) AS BIGINT)) AS h0
+      FROM documents
+    )
+    SELECT media_id, TRUE AS ok,
+           CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           CAST(list_sum(list_transform(range(0, 64), i ->
+             CASE WHEN ((i // 8) * h0 // 8) * w0 + ((i % 8) * w0 // 8) < n
+                  THEN ord(substr(t, CAST(((i // 8) * h0 // 8) * w0
+                                          + ((i % 8) * w0 // 8) AS INT) + 1, 1))
+                  ELSE 0 END)) AS BIGINT) AS pix_sum
+    FROM src
+    """,
+    doc="Real image resize end-to-end: text -> spec-complete PNG -> "
+    "png_decode_pixels -> 8x8 nearest-neighbor -> png_encode_pixels -> "
+    "decode again; the output pixel sum is hash-verified against byte "
+    "arithmetic on the source text. Three chained mapInPandas stages, "
+    "zero shuffle, blobs never leave the executor.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from etl_data_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "blob": [
+                        make_png((t or "").encode("utf-8")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(build, schema="media_id long, blob binary")
+    small = MM.resize_png(media, width=8, height=8)
+
+    def measure(batches):
+        for pdf in batches:
+            ws, hs, sums, oks = [], [], [], []
+            for ok, blob in zip(pdf["ok"], pdf["blob"]):
+                px = MM.png_decode_pixels(blob) if ok and blob is not None else None
+                if px is None:
+                    oks.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                    sums.append(None)
+                else:
+                    oks.append(True)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+                    sums.append(int(px.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "ok": oks,
+                    "out_w": pd.array(ws, dtype="Int32"),
+                    "out_h": pd.array(hs, dtype="Int32"),
+                    "pix_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return small.mapInPandas(
+        measure,
+        schema="media_id long, ok boolean, out_w int, out_h int, pix_sum long",
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
