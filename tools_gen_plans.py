@@ -70,6 +70,12 @@ PICK = [
     "ndcg_bm25",
     "theil_sen_trend",
     "embedding_drift",
+    # round 6: star-contraction components end-to-end, the real-codec
+    # resize chain (zero-shuffle mapInPandas pipeline), and the
+    # BLAS top-k whose local selection became order-deterministic
+    "dedup_survivor_docs",
+    "multimodal_resize",
+    "embedding_topk_vectorized",
 ]
 
 
