@@ -91,3 +91,23 @@ def release_all() -> None:
             # A stopped/replaced SparkContext invalidates the handle; the
             # storage died with the context, so there is nothing to free.
             pass
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut the logical plan here — the per-round step of every iterative
+    operator (star contraction, PageRank, BFS, the greedy MMR loop).
+
+    When a checkpoint directory is configured (``setCheckpointDir`` /
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` via the session factory), this is a
+    RELIABLE checkpoint: blocks go to fault-tolerant storage, so an
+    executor loss mid-iteration recomputes from the last round, not from
+    the raw input — the behavior a 1000-executor job needs, where some
+    executor WILL die during a 20-round contraction. Without one it
+    degrades to ``localCheckpoint`` (executor-local blocks, no dir
+    needed), which is the right call in a single-JVM local run where
+    executor loss means the whole app died anyway.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

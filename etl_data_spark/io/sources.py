@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_data_spark.caching import pin
+from etl_data_spark.caching import truncate_lineage
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -190,7 +191,7 @@ def promote_staging_jdbc(
         keep = target.limit(0) if pred is None else target.filter(
             ~F.coalesce(pred, F.lit(False))
         )
-        merged = keep.localCheckpoint(eager=True).unionByName(staged)
+        merged = truncate_lineage(keep).unionByName(staged)
     except Exception:
         # first promote: target table doesn't exist yet
         merged = staged

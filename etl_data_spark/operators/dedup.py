@@ -30,6 +30,7 @@ from pyspark.storagelevel import StorageLevel
 from etl_data_spark.operators.text import fingerprint
 
 from etl_data_spark.caching import pin
+from etl_data_spark.caching import truncate_lineage
 
 
 def _shingled_docs(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -358,7 +359,7 @@ def star_contraction(
     edge set is distinct, so set equality is what's being tested) — one
     lightweight action per round instead of a set-difference join.
     """
-    edges = edges.localCheckpoint(eager=True)
+    edges = truncate_lineage(edges)
 
     def _sig(e: DataFrame) -> tuple[int, int]:
         row = e.agg(
@@ -371,7 +372,7 @@ def star_contraction(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = truncate_lineage(_small_star(_large_star(edges)))
         new_sig = _sig(edges)
         if new_sig == sig:
             break
@@ -424,7 +425,7 @@ def connected_components(
         F.col("node").alias("doc_id"),
         F.coalesce("root", "node").alias("cluster_id"),
     )
-    result = labels.localCheckpoint(eager=True)
+    result = truncate_lineage(labels)
     nodes.unpersist()
     return result
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_data_spark.caching import truncate_lineage
+
 CHECKPOINT_EVERY = 3
 
 
@@ -74,11 +76,11 @@ def label_propagation(
                 .alias("label")
             )
             if it % CHECKPOINT_EVERY == 0 and it < iters:
-                labels = labels.localCheckpoint(eager=True)
+                labels = truncate_lineage(labels)
         # materialize (|V| rows) so the returned frame no longer references
         # the scratch edge frame, which the finally releases — the operator
         # leaves no storage behind (self-containment contract, caching.py)
-        return labels.localCheckpoint(eager=True)
+        return truncate_lineage(labels)
     finally:
         g.unpersist()
 
@@ -128,7 +130,7 @@ def bfs_hops(
             new = reached.join(dist, "v", "left_anti").select(
                 "v", F.lit(h).alias("hops")
             )
-            dist = dist.unionByName(new).localCheckpoint(eager=True)
+            dist = truncate_lineage(dist.unionByName(new))
             # derive the next frontier FROM the checkpointed dist, not from
             # `new` — `new`'s lineage (join + distinct + anti-join) would be
             # re-executed by the next level's join (the plan-branch reuse
@@ -178,10 +180,10 @@ def pagerank(
             if it % CHECKPOINT_EVERY == 0 and it < iters:
                 # truncate lineage: the rank frame is |V| rows — cheap to
                 # materialize; the alternative is a 2*it-join mega-plan
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = truncate_lineage(ranks)
         # materialize (|V| rows) to decouple from the scratch frames the
         # finally releases (self-containment contract, caching.py)
-        return ranks.localCheckpoint(eager=True)
+        return truncate_lineage(ranks)
     finally:
         g.unpersist()
         if ge is not None:

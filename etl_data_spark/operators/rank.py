@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_data_spark.caching import truncate_lineage
+
 _PID = "__gr_pid"
 _MID = "__gr_mid"
 
@@ -78,14 +80,13 @@ def global_running_sum(
     # joined onto the wrong _PIDs, running sums exceeding the total).
     # ReusedExchange hides this for some plan shapes but is not guaranteed
     # — the checkpoint makes both branches read one concrete RDD.
-    parts = (
+    parts = truncate_lineage(
         df.repartitionByRange(num_partitions, *keys)
         .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(
             _PID, F.shiftrightunsigned(F.col(_MID), _OFFSET_BITS).cast("int")
         )
         .drop(_MID)
-        .localCheckpoint(eager=True)
     )
     val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
@@ -153,14 +154,13 @@ def global_row_number(
     # global_running_sum: per-job sampling-seed drift in the range
     # partitioner must not let the counts branch see different partition
     # boundaries than the rank branch.
-    parts = (
+    parts = truncate_lineage(
         df.repartitionByRange(num_partitions, *keys)
         .sortWithinPartitions(*keys)
         .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(
             _PID, F.shiftrightunsigned(F.col(_MID), _OFFSET_BITS).cast("int")
         )
-        .localCheckpoint(eager=True)
     )
     # #partitions rows -> cumulative offset of every earlier partition.
     # The window here is over the tiny counts frame (bounded by

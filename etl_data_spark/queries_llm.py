@@ -20,6 +20,7 @@ from etl_data_spark.operators import text as TX
 from etl_data_spark.queries import load_table, register
 
 from etl_data_spark.caching import pin
+from etl_data_spark.caching import truncate_lineage
 
 # SQL fragments reused across oracles ---------------------------------------
 
@@ -1783,8 +1784,8 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_C)
-        .localCheckpoint(eager=True)
     )
+    cand = truncate_lineage(cand)
     a = cand.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
     b = cand.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
     simm = (
@@ -1795,8 +1796,8 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ib",
             F.round(cosine(F.col("va"), F.col("vb")), 9).alias("sim"),
         )
-        .localCheckpoint(eager=True)
     )
+    simm = truncate_lineage(simm)
     selected = (
         cand.orderBy(F.desc("rel"), "vec_id")
         .limit(1)
@@ -1833,7 +1834,7 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .withColumn("mmr_rank", F.lit(t))
         )
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+        selected = truncate_lineage(selected.unionByName(pick))
     return selected.select(
         "mmr_rank",
         "vec_id",

@@ -34,6 +34,7 @@ from etl_data_spark.operators.rank import global_row_number
 from etl_data_spark.queries import load_table, register
 
 from etl_data_spark.caching import pin
+from etl_data_spark.caching import truncate_lineage
 
 # --------------------------------------------------------------------------
 # Exact linear regression / correlation
@@ -4700,10 +4701,10 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "v", (tele + F.lit(d) * F.col("__c")).alias("r")
             )
             if it % 3 == 0 and it < _PPR_ITERS:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = truncate_lineage(ranks)
         # |V|-row materialization decouples the result from the scratch
         # frames the finally releases (self-containment, caching.py)
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = truncate_lineage(ranks)
     finally:
         g.unpersist()
         if ge is not None:

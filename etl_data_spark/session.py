@@ -96,4 +96,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable-checkpoint root for iterative operators (caching.
+    # truncate_lineage): on a cluster point this at durable shared storage
+    # (HDFS/S3) so per-round state survives executor loss; unset, the
+    # iterative operators fall back to localCheckpoint.
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and not spark.sparkContext.getCheckpointDir():
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
