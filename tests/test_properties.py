@@ -240,3 +240,48 @@ def test_ngram_array_matches_reference(spark, docs, n):
                 for j in range(max(len(toks) - n + 1, 0))
             ]
         assert got[i] == expected, (i, tks, got[i], expected)
+
+
+# --- connected components: star contraction == union-find, any graph --------
+
+
+@PROP_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_star_contraction_matches_union_find(spark, edges):
+    """For ANY small graph (self-loops, duplicates, multi-component,
+    chains), connected_components must assign every node its component's
+    minimum id — the union-find ground truth. This is the algebraic
+    contract the dedup-clustering oracles rely on; the seeded fixtures
+    only cover clique-shaped near-dup graphs."""
+    from etl_data_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    truth = {x: find(x) for x in nodes}
+
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "id_a int, id_b int"
+    ).dropna()
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == truth
