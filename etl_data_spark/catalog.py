@@ -146,14 +146,15 @@ PRIORITY_R7 = [
     # entries that gained a full oracle mid-r6 (registered after the r6
     # window was pinned, so r7 is their first driver shot)
     "multimodal_resize",     # real pixel pipeline end-to-end (new in r6)
+    "multimodal_audio_stats",  # real PCM feature extraction (new in r6)
     "embedding_topk_vectorized",  # promoted rows-only -> oracle (r6)
     # regression sentinels: r5/r6 code-path changes + r1 anchors
     # (dedup_cluster_sizes covers the CC rewrite; dedup_clusters shares
-    # the exact code path, and cleanse_case's path is untouched since r1 —
-    # both gave up their slots to the new-oracle entries above)
+    # the exact code path; cleanse_case is untouched since r1; the
+    # knn_join guard is a pre-join count with its own pytest pins — those
+    # four gave up their slots to the new-oracle entries above)
     "dedup_cluster_sizes",   # connected-components rewrite (r6)
     "multimodal_decode",     # real PNG/WAV codec (r6)
-    "knn_join_sample",       # cross-join guard (r6)
     "pricing_summary",       # r1 anchor
     "star_join",             # r1 anchor
     "dedup_minhash_lsh",     # r1 anchor

@@ -631,6 +631,42 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_stats",
+    # Real audio feature extraction over real WAV containers: PCM payload
+    # = the document's utf-8 bytes (ASCII, so ord() mirrors byte values),
+    # sample rate = 8/16/24 kHz by doc_id % 3 (see make_wav usage in
+    # _real_media_from_documents' even branch). peak/sum_sq are
+    # integer-exact byte arithmetic -> fully SQL-expressible.
+    """
+    SELECT doc_id AS media_id, TRUE AS ok,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           CAST(length(COALESCE(text, '')) AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_max(list_transform(
+                  range(1, length(COALESCE(text, '')) + 1),
+                  i -> ord(substr(text, i, 1)))), 0) AS INT) AS peak,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, length(COALESCE(text, '')) + 1),
+                  i -> ord(substr(text, i, 1)) * ord(substr(text, i, 1)))),
+                0) AS BIGINT) AS sum_sq
+    FROM documents
+    WHERE doc_id % 2 = 0
+    """,
+    doc="Real audio feature extraction: parse each WAV's PCM data chunk "
+    "(RIFF chunk walk) and compute integer-exact waveform features "
+    "(n_samples, peak, sum of squares - the RMS/loudness building blocks) "
+    "via Arrow-batched mapInPandas; hash-verified against byte arithmetic "
+    "on the source text.",
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators import multimodal as MM
+
+    media = _real_media_from_documents(spark, sf_dir).filter(
+        F.col("media_id") % 2 == 0
+    )
+    return MM.wav_pcm_stats(media)
+
+
+@register(
     "multimodal_resize",
     # End-to-end REAL pixel pipeline: every document becomes a real
     # grayscale PNG (pixels = its text bytes zero-padded; w0 = n%64+1,

@@ -240,6 +240,60 @@ def test_sniff_media_real_codecs():
     assert not M.sniff_media(b"")["ok"]
     assert not M.sniff_media(b"\x89PNG\r\n\x1a\nIHDRonly")["ok"]  # truncated
     assert not M.sniff_media(b"RIFF\x04\x00\x00\x00JUNK")["ok"]
+
+
+def test_wav_pcm_samples_decode_and_degradation():
+    """PCM extraction returns the exact data-chunk bytes for mono 8-bit
+    WAVs and None (no raise) for junk, truncation, or unsupported
+    formats (16-bit, stereo)."""
+    import struct
+
+    from etl_data_spark.queries_llm import make_wav
+
+    payload = bytes(range(200))
+    sr, data = M.wav_pcm_samples(make_wav(payload, 16000))
+    assert sr == 16000 and data == payload
+
+    # zero-length data chunk is a valid (empty) decode
+    sr0, data0 = M.wav_pcm_samples(make_wav(b"", 8000))
+    assert sr0 == 8000 and data0 == b""
+
+    # 16-bit mono: fmt bits_per_sample=16 -> unsupported, None
+    fmt16 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    dat = b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    body = b"WAVE" + fmt16 + dat
+    wav16 = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert M.wav_pcm_samples(wav16) is None
+
+    # stereo 8-bit -> unsupported
+    fmt2ch = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 16000, 2, 8)
+    body = b"WAVE" + fmt2ch + dat
+    assert M.wav_pcm_samples(b"RIFF" + struct.pack("<I", len(body)) + body) is None
+
+    assert M.wav_pcm_samples(None) is None
+    assert M.wav_pcm_samples(b"RIFF\x04\x00\x00\x00JUNK") is None
+    assert M.wav_pcm_samples(make_wav(payload, 16000)[:30]) is None  # truncated
+
+
+def test_wav_pcm_stats_distributed(spark):
+    """wav_pcm_stats over a mixed batch: real WAVs get exact integer
+    features; a junk blob degrades to ok=false with null features."""
+    import pandas as pd
+
+    from etl_data_spark.queries_llm import make_wav
+
+    rows = [
+        (1, make_wav(b"\x00\x03\x04", 8000)),
+        (2, make_wav(b"", 16000)),
+        (3, b"not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in M.wav_pcm_stats(df).collect()}
+    assert got[1]["ok"] and got[1]["sample_rate"] == 8000
+    assert got[1]["n_samples"] == 3 and got[1]["peak"] == 4
+    assert got[1]["sum_sq"] == 9 + 16
+    assert got[2]["ok"] and got[2]["n_samples"] == 0 and got[2]["peak"] == 0
+    assert not got[3]["ok"] and got[3]["sum_sq"] is None
     assert M.sniff_media(b"not media at all")["n_bytes"] == 16
 
 
