@@ -353,8 +353,9 @@ def star_contraction(
     Input: canonical (hi, lo) pairs, hi > lo. Output: (star_edges, rounds)
     where star_edges maps every non-root node (hi) to its component
     minimum (lo). Each round is two groupBy shuffles + two keyed joins;
-    ``localCheckpoint`` truncates lineage per round (reliable-storage
-    checkpoints on a real cluster). Convergence is detected by an edge-set
+    :func:`~etl_data_spark.caching.truncate_lineage` cuts lineage per
+    round (localCheckpoint in one JVM, automatic reliable checkpoints
+    when a checkpoint dir is configured). Convergence is detected by an edge-set
     checksum (count + xor of xxhash64 — overflow-proof under ANSI mode; the
     edge set is distinct, so set equality is what's being tested) — one
     lightweight action per round instead of a set-difference join.
