@@ -364,3 +364,29 @@ def test_minhash_verify_stays_sort_merge(spark):
     # corpus-sized shingle frames — merge-hinted for the same reason
     p = plan(q(spark, "dedup_minhash_lsh_native"))
     assert "SortMergeJoin" in p
+
+
+def test_multimodal_resize_zero_shuffle(spark):
+    # the full pixel pipeline (build -> resize -> verify-decode) is three
+    # chained mapInPandas stages: one scan, no exchange — blobs must
+    # pipeline through the executor, never shuffle
+    p = plan(q(spark, "multimodal_resize"))
+    assert "Exchange" not in p
+    assert p.count("documents.parquet") == 1
+
+
+def test_multimodal_audio_stats_zero_shuffle(spark):
+    # WAV build + PCM feature extraction: same contract, one scan, no
+    # exchange of media bytes
+    p = plan(q(spark, "multimodal_audio_stats"))
+    assert "Exchange" not in p
+    assert p.count("documents.parquet") == 1
+
+
+def test_vectorized_topk_is_takeordered_merge(spark):
+    # per-batch local top-k must merge through TakeOrderedAndProject
+    # (<= k rows per batch reach the driver-side merge), with no global
+    # sort exchange of the scored frame
+    p = plan(q(spark, "embedding_topk_vectorized"))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
