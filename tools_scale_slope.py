@@ -230,6 +230,10 @@ def entries():
         "mmr_diverse_topk",
         # r6 rewrite: star-contraction connected components end-to-end
         "dedup_survivor_docs",
+        # r6 new multimodal entries: zero-shuffle mapInPandas pipelines —
+        # slope must be ~linear (pure per-blob CPU), no flattening cliff
+        "multimodal_resize",
+        "multimodal_audio_stats",
     ):
         out.append((name, REGISTRY[name].fn))
     return out
