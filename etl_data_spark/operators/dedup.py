@@ -371,13 +371,26 @@ def star_contraction(
 
     sig = _sig(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         edges = truncate_lineage(_small_star(_large_star(edges)))
         new_sig = _sig(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # Unconverged star edges would silently mislabel clusters (a hi
+        # still pointing at a non-root lo) — for dedup that means keeping
+        # duplicates or dropping survivors. Fail loudly instead; the
+        # O(log^2 n) bound means hitting this indicates max_iter far too
+        # small for the graph, not a marginal miss.
+        raise RuntimeError(
+            f"star_contraction did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (rounds needed grow ~2*log2(n), so even "
+            "planet-scale graphs fit comfortably in the default 50)"
+        )
     return edges, rounds
 
 

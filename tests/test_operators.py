@@ -795,3 +795,16 @@ def test_incremental_pairs_subset_of_full(spark):
     }
     expected = {p for p in full if p[0] >= 400 or p[1] >= 400}
     assert delta == expected
+
+
+def test_star_contraction_raises_on_exhausted_iterations(spark):
+    """Unconverged contraction must fail loudly, never return labels that
+    would silently mislabel dedup clusters."""
+    import pytest as _pytest
+
+    from etl_data_spark.operators import dedup as D
+
+    edges = [(i + 1, i) for i in range(63)]  # 64-node chain: needs > 1 round
+    canonical = spark.createDataFrame(edges, "hi long, lo long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.star_contraction(canonical, max_iter=1)
