@@ -147,16 +147,18 @@ PRIORITY_R7 = [
     # window was pinned, so r7 is their first driver shot)
     "multimodal_resize",     # real pixel pipeline end-to-end (new in r6)
     "multimodal_audio_stats",  # real PCM feature extraction (new in r6)
+    "multimodal_audio_frames",  # frame-level PCM energy (new in r6)
     "embedding_topk_vectorized",  # promoted rows-only -> oracle (r6)
     # regression sentinels: r5/r6 code-path changes + r1 anchors
     # (dedup_cluster_sizes covers the CC rewrite; dedup_clusters shares
-    # the exact code path; cleanse_case is untouched since r1; the
-    # knn_join guard is a pre-join count with its own pytest pins — those
-    # four gave up their slots to the new-oracle entries above)
+    # the exact code path; cleanse_case and star_join are untouched since
+    # r1 and star_join's plan is pinned in CI; the knn_join guard is a
+    # pre-join count with its own pytest pins; entry() smoke-runs the
+    # pricing_summary flagship every round regardless — those gave up
+    # their slots to the new-oracle entries above)
     "dedup_cluster_sizes",   # connected-components rewrite (r6)
     "multimodal_decode",     # real PNG/WAV codec (r6)
     "pricing_summary",       # r1 anchor
-    "star_join",             # r1 anchor
     "dedup_minhash_lsh",     # r1 anchor
 ]
 

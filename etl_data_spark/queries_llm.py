@@ -667,6 +667,46 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_frames",
+    # Frame-level energy over real WAVs: PCM payload = the document's
+    # ASCII bytes, frames = fixed 256-sample cuts capped at 8 (empty
+    # audio still emits one empty frame), so frame boundaries and squared
+    # sums are pure arithmetic on length(text)/ord() — SQL-expressible.
+    """
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             COALESCE(text, '') AS t,
+             length(COALESCE(text, '')) AS n,
+             least(8, greatest(1, CAST(ceil(length(COALESCE(text, ''))
+                 / 256.0) AS BIGINT))) AS cnt
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(greatest(0, least(256, n - i * 256)) AS INT) AS n_samples,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(CAST(i * 256 + 1 AS INT),
+                        CAST(i * 256 + greatest(0, least(256, n - i * 256))
+                             + 1 AS INT)),
+                  j -> ord(substr(t, j, 1)) * ord(substr(t, j, 1)))),
+                0) AS BIGINT) AS frame_sum_sq
+    FROM f, UNNEST(range(0, cnt)) AS u(i)
+    """,
+    doc="Frame-level audio energy over real WAV containers: RIFF chunk "
+    "walk -> PCM payload -> fixed 256-sample windows -> integer-exact "
+    "per-frame sum of squares (the VAD/silence-trim primitive), exploded "
+    "inside Arrow-batched mapInPandas so media bytes never shuffle; "
+    "hash-verified against chunk arithmetic on the source text.",
+)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators import multimodal as MM
+
+    media = _real_media_from_documents(spark, sf_dir).filter(
+        F.col("media_id") % 2 == 0
+    )
+    return MM.wav_pcm_frames(media, frame_samples=256, max_frames=8)
+
+
+@register(
     "multimodal_resize",
     # End-to-end REAL pixel pipeline: every document becomes a real
     # grayscale PNG (pixels = its text bytes zero-padded; w0 = n%64+1,

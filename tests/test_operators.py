@@ -808,3 +808,24 @@ def test_star_contraction_raises_on_exhausted_iterations(spark):
     canonical = spark.createDataFrame(edges, "hi long, lo long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         D.star_contraction(canonical, max_iter=1)
+
+
+def test_wav_pcm_frames_distributed(spark):
+    """Frame-level energy: exact windowing and per-frame squared sums;
+    empty audio emits one empty frame; junk blobs emit nothing."""
+    from etl_data_spark.queries_llm import make_wav
+
+    rows = [
+        (1, make_wav(bytes([2] * 256 + [3] * 10), 8000)),  # 2 frames
+        (2, make_wav(b"", 8000)),                          # 1 empty frame
+        (3, b"junk"),                                      # no rows
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_samples"], r["frame_sum_sq"])
+        for r in M.wav_pcm_frames(df, frame_samples=256, max_frames=8).collect()
+    }
+    assert got[(1, 0)] == (256, 256 * 4)
+    assert got[(1, 1)] == (10, 10 * 9)
+    assert got[(2, 0)] == (0, 0)
+    assert not any(mid == 3 for mid, _ in got)

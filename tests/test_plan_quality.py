@@ -390,3 +390,10 @@ def test_vectorized_topk_is_takeordered_merge(spark):
     p = plan(q(spark, "embedding_topk_vectorized"))
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_multimodal_audio_frames_zero_shuffle(spark):
+    # the frame explode happens inside mapInPandas: one scan, no exchange
+    p = plan(q(spark, "multimodal_audio_frames"))
+    assert "Exchange" not in p
+    assert p.count("documents.parquet") == 1
