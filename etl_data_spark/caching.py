@@ -31,7 +31,8 @@ the JVM CacheManager until an explicit unpersist (GC-based reclaim would
 also silently degrade a pinned subplan the caller has not materialized
 yet, which is the failure mode this module exists to prevent). A consumer
 that never releases accumulates executor storage; :func:`pin` emits a
-``ResourceWarning`` past a high-water mark so that bug is loud, not
+``RuntimeWarning`` (displayed under default filters, unlike
+ResourceWarning) past a high-water mark so that bug is loud, not
 silent.
 """
 
@@ -61,7 +62,11 @@ def pin(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
             "long-lived consumer is not calling "
             "etl_data_spark.caching.release_all() (or use pinned_scope()); "
             "executor storage grows without bound until it does.",
-            ResourceWarning,
+            # RuntimeWarning, not ResourceWarning: default Python warning
+            # filters IGNORE ResourceWarning, which would make this
+            # high-water mark silent in exactly the production runs it
+            # exists to protect
+            RuntimeWarning,
             stacklevel=2,
         )
     return df

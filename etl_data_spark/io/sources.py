@@ -185,15 +185,22 @@ def promote_staging_jdbc(
     staged = read_jdbc(spark, url, staging_table, **options)
     n_staged = staged.count()
 
+    # Only the existence probe may fall back to "first promote": read_jdbc
+    # resolves the schema eagerly, so a missing target raises HERE. The
+    # keep-side materialization stays OUTSIDE the guard — a transient
+    # checkpoint/scan failure must abort the promote, not be mistaken for
+    # "no target yet" and silently overwrite the table with only the
+    # staged window (losing every kept row).
     try:
         target = read_jdbc(spark, url, target_table, **options)
+    except Exception:
+        # first promote: target table doesn't exist yet
+        merged = staged
+    else:
         pred = window_replace_predicate(start_date, end_date, date_col, to_col)
         keep = target.limit(0) if pred is None else target.filter(
             ~F.coalesce(pred, F.lit(False))
         )
         merged = truncate_lineage(keep).unionByName(staged)
-    except Exception:
-        # first promote: target table doesn't exist yet
-        merged = staged
     write_jdbc(merged, url, target_table, mode="overwrite", **options)
     return n_staged

@@ -162,8 +162,13 @@ PCM_STATS_SCHEMA = (
 def wav_pcm_stats(df: DataFrame) -> DataFrame:
     """REAL audio feature extraction: decode each WAV's PCM data chunk and
     compute integer-exact waveform features (sample count, peak amplitude,
-    sum of squared samples — the building blocks of RMS/loudness filters a
-    training-data pipeline gates audio on).
+    sum of squared amplitudes — the building blocks of RMS/loudness
+    filters a training-data pipeline gates audio on).
+
+    8-bit WAV PCM is UNSIGNED with silence at 0x80 (WAV spec), so
+    amplitude is ``x - 128``: a silent clip scores peak=0 / sum_sq=0
+    instead of a spurious maximal "energy", which is what a loudness gate
+    or VAD-style silence trim needs.
 
     Arrow-batched ``mapInPandas``; vectorized numpy per blob; integer
     outputs so results are exact at any scale (no float fold order). Blobs
@@ -184,12 +189,15 @@ def wav_pcm_stats(df: DataFrame) -> DataFrame:
                     sumsqs.append(None)
                 else:
                     sr, data = dec
-                    x = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                    amp = (
+                        np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                        - 128
+                    )
                     oks.append(True)
                     srs.append(sr)
-                    ns.append(len(x))
-                    peaks.append(int(x.max()) if len(x) else 0)
-                    sumsqs.append(int((x * x).sum()))
+                    ns.append(len(amp))
+                    peaks.append(int(np.abs(amp).max()) if len(amp) else 0)
+                    sumsqs.append(int((amp * amp).sum()))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -213,7 +221,9 @@ def wav_pcm_frames(
     df: DataFrame, frame_samples: int = 256, max_frames: int = 8
 ) -> DataFrame:
     """Frame-level audio energy: split each WAV's PCM payload into fixed
-    windows of ``frame_samples`` and emit per-frame sum-of-squares — the
+    windows of ``frame_samples`` and emit per-frame sum of squared
+    amplitudes (unsigned 8-bit PCM, silence at 0x80, so amplitude is
+    ``x - 128`` — see :func:`wav_pcm_stats`) — the
     primitive behind VAD-ish silence trimming and loudness gating in an
     audio curation pipeline. One output row per frame (capped at
     ``max_frames`` per blob to bound fan-out); undecodable blobs emit no
@@ -233,7 +243,10 @@ def wav_pcm_frames(
                 if dec is None:
                     continue
                 _, data = dec
-                x = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                # unsigned 8-bit PCM, silence at 0x80 -> amplitude = x - 128
+                x = (
+                    np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+                )
                 n_frames = min(max_frames, max(1, -(-len(x) // frame_samples)))
                 for f in range(n_frames):
                     seg = x[f * frame_samples : (f + 1) * frame_samples]

@@ -33,7 +33,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_data_spark.caching import truncate_lineage
 
 _PID = "__gr_pid"
 _MID = "__gr_mid"
@@ -80,13 +79,19 @@ def global_running_sum(
     # joined onto the wrong _PIDs, running sums exceeding the total).
     # ReusedExchange hides this for some plan shapes but is not guaranteed
     # — the checkpoint makes both branches read one concrete RDD.
-    parts = truncate_lineage(
+    # deliberately localCheckpoint, NOT truncate_lineage: this pin exists
+    # only for JOB-LOCAL determinism (both branches must read one concrete
+    # RDD within this query); an executor loss simply fails and retries
+    # the query, so paying a durable-storage round-trip of the FULL
+    # dataset per ranking call would buy nothing
+    parts = (
         df.repartitionByRange(num_partitions, *keys)
         .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(
             _PID, F.shiftrightunsigned(F.col(_MID), _OFFSET_BITS).cast("int")
         )
         .drop(_MID)
+        .localCheckpoint(eager=True)
     )
     val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
@@ -154,13 +159,16 @@ def global_row_number(
     # global_running_sum: per-job sampling-seed drift in the range
     # partitioner must not let the counts branch see different partition
     # boundaries than the rank branch.
-    parts = truncate_lineage(
+    # localCheckpoint on purpose — same job-local-determinism rationale as
+    # global_running_sum above
+    parts = (
         df.repartitionByRange(num_partitions, *keys)
         .sortWithinPartitions(*keys)
         .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(
             _PID, F.shiftrightunsigned(F.col(_MID), _OFFSET_BITS).cast("int")
         )
+        .localCheckpoint(eager=True)
     )
     # #partitions rows -> cumulative offset of every earlier partition.
     # The window here is over the tiny counts frame (bounded by

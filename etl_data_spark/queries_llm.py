@@ -467,44 +467,40 @@ def make_png(data: bytes) -> bytes:
 
     width = len % 64 + 1, height = ceil(len / width) (>= 1), zero-padded —
     both reconstructable from len alone, which keeps the decode oracle
-    SQL-expressible while the file itself is fully spec-compliant
-    (IHDR + zlib IDAT with per-row filter bytes + CRC32s + IEND).
+    SQL-expressible. Assembly delegates to the operator-side encoder
+    (one copy of the IHDR/IDAT/CRC logic to keep in sync).
     """
-    import struct
-    import zlib
+    import numpy as np
+
+    from etl_data_spark.operators.multimodal import png_encode_pixels
 
     n = len(data)
     width = n % 64 + 1
     height = max(1, -(-n // width))
     padded = data + b"\x00" * (width * height - n)
-    raw = b"".join(
-        b"\x00" + padded[r * width : (r + 1) * width] for r in range(height)
-    )
-
-    def chunk(typ: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload))
-            + typ
-            + payload
-            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+    return png_encode_pixels(
+        np.frombuffer(padded, dtype=np.uint8).reshape(height, width, 1)
     )
 
 
-def _real_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _real_media_from_documents(
+    spark: SparkSession, sf_dir: str, parity: int | None = None
+) -> DataFrame:
     """doc corpus -> real media files: even doc_id -> WAV (sample rate
     8/16/24 kHz by doc_id % 3), odd doc_id -> PNG. Built executor-side in
-    Arrow batches; blobs never hit the driver."""
+    Arrow batches; blobs never hit the driver.
+
+    ``parity`` (0=WAV docs, 1=PNG docs) filters the corpus BEFORE the
+    mapInPandas build: Spark cannot push a media_id filter through the
+    UDF stage, so a consumer that wants only one media type must prune
+    here or it pays the build cost (zlib in particular) for blobs it
+    immediately discards.
+    """
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if parity is not None:
+        d = d.filter(F.col("doc_id") % 2 == parity)
 
     def build(batches):
         for pdf in batches:
@@ -526,22 +522,25 @@ def _real_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic on length(text) / doc_id (see make_wav/make_png), so the
     # REAL header parse (sniff_media) is hash-verified end-to-end.
     """
+    WITH src AS (
+      SELECT doc_id, length(COALESCE(text, '')) AS n FROM documents
+    )
     SELECT doc_id AS media_id,
            TRUE AS ok,
            CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS media_type,
            CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS format,
            CASE WHEN doc_id % 2 = 0 THEN NULL
-                ELSE CAST(length(text) % 64 + 1 AS INT) END AS width,
+                ELSE CAST(n % 64 + 1 AS INT) END AS width,
            CASE WHEN doc_id % 2 = 0 THEN NULL
-                ELSE CAST(greatest(1, CAST(ceil(length(text) /
-                       (length(text) % 64 + 1.0)) AS BIGINT)) AS INT)
+                ELSE CAST(greatest(1, CAST(ceil(n /
+                       (n % 64 + 1.0)) AS BIGINT)) AS INT)
                 END AS height,
            CASE WHEN doc_id % 2 = 0 THEN CAST(8000 * (1 + doc_id % 3) AS INT)
                 ELSE NULL END AS sample_rate,
            CASE WHEN doc_id % 2 = 0
-                THEN CAST((length(text) * 1000) // (8000 * (1 + doc_id % 3)) AS BIGINT)
+                THEN CAST((n * 1000) // (8000 * (1 + doc_id % 3)) AS BIGINT)
                 ELSE NULL END AS duration_ms
-    FROM documents
+    FROM src
     """,
     doc="REAL media decode: documents are wrapped in actual WAV/PNG files "
     "(valid RIFF chunks / zlib IDAT + CRCs) and parsed back by the "
@@ -635,18 +634,20 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Real audio feature extraction over real WAV containers: PCM payload
     # = the document's utf-8 bytes (ASCII, so ord() mirrors byte values),
     # sample rate = 8/16/24 kHz by doc_id % 3 (see make_wav usage in
-    # _real_media_from_documents' even branch). peak/sum_sq are
-    # integer-exact byte arithmetic -> fully SQL-expressible.
+    # _real_media_from_documents' even branch). Unsigned 8-bit PCM has
+    # silence at 0x80, so amplitude = byte - 128; peak/sum_sq are
+    # integer-exact amplitude arithmetic -> fully SQL-expressible.
     """
     SELECT doc_id AS media_id, TRUE AS ok,
            CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
            CAST(length(COALESCE(text, '')) AS BIGINT) AS n_samples,
            CAST(COALESCE(list_max(list_transform(
                   range(1, length(COALESCE(text, '')) + 1),
-                  i -> ord(substr(text, i, 1)))), 0) AS INT) AS peak,
+                  i -> abs(ord(substr(text, i, 1)) - 128))), 0) AS INT) AS peak,
            CAST(COALESCE(list_sum(list_transform(
                   range(1, length(COALESCE(text, '')) + 1),
-                  i -> ord(substr(text, i, 1)) * ord(substr(text, i, 1)))),
+                  i -> (ord(substr(text, i, 1)) - 128)
+                       * (ord(substr(text, i, 1)) - 128))),
                 0) AS BIGINT) AS sum_sq
     FROM documents
     WHERE doc_id % 2 = 0
@@ -660,18 +661,17 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_spark.operators import multimodal as MM
 
-    media = _real_media_from_documents(spark, sf_dir).filter(
-        F.col("media_id") % 2 == 0
-    )
+    media = _real_media_from_documents(spark, sf_dir, parity=0)
     return MM.wav_pcm_stats(media)
 
 
 @register(
     "multimodal_audio_frames",
     # Frame-level energy over real WAVs: PCM payload = the document's
-    # ASCII bytes, frames = fixed 256-sample cuts capped at 8 (empty
-    # audio still emits one empty frame), so frame boundaries and squared
-    # sums are pure arithmetic on length(text)/ord() — SQL-expressible.
+    # ASCII bytes (amplitude = byte - 128, silence at 0x80), frames =
+    # fixed 256-sample cuts capped at 8 (empty audio still emits one
+    # empty frame), so frame boundaries and squared-amplitude sums are
+    # pure arithmetic on length(text)/ord() — SQL-expressible.
     """
     WITH f AS (
       SELECT doc_id AS media_id,
@@ -687,7 +687,8 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   range(CAST(i * 256 + 1 AS INT),
                         CAST(i * 256 + greatest(0, least(256, n - i * 256))
                              + 1 AS INT)),
-                  j -> ord(substr(t, j, 1)) * ord(substr(t, j, 1)))),
+                  j -> (ord(substr(t, j, 1)) - 128)
+                       * (ord(substr(t, j, 1)) - 128))),
                 0) AS BIGINT) AS frame_sum_sq
     FROM f, UNNEST(range(0, cnt)) AS u(i)
     """,
@@ -700,9 +701,7 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_spark.operators import multimodal as MM
 
-    media = _real_media_from_documents(spark, sf_dir).filter(
-        F.col("media_id") % 2 == 0
-    )
+    media = _real_media_from_documents(spark, sf_dir, parity=0)
     return MM.wav_pcm_frames(media, frame_samples=256, max_frames=8)
 
 

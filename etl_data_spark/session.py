@@ -94,13 +94,21 @@ def get_spark(
         builder = builder.config("spark.driver.memory", _local_driver_mem())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     # Reliable-checkpoint root for iterative operators (caching.
     # truncate_lineage): on a cluster point this at durable shared storage
     # (HDFS/S3) so per-round state survives executor loss; unset, the
-    # iterative operators fall back to localCheckpoint.
+    # iterative operators fall back to localCheckpoint. cleanCheckpoints
+    # lets the ContextCleaner delete checkpoint files once their RDD is
+    # GC'd — without it a 20-round contraction leaves ~20 full edge-set
+    # snapshots on durable storage per run, forever. (Config must be set
+    # before the context starts, hence here and not post-getOrCreate.)
     ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        builder = builder.config(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     if ckpt and not spark.sparkContext.getCheckpointDir():
         spark.sparkContext.setCheckpointDir(ckpt)
     return spark

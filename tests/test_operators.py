@@ -289,9 +289,10 @@ def test_wav_pcm_stats_distributed(spark):
     ]
     df = spark.createDataFrame(rows, "media_id long, blob binary")
     got = {r["media_id"]: r for r in M.wav_pcm_stats(df).collect()}
+    # unsigned 8-bit PCM: amplitude = byte - 128 (silence at 0x80)
     assert got[1]["ok"] and got[1]["sample_rate"] == 8000
-    assert got[1]["n_samples"] == 3 and got[1]["peak"] == 4
-    assert got[1]["sum_sq"] == 9 + 16
+    assert got[1]["n_samples"] == 3 and got[1]["peak"] == 128
+    assert got[1]["sum_sq"] == 128**2 + 125**2 + 124**2
     assert got[2]["ok"] and got[2]["n_samples"] == 0 and got[2]["peak"] == 0
     assert not got[3]["ok"] and got[3]["sum_sq"] is None
     assert M.sniff_media(b"not media at all")["n_bytes"] == 16
@@ -810,6 +811,20 @@ def test_star_contraction_raises_on_exhausted_iterations(spark):
         D.star_contraction(canonical, max_iter=1)
 
 
+def test_wav_pcm_stats_silence_is_zero_energy(spark):
+    """A real silent 8-bit WAV (all 0x80) must score peak=0 / sum_sq=0 —
+    the property a loudness gate needs (raw unsigned bytes would give a
+    spurious maximal energy)."""
+    from etl_data_spark.queries_llm import make_wav
+
+    df = spark.createDataFrame(
+        [(1, make_wav(b"\x80" * 500, 8000))], "media_id long, blob binary"
+    )
+    r = M.wav_pcm_stats(df).first()
+    assert r["ok"] and r["n_samples"] == 500
+    assert r["peak"] == 0 and r["sum_sq"] == 0
+
+
 def test_wav_pcm_frames_distributed(spark):
     """Frame-level energy: exact windowing and per-frame squared sums;
     empty audio emits one empty frame; junk blobs emit nothing."""
@@ -825,7 +840,7 @@ def test_wav_pcm_frames_distributed(spark):
         (r["media_id"], r["frame_idx"]): (r["n_samples"], r["frame_sum_sq"])
         for r in M.wav_pcm_frames(df, frame_samples=256, max_frames=8).collect()
     }
-    assert got[(1, 0)] == (256, 256 * 4)
-    assert got[(1, 1)] == (10, 10 * 9)
+    assert got[(1, 0)] == (256, 256 * 126**2)  # amplitude = byte - 128
+    assert got[(1, 1)] == (10, 10 * 125**2)
     assert got[(2, 0)] == (0, 0)
     assert not any(mid == 3 for mid, _ in got)
