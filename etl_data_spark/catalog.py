@@ -10,13 +10,17 @@ Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds — entries that earned a driver-green CORRECTNESS row
 in a previous round are demoted to make room for entries that have never
 been driver-verified. Rounds 1-3 verified 138 unique entries (round 4 was
-a no-op re-run); round 5 went 50/50 green (184 unique). Round 6 holds
-ROTATION.md's planned r6 window — 50 never-driver-verified entries
-(-> 234 unique when green) — and PRIORITY_R7 pre-stages the final window
-(remaining 42 + 8 regression sentinels) so the next rotation is a
-one-line swap. All entries remain pytest-oracle-checked locally every
-round regardless of position (tests/test_queries_oracle.py enumerates
-REGISTRY under the driver-strict Arrow-typed harness).
+a no-op re-run); rounds 5 and 6 each went 50/50 green (184, then 234
+unique of 283 registered). Round 7 holds the final burn-down window: the
+49 oracle-backed entries still lacking a driver row (42 planned + 4 that
+gained oracles mid-r6 + the 2 approx_* rotation-plan holes + 1 slot freed
+by the r1 anchors) plus the 2 r6 code-path re-verifications. When it
+lands green, every oracle-backed entry (282 of 283) has a driver row;
+PRIORITY_R8 below pre-stages round 8's regression rotation (r7
+code-path-changed entries first, then oldest-green-first). All entries
+remain pytest-oracle-checked locally every round regardless of position
+(tests/test_queries_oracle.py enumerates REGISTRY under the
+driver-strict Arrow-typed harness).
 """
 
 from __future__ import annotations
@@ -35,72 +39,23 @@ import etl_data_spark.queries_stats as _stats  # noqa: F401  (registers on impor
 import etl_data_spark.queries_tpch as _tpch  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401
 
-# First-50 verification window, most valuable first. Round-6 rotation:
-# the 50 entries below are exactly ROTATION.md's planned r6 window — all
-# never driver-verified before this round (sessionization, retrieval
-# metrics, lexical statistics, anomaly/outlier family, forecasting,
-# feature engineering, privacy, attribution, recommender scores). After
-# this window lands green, unique driver-verified coverage reaches
-# 234 of 280; PRIORITY_R7 below pre-stages the final window so a no-op
-# round can never waste a verification window (the r4 failure mode).
+# First-50 verification window, most valuable first. Round-7 rotation
+# (ROTATION.md): the 42 remaining never-driver-verified entries, the 4
+# entries that gained full oracles mid-r6 (after the r6 window was
+# pinned), the 2 rotation-plan holes the round-6 verdict flagged
+# (approx_distinct / approx_percentiles — rows-only when windowed in r1,
+# full tolerance-flag oracles since r2, but absent from every later
+# window), and the 2 r6 code-path re-verifications mandated by the
+# regression policy (dedup_cluster_sizes — connected-components rewrite;
+# multimodal_decode — real codec). The two r1 anchors in the pre-staged
+# plan (pricing_summary, dedup_minhash_lsh) gave up their slots to the
+# approx_* hole: both already hold r1 driver-green rows, pricing_summary
+# is additionally smoke-run by entry() every round, and both lead the
+# round-8 regression rotation below. After this window lands green,
+# every oracle-backed entry (282 of 283) has at least one driver
+# CORRECTNESS row; the only rows-only entry is generator_profile
+# (hash-derived RNG, no SQL mirror by design).
 PRIORITY = [
-    "session_paths",
-    "ndcg_bm25",
-    "posting_lists",
-    "prf_expansion_terms",
-    "mmr_diverse_topk",
-    "embedding_drift",
-    "lang_id_kappa",
-    "audience_overlap",
-    "source_overlap_pairs",
-    "char_entropy",
-    "contrastive_negatives",
-    "vocab_growth_curve",
-    "keyness_terms",
-    "document_profile",
-    "event_entropy",
-    "mutual_info_type_hour",
-    "outlier_zscore",
-    "rolling_stats",
-    "calendar_dim",
-    "regex_surface",
-    "funnel_strict_sequence",
-    "mad_value",
-    "bag_set_ops",
-    "outlier_robust_z",
-    "benford_deviation",
-    "attribution_first_touch",
-    "rfm_segments",
-    "quantile_normalize",
-    "seasonal_anomaly",
-    "weighted_median",
-    "forecast_backtest",
-    "equidepth_histogram",
-    "target_encoding",
-    "feature_hashing",
-    "graph_clustering_coeff",
-    "impute_group_median",
-    "interpolate_linear",
-    "winsorized_stats",
-    "lag_features",
-    "k_anonymity",
-    "seasonal_decompose",
-    "ab_test_lift",
-    "ewma_level",
-    "cohort_ltv",
-    "pr_curve_points",
-    "calibration_bins",
-    "link_predict_scores",
-    "item_item_cosine",
-    "cusum_changepoint",
-    "attribution_linear",
-]
-
-# Pre-staged round-7 window (ROTATION.md): the remaining 42 never-verified
-# entries + 8 regression sentinels (re-verification of entries whose code
-# paths changed in r5/r6, then the highest-value r1 anchors). Next round:
-# `PRIORITY = PRIORITY_R7` is the entire rotation step.
-PRIORITY_R7 = [
     "l_diversity",
     "pareto_front",
     "holt_linear",
@@ -149,21 +104,84 @@ PRIORITY_R7 = [
     "multimodal_audio_stats",  # real PCM feature extraction (new in r6)
     "multimodal_audio_frames",  # frame-level PCM energy (new in r6)
     "embedding_topk_vectorized",  # promoted rows-only -> oracle (r6)
-    # regression sentinels: r5/r6 code-path changes + r1 anchors
-    # (dedup_cluster_sizes covers the CC rewrite; dedup_clusters shares
-    # the exact code path; cleanse_case and star_join are untouched since
-    # r1 and star_join's plan is pinned in CI; the knn_join guard is a
-    # pre-join count with its own pytest pins; entry() smoke-runs the
-    # pricing_summary flagship every round regardless — those gave up
-    # their slots to the new-oracle entries above)
+    # rotation-plan holes (r6 verdict): oracle-backed since r2 but never
+    # re-windowed after their rows-only r1 appearance
+    "approx_distinct",       # HLL++ accuracy contract (tolerance flags)
+    "approx_percentiles",    # t-digest-style sketch accuracy contract
+    # r6 code-path re-verifications (regression policy: any entry whose
+    # code path changed in the prior round must appear in the window)
     "dedup_cluster_sizes",   # connected-components rewrite (r6)
     "multimodal_decode",     # real PNG/WAV codec (r6)
-    "pricing_summary",       # r1 anchor
-    "dedup_minhash_lsh",     # r1 anchor
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"
-assert len(PRIORITY_R7) == 50, f"PRIORITY_R7 must fill the window exactly: {len(PRIORITY_R7)}"
+
+# Pre-staged round-8 window (ROTATION.md regression rotation): (a) entries
+# whose code paths changed in round 7 — the knn_join guard rework touches
+# knn_join_sample / embedding_near_dup (embedding_topk_vectorized and the
+# multimodal audio entries also changed but sit in the ACTIVE r7 window, so
+# the driver verifies them post-change this round already) — then (b) the
+# entries with the OLDEST driver-green row, oldest round first, in
+# registration order, starting with the anchors that gave up their r7
+# slots. Round 8's rotation step: `PRIORITY = PRIORITY_R8`, appending any
+# entry whose code path changes during round 8 itself.
+PRIORITY_R8 = [
+    # (a) r7 code-path changes not already in the r7 window
+    "knn_join_sample",       # knn_join guard rework (r7)
+    "embedding_near_dup",    # shares the guard code path (r7)
+    # (b) oldest-green-first (r1, then r2), registration order;
+    #     pricing_summary/dedup_minhash_lsh/star_join lead per ROTATION.md
+    "pricing_summary",
+    "dedup_minhash_lsh",
+    "star_join",
+    "sum_total_windowed",
+    "conditional_ratio",
+    "distinct_dim_keys",
+    "surrogate_keys",
+    "duplicate_groups",
+    "violation_count",
+    "status_rollup",
+    "daily_trend",
+    "cleanse_case",
+    "silver_gate",
+    "date_repair",
+    "latest_batch",
+    "anti_join_unreferenced",
+    "semi_join_active",
+    "topk_orders",
+    "critical_top5",
+    "union_distinct",
+    "latest_per_customer",
+    "rollup_revenue",
+    "cube_counts",
+    "pivot_status_priority",
+    "grouping_sets_revenue",
+    "sliding_window_agg",
+    "exact_percentiles",
+    "distinct_count_exact",
+    "running_revenue",
+    "order_gaps",
+    "rank_in_nation",
+    "scd2_current_rows",
+    "intersect_keys",
+    "except_keys",
+    "union_all_bag",
+    "full_outer_totals",
+    "cross_join_grid",
+    "explode_posexplode",
+    "scalar_function_surface",
+    "string_function_surface",
+    "date_arithmetic",
+    "null_semantics",
+    "date_parts",
+    "range_join_bursts",
+    "salted_join_agg",
+    "dq_checks_orders",
+    "text_stats",
+    "lang_id",
+]
+
+assert len(PRIORITY_R8) == 50, f"PRIORITY_R8 must fill the window exactly: {len(PRIORITY_R8)}"
 
 
 def _ordered() -> dict[str, QuerySpec]:
