@@ -185,18 +185,17 @@ def promote_staging_jdbc(
     staged = read_jdbc(spark, url, staging_table, **options)
     n_staged = staged.count()
 
-    # Only the existence probe may fall back to "first promote": read_jdbc
-    # resolves the schema eagerly, so a missing target raises HERE. The
-    # keep-side materialization stays OUTSIDE the guard — a transient
-    # checkpoint/scan failure must abort the promote, not be mistaken for
-    # "no target yet" and silently overwrite the table with only the
-    # staged window (losing every kept row).
-    try:
-        target = read_jdbc(spark, url, target_table, **options)
-    except Exception:
+    # Existence is probed EXPLICITLY against the JDBC catalog
+    # (DatabaseMetaData.getTables), never inferred from a failed read: a
+    # transient network/auth/scan failure on an EXISTING target must abort
+    # the promote, not be mistaken for "no target yet" and overwrite the
+    # table with only the staged window (losing every kept row). Any
+    # exception from the probe or the target read propagates.
+    if not jdbc_table_exists(spark, url, target_table, **options):
         # first promote: target table doesn't exist yet
         merged = staged
     else:
+        target = read_jdbc(spark, url, target_table, **options)
         pred = window_replace_predicate(start_date, end_date, date_col, to_col)
         keep = target.limit(0) if pred is None else target.filter(
             ~F.coalesce(pred, F.lit(False))
@@ -204,3 +203,45 @@ def promote_staging_jdbc(
         merged = truncate_lineage(keep).unionByName(staged)
     write_jdbc(merged, url, target_table, mode="overwrite", **options)
     return n_staged
+
+
+def jdbc_table_exists(
+    spark: SparkSession, url: str, table: str, **options: str
+) -> bool:
+    """True iff ``table`` exists in the database behind ``url``, probed via
+    ``DatabaseMetaData.getTables`` on a direct driver-side connection.
+
+    This is a *catalog* probe, not a read attempt — it can only return
+    False when the database answered and the table genuinely is not there.
+    Connection or metadata failures raise, so callers (``promote_staging_
+    jdbc``) never confuse a flaky endpoint with a missing table. Unquoted
+    identifiers are matched case-insensitively (Derby/Oracle store them
+    uppercase, Postgres lowercase); a ``schema.table`` name is split and
+    matched per part.
+    """
+    jvm = spark._jvm
+    driver = options.get("driver")
+    if driver:
+        # make sure a non-SPI driver is registered before getConnection
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    for k, v in options.items():
+        if k != "driver":
+            props.setProperty(k, str(v))
+    schema, _, name = table.rpartition(".")
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        meta = conn.getMetaData()
+        candidates = {(schema or None, name)}
+        candidates.add(((schema or "").upper() or None, name.upper()))
+        candidates.add(((schema or "").lower() or None, name.lower()))
+        for cand_schema, cand_name in candidates:
+            rs = meta.getTables(None, cand_schema, cand_name, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()

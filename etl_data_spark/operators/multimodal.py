@@ -439,24 +439,35 @@ def png_decode_pixels(blob: bytes):
                 raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
             ).copy()
             ftype = raw[r * (stride + 1)]
-            if ftype == 1:  # Sub
-                for i in range(ch, stride):
-                    row[i] = (int(row[i]) + int(row[i - ch])) & 0xFF
+            if ftype == 1:  # Sub — vectorized: recon(x) = sum of raw deltas
+                # at x, x-ch, x-2ch, ... i.e. a per-channel cumsum mod 256
+                row = (
+                    np.cumsum(row.reshape(w, ch).astype(np.int64), axis=0) % 256
+                ).astype(np.uint8).reshape(stride)
             elif ftype == 2:  # Up
                 row = (row.astype(np.int16) + prev).astype(np.uint8)
-            elif ftype == 3:  # Average
-                for i in range(stride):
-                    left = int(row[i - ch]) if i >= ch else 0
-                    row[i] = (row[i] + (left + int(prev[i])) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
-                for i in range(stride):
-                    a = int(row[i - ch]) if i >= ch else 0
-                    b = int(prev[i])
-                    c = int(prev[i - ch]) if i >= ch else 0
+            elif ftype == 3:  # Average — left-dependency is sequential;
+                # plain-int list arithmetic beats numpy scalar indexing ~7x
+                r_, p_ = row.tolist(), prev.tolist()
+                for i in range(ch):
+                    r_[i] = (r_[i] + p_[i] // 2) & 0xFF
+                for i in range(ch, stride):
+                    r_[i] = (r_[i] + (r_[i - ch] + p_[i]) // 2) & 0xFF
+                row = np.array(r_, dtype=np.uint8)
+            elif ftype == 4:  # Paeth — same sequential scan, list ints
+                r_, p_ = row.tolist(), prev.tolist()
+                for i in range(ch):
+                    # a = c = 0 => predictor is always b (spec tie rules)
+                    r_[i] = (r_[i] + p_[i]) & 0xFF
+                for i in range(ch, stride):
+                    a, b, c = r_[i - ch], p_[i], p_[i - ch]
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    row[i] = (row[i] + pred) & 0xFF
+                    r_[i] = (r_[i] + pred) & 0xFF
+                row = np.array(r_, dtype=np.uint8)
             elif ftype != 0:
                 return None
             out[r] = row
@@ -509,6 +520,15 @@ def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
     executor-local (no shuffle of media bytes). A production deployment
     can swap a faster codec by replacing the inner function — the
     operator shape (schema, batching, degradation) is the contract.
+
+    Cost model (measured, 256x256 RGB, one core — see SCALE.md §24):
+    decode throughput depends on the PNG's row filters. None ~1200
+    blobs/sec, Up ~520 (vectorized), Sub ~170 (per-channel cumsum),
+    Average ~27 and Paeth ~15 (sequential left-dependency; plain-int
+    scan). Filter-0/Sub/Up covers everything this repo *encodes*;
+    foreign PNGs from real encoders are mostly Paeth rows, so size a
+    real media scan at ~15 blobs/sec/core or swap in PIL/opencv via the
+    decode path — the Spark plumbing is unchanged either way.
     """
     import numpy as np
 

@@ -21,8 +21,58 @@ emit boundary anyway.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _guard_max_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    max_pairs: int,
+    op: str,
+    scale_hint: str,
+) -> None:
+    """Raise if ``|left| * |right| > max_pairs``, using only BOUNDED counts.
+
+    ``limit(cap).count()`` short-circuits the underlying scan at ``cap``
+    rows, so the probe costs O(cap) even when the inputs are expensive
+    uncached plans — the old unbounded ``count()`` pair executed both
+    plans in full before the join re-executed them a second time.
+
+    Probe plan: count each side up to ``b = isqrt(max_pairs)+1``. Both at
+    the cap => product >= b^2 > max_pairs, fail. One at the cap => refine
+    it against the other side's now-exact count with cap
+    ``max_pairs // other + 1``. Neither at the cap => both counts exact.
+    At most three bounded scans, and only when the guard is active.
+    """
+    b = math.isqrt(max_pairs) + 1
+    n_l = left.limit(b).count()
+    n_r = right.limit(b).count()
+    capped_l, capped_r = n_l >= b, n_r >= b
+    if capped_l and capped_r:
+        too_big = True
+    elif capped_l or capped_r:
+        big, small_n = (left, n_r) if capped_l else (right, n_l)
+        if small_n == 0:
+            return
+        cap2 = max_pairs // small_n + 1
+        n_big = big.limit(cap2).count()
+        if n_big >= cap2:
+            too_big = True
+        else:
+            (n_l, n_r) = (n_big, small_n) if capped_l else (small_n, n_big)
+            too_big = n_l * n_r > max_pairs
+    else:
+        too_big = n_l * n_r > max_pairs
+    if too_big:
+        fmt_l = f">= {b:,}" if n_l >= b else f"{n_l:,}"
+        fmt_r = f">= {b:,}" if n_r >= b else f"{n_r:,}"
+        raise ValueError(
+            f"{op} would materialize {fmt_l} x {fmt_r} candidate pairs "
+            f"(> max_pairs={max_pairs:,}). {scale_hint}"
+        )
 
 
 def dot(a: F.Column | str, b: F.Column | str) -> F.Column:
@@ -85,24 +135,26 @@ def knn_join(
     ``lsh_bucket_assign`` + per-bucket knn_join, which prunes the cross
     product to bucket-local candidates.
 
-    Cross-join guard: unless ``allow_cross=True``, both sides are counted
-    (two linear scans — trivial next to the quadratic join they gate) and
-    the call aborts if left*right exceeds ``max_pairs``. This makes an
-    accidental 100 TB invocation fail fast with a pointer to the ANN path
-    instead of launching an unbounded cartesian stage.
+    Cross-join guard: unless ``allow_cross=True``, the sides are probed
+    with BOUNDED counts (``limit(cap).count()`` — the scan short-circuits
+    at the cap, so an expensive uncached upstream plan is never executed
+    in full just to be told "too big") and the call aborts if left*right
+    can be shown to exceed ``max_pairs``. This makes an accidental 100 TB
+    invocation fail fast with a pointer to the ANN path instead of
+    launching an unbounded cartesian stage.
     """
     from pyspark.sql import Window
 
     if not allow_cross:
-        n_l, n_r = left.count(), right.count()
-        if n_l * n_r > max_pairs:
-            raise ValueError(
-                f"knn_join would materialize {n_l} x {n_r} = {n_l * n_r:,} "
-                f"candidate pairs (> max_pairs={max_pairs:,}). Use the "
-                "bucketed ANN path (lsh_bucket_assign / ivf_assign) for "
-                "corpora this size, or pass allow_cross=True if the cross "
-                "join is intentional."
-            )
+        _guard_max_pairs(
+            left,
+            right,
+            max_pairs,
+            op="knn_join",
+            scale_hint="Use the bucketed ANN path (lsh_bucket_assign / "
+            "ivf_assign) for corpora this size, or pass allow_cross=True "
+            "if the cross join is intentional.",
+        )
 
     l = left.select(
         F.col(left_id).alias("query_id"), F.col(vec_col).alias("qv")
@@ -138,13 +190,16 @@ def near_dup_pairs(
     All-pairs verification baseline: O(n^2) dot products, JVM-side fold,
     no Python. Use for candidate verification or small corpora; the scale
     path is ``near_dup_pairs_lsh`` (bucket-pruned candidates). Same
-    fail-fast cross-join guard as ``knn_join``.
+    fail-fast bounded-probe cross-join guard as ``knn_join`` (one probe —
+    both sides are the same frame).
     """
     if not allow_cross:
-        n = df.count()
+        cap = math.isqrt(max_pairs) + 1
+        n = df.limit(cap).count()
         if n * n > max_pairs:
+            shown = f">= {cap:,}" if n >= cap else f"{n:,}"
             raise ValueError(
-                f"near_dup_pairs would score {n}^2 = {n * n:,} pairs "
+                f"near_dup_pairs would score n^2 pairs with n {shown} "
                 f"(> max_pairs={max_pairs:,}). Use near_dup_pairs_lsh for "
                 "corpora this size, or pass allow_cross=True."
             )
@@ -435,10 +490,14 @@ def brute_force_topk_vectorized(
     Accumulation differs from the sequential JVM fold only in float
     summation order (BLAS pairwise vs left fold) — far below the 6-decimal
     rounding applied at emit, so the rounded output is deterministic and
-    engine-independent. Selection is deterministic too: each batch picks
-    its local top-k by the ROUNDED score with an id tiebreak (the same
-    total order the final global sort and any SQL oracle use), so a tie
-    at the local boundary can never drop a row the global order prefers.
+    engine-independent. Rounding uses ``floor(x*1e6 + 0.5)/1e6`` — the
+    same IEEE double ops an SQL oracle can spell with FLOOR — rather than
+    ``np.round`` (half-to-even), whose rule disagrees with SQL ROUND
+    (half-away-from-zero) exactly on .5e-6 boundaries. Selection is
+    deterministic too: each batch picks its local top-k by the ROUNDED
+    score with an id tiebreak (the same total order the final global sort
+    and any SQL oracle use), so a tie at the local boundary can never
+    drop a row the global order prefers.
     """
     import numpy as np
     import pandas as pd
@@ -456,9 +515,10 @@ def brute_force_topk_vectorized(
             # letting 0/0 NaNs poison the ordering
             denom = norms * qn
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(
-                    np.where(denom > 0.0, (mat @ q) / denom, 0.0), 6
-                )
+                raw = np.where(denom > 0.0, (mat @ q) / denom, 0.0)
+            # floor(x*1e6+0.5)/1e6: one rounding rule shared with the SQL
+            # oracle (see docstring); +0.0 normalizes any -0.0 result
+            sims = np.floor(raw * 1e6 + 0.5) / 1e6 + 0.0
             # local top-k under (rounded sim desc, id asc) — pandas sort
             # handles any id dtype; the matvec dominates the batch cost
             out = (

@@ -453,11 +453,19 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def make_wav(data: bytes, sample_rate: int) -> bytes:
-    """A complete, valid mono 8-bit PCM WAV file wrapping ``data``."""
+    """A complete, valid mono 8-bit PCM WAV file wrapping ``data``.
+
+    Odd-length payloads get the RIFF word-alignment pad byte after the
+    data chunk (the declared chunk size stays unpadded, per spec) — our
+    own decoders read by declared size so they never cared, but external
+    tools or a future multi-chunk layout would misparse unpadded files.
+    """
     import struct
 
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
     dat = b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        dat += b"\x00"
     body = b"WAVE" + fmt + dat
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -796,15 +804,22 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
-_SQL_COSINE = """
-    ROUND(
-      list_sum(list_transform(range(1, len(e.embedding) + 1),
+_SQL_COSINE_RAW = """
+    (list_sum(list_transform(range(1, len(e.embedding) + 1),
         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
       / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
          * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
-           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 6)
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))))
 """
+
+_SQL_COSINE = f"ROUND({_SQL_COSINE_RAW}, 6)"
+
+# floor(x*1e6 + 0.5)/1e6 — the EXACT double-arithmetic rounding the
+# vectorized operator applies (np.floor over the same IEEE ops), so the
+# oracle and the operator share one rounding rule instead of relying on
+# np.round (half-to-even) and SQL ROUND (half-away-from-zero) agreeing.
+_SQL_COSINE_FLOOR6 = f"(FLOOR({_SQL_COSINE_RAW} * 1e6 + 0.5) / 1e6 + 0.0)"
 
 
 @register(
@@ -827,11 +842,14 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_topk_vectorized",
     # Full oracle (promoted r6 from rows-only): BLAS pairwise vs SQL
     # sequential fold differ ~1e-15, far below the 6-decimal rounding both
-    # sides apply, and the operator now SELECTS its local top-k by the
-    # rounded score with an id tiebreak — the same total order as this
-    # ORDER BY — so row selection is engine-independent, not just values.
+    # sides apply, and the operator SELECTS its local top-k by the rounded
+    # score with an id tiebreak — the same total order as this ORDER BY —
+    # so row selection is engine-independent, not just values. Both sides
+    # round with the IDENTICAL floor(x*1e6+0.5)/1e6 double arithmetic
+    # (r7: np.round is half-to-even, SQL ROUND half-away-from-zero — a
+    # cosine on an exact .5e-6 boundary would have flipped the hash).
     f"""
-    SELECT e.vec_id, {_SQL_COSINE} AS cosine_sim
+    SELECT e.vec_id, {_SQL_COSINE_FLOOR6} AS cosine_sim
     FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
     ORDER BY cosine_sim DESC, e.vec_id
     LIMIT 10

@@ -26,6 +26,7 @@ the engine. Config defaults are chosen for the 100 TB design point:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -110,5 +111,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if ckpt and not spark.sparkContext.getCheckpointDir():
+        # getOrCreate may have returned a PRE-EXISTING context, in which
+        # case the cleanCheckpoints conf above was silently ignored (it
+        # only applies at context start) and reliable checkpoints written
+        # by truncate_lineage would accumulate on durable storage forever.
+        # Detect that case and warn rather than configure a leak silently.
+        applied = (
+            spark.sparkContext.getConf().get(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+            )
+            == "true"
+        )
+        if not applied:
+            warnings.warn(
+                "SPARK_GRAFT_CHECKPOINT_DIR is set but the SparkContext "
+                "already existed, so spark.cleaner.referenceTracking."
+                "cleanCheckpoints could not be enabled; checkpoint files "
+                f"under {ckpt!r} will NOT be auto-deleted. Stop the "
+                "existing context (or set the conf on it at creation) to "
+                "get self-cleaning checkpoints.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         spark.sparkContext.setCheckpointDir(ckpt)
     return spark

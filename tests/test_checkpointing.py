@@ -92,14 +92,54 @@ def test_connected_components_under_reliable_checkpoints(spark, tmp_path):
         assert sc.getCheckpointDir() is None
 
 
+def test_pagerank_under_reliable_checkpoints(spark, tmp_path):
+    """End-to-end: PageRank's per-round truncate_lineage takes the
+    reliable branch when a dir is configured — checkpoint files appear
+    and the ranks are identical to the localCheckpoint run."""
+    from etl_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)], ["u", "v"]
+    )
+    base = {
+        r["v"]: round(r["r"], 9) for r in pagerank(edges, iters=12).collect()
+    }
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None, "suite must start without a dir"
+    ckpt = str(tmp_path / "ckpt_pr")
+    sc.setCheckpointDir(ckpt)
+    try:
+        got = {
+            r["v"]: round(r["r"], 9)
+            for r in pagerank(edges, iters=12).collect()
+        }
+        assert got == base
+        written = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckpt)
+            for f in files
+        ]
+        assert written, "no reliable checkpoint files were written"
+    finally:
+        sc._jsc.setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
+
+
 def test_session_factory_env_sets_checkpoint_dir(tmp_path, monkeypatch):
     """get_spark wires SPARK_GRAFT_CHECKPOINT_DIR through to the context
     (respecting an already-set dir), without restarting the JVM."""
     from etl_data_spark.session import get_spark
 
+    import pytest
+
     ckpt = str(tmp_path / "envckpt")
     monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt)
-    spark = get_spark(app_name="ckpt-env-test")
+    # the suite's SparkContext already exists, so cleanCheckpoints cannot
+    # be applied — the factory must say so rather than silently configure
+    # checkpoints that accumulate forever (r7 advice)
+    with pytest.warns(RuntimeWarning, match="cleanCheckpoints"):
+        spark = get_spark(app_name="ckpt-env-test")
     try:
         got = spark.sparkContext.getCheckpointDir()
         assert got is not None and ckpt.lstrip("/") in got

@@ -254,6 +254,16 @@ def test_wav_pcm_samples_decode_and_degradation():
     sr, data = M.wav_pcm_samples(make_wav(payload, 16000))
     assert sr == 16000 and data == payload
 
+    # odd-length payload: RIFF word alignment requires a pad byte after
+    # the data chunk (declared size stays unpadded); total file length is
+    # even and the decode returns exactly the unpadded payload
+    odd = payload[:-1]
+    blob = make_wav(odd, 16000)
+    assert len(blob) % 2 == 0
+    assert len(blob) == 8 + struct.unpack("<I", blob[4:8])[0]  # RIFF size spans the pad
+    sr_o, data_o = M.wav_pcm_samples(blob)
+    assert sr_o == 16000 and data_o == odd
+
     # zero-length data chunk is a valid (empty) decode
     sr0, data0 = M.wav_pcm_samples(make_wav(b"", 8000))
     assert sr0 == 8000 and data0 == b""

@@ -164,6 +164,26 @@ def test_jdbc_windowed_migrate_and_promote(spark, tmp_path):
     assert total == n_window + n3
 
 
+def test_jdbc_table_exists_is_a_catalog_probe(spark, tmp_path):
+    """Existence comes from DatabaseMetaData, not from a read attempt:
+    missing tables answer False (any identifier case), present tables True,
+    and an unreachable database RAISES — promote_staging_jdbc must never
+    read a connection failure as 'first promote' and overwrite the target
+    with only the staged window."""
+    from etl_data_spark.io.sources import jdbc_table_exists
+
+    url = _derby_url(tmp_path)
+    write_jdbc(_fact(spark, n=10), url, "t_dm_probe")
+
+    assert jdbc_table_exists(spark, url, "t_dm_probe")
+    assert jdbc_table_exists(spark, url, "T_DM_PROBE")  # Derby stores upper
+    assert not jdbc_table_exists(spark, url, "t_dm_nope")
+
+    # unreachable DB (no ;create=true, path absent) must raise, not False
+    with pytest.raises(Exception):
+        jdbc_table_exists(spark, f"jdbc:derby:{tmp_path}/absent_db", "t")
+
+
 def test_ns_events_read_restores_conf_and_truncates(spark, tmp_path):
     """load_table's ns-parquet path must (a) truncate ns -> us exactly like
     DuckDB's cast and (b) restore the global nanosAsLong flag afterwards —

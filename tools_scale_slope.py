@@ -234,6 +234,15 @@ def entries():
         # slope must be ~linear (pure per-blob CPU), no flattening cliff
         "multimodal_resize",
         "multimodal_audio_stats",
+        # r7-window heavies whose inputs actually scale (lineitem/events/
+        # documents; orders-based entries are excluded — orders is a
+        # symlinked constant table, so their "slope" would be meaningless)
+        "degree_assortativity",
+        "frequent_triples",
+        "session_copresence",
+        "multimodal_audio_frames",
+        # sketch path: approx aggregates must be flat-per-row by design
+        "approx_percentiles",
     ):
         out.append((name, REGISTRY[name].fn))
     return out
