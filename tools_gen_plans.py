@@ -76,6 +76,13 @@ PICK = [
     "dedup_survivor_docs",
     "multimodal_resize",
     "embedding_topk_vectorized",
+    # round 7: the verification-window heavies (plan-audited before their
+    # driver window lands, like the r6 wave above)
+    "degree_assortativity",
+    "session_copresence",
+    "spearman_rho",
+    "skew_kurtosis",
+    "order_reconciliation",
 ]
 
 
