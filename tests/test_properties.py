@@ -285,3 +285,76 @@ def test_star_contraction_matches_union_find(spark, edges):
         for r in connected_components(pairs).collect()
     }
     assert got == truth
+
+
+# --- PNG codec: decode(filtered-encode(img)) == img for ANY image/filter ----
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 3]),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_decode_inverts_any_filter_any_shape(h, w, ch, ftype, seed):
+    """png_decode_pixels must invert an INDEPENDENT spec encoder for any
+    image shape, channel count, and row-filter type — not just the
+    filter-0 rows our own encoder emits. The encoder below filters every
+    row with `ftype` using the spec's vectorized definitions (§9), i.e.
+    it shares no code with the decoder under test (the decoder's
+    Sub/Average/Paeth paths are sequential scans)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_data_spark.operators.multimodal import png_decode_pixels
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    rows = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        cur = img[r].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = (cur - left) % 256
+        elif ftype == 2:
+            filt = (cur - prev) % 256
+        elif ftype == 3:
+            filt = (cur - (left + prev) // 2) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) % 256
+        rows.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(rows)
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if ch == 1 else 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+    out = png_decode_pixels(blob)
+    assert out is not None and np.array_equal(out, img), (h, w, ch, ftype)

@@ -179,6 +179,11 @@ def test_jdbc_table_exists_is_a_catalog_probe(spark, tmp_path):
     assert jdbc_table_exists(spark, url, "T_DM_PROBE")  # Derby stores upper
     assert not jdbc_table_exists(spark, url, "t_dm_nope")
 
+    # schema-qualified names resolve per part (Derby defaults to APP)
+    assert jdbc_table_exists(spark, url, "app.t_dm_probe")
+    assert jdbc_table_exists(spark, url, "APP.T_DM_PROBE")
+    assert not jdbc_table_exists(spark, url, "nosuch_schema.t_dm_probe")
+
     # unreachable DB (no ;create=true, path absent) must raise, not False
     with pytest.raises(Exception):
         jdbc_table_exists(spark, f"jdbc:derby:{tmp_path}/absent_db", "t")
