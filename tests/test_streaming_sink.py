@@ -53,3 +53,57 @@ def test_stream_lands_in_partitioned_table_and_compacts(spark, tmp_path):
     assert n_after <= 3  # one file per month partition
     assert n_after < n_before
     assert spark.read.parquet(str(out)).count() == 300
+
+
+def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """Stop → new data arrives → restart with the SAME checkpoint: the
+    resumed query must process ONLY the unseen files (offsets recovered
+    from the checkpoint), landing every event exactly once. This is the
+    recovery contract a long-lived cluster ingestion job relies on; the
+    other streaming tests only ever run each query once."""
+    src = tmp_path / "src"
+    out = tmp_path / "gold"
+    ckpt = tmp_path / "ckpt"
+
+    def batch(lo, hi, month):
+        rows = [
+            (
+                i,
+                dt.datetime(2024, month, 1, 0, 0) + dt.timedelta(minutes=i),
+                i % 5,
+                "click",
+                1.0,
+                "{}",
+            )
+            for i in range(lo, hi)
+        ]
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(2).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    batch(0, 150, 1)
+    q1 = stream_to_partitioned_table(
+        stream_events(spark, str(src)), str(out), date_col="ts", checkpoint=str(ckpt)
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    assert spark.read.parquet(str(out)).count() == 150
+
+    # new files land while the query is DOWN
+    batch(150, 300, 2)
+
+    q2 = stream_to_partitioned_table(
+        stream_events(spark, str(src)), str(out), date_col="ts", checkpoint=str(ckpt)
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    back = spark.read.parquet(str(out))
+    # exactly once: 300 rows total, every event_id distinct (the first
+    # 150 were NOT re-ingested on restart), both month partitions present
+    assert back.count() == 300
+    assert back.select("event_id").distinct().count() == 300
+    assert set(r[0] for r in back.select(MONTH_KEY).distinct().collect()) == {
+        202401,
+        202402,
+    }
