@@ -99,3 +99,59 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path_factory):
     out = spark.sql("select * from dedup_out")
     assert out.count() == 40
     assert out.select("event_id").distinct().count() == 40
+
+
+def test_stateful_session_state_survives_restart(spark, tmp_path):
+    """An OPEN session's state (start/last/count) must be recovered from
+    the checkpoint across a full stop/restart: events before the restart
+    and events after it must fold into ONE session. If state were lost,
+    the post-restart close would report a 1-event session starting at the
+    post-restart timestamp — the assertion below distinguishes exactly
+    that. Uses NoTimeout (finite replay mode) so processAllAvailable
+    terminates, and a parquet sink so run-1 output (none expected)
+    and run-2 output share one table."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tmp_path / "src"
+    out = tmp_path / "sessions"
+    ckpt = tmp_path / "ckpt"
+    t0 = dt.datetime(2024, 3, 1)
+
+    def land(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_once():
+        q = (
+            streaming_sessionize(
+                stream_events(spark, str(src)),
+                gap_minutes=30,
+                timeout=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # run 1: two events 5 min apart -> session stays OPEN in state
+    land([(0, t0, 7, "click", 1.0, "{}"),
+          (1, t0 + dt.timedelta(minutes=5), 7, "click", 1.0, "{}")])
+    run_once()
+    assert not out.exists() or spark.read.parquet(str(out)).count() == 0
+
+    # down-time arrivals: one more event INSIDE the gap (continues the
+    # pre-restart session), then one far beyond it (forces the close)
+    land([(2, t0 + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+          (3, t0 + dt.timedelta(hours=3), 7, "click", 1.0, "{}")])
+    run_once()
+
+    got = [
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+    ]
+    assert got == [(t0, t0 + dt.timedelta(minutes=10), 3)], got
