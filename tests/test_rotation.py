@@ -39,6 +39,18 @@ def test_window_is_exactly_50_known_entries():
     assert not unknown, f"window references unregistered queries: {unknown}"
 
 
+def test_queries_surface_priority_first():
+    """The driver verifies the first 50 of queries() — the dict must open
+    with exactly PRIORITY, in order, and every name must carry an oracle
+    in oracle_sql() (the contract __spark_entry__ re-exports)."""
+    from etl_data_spark.catalog import oracle_sql, queries
+
+    q = list(queries())
+    assert q[:50] == PRIORITY
+    o = oracle_sql()
+    assert all(n in o for n in PRIORITY)
+
+
 def test_active_window_entries_are_oracle_backed():
     """The driver's hash gate only bites when an oracle exists — a
     rows-only entry in the window wastes a verification slot."""
