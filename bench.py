@@ -285,6 +285,31 @@ def run_group(names: list[str], sf_dir: str, reps: int) -> dict[str, float]:
         spark.stop()
 
 
+# Media/ANN/dedup showcase entries that previously had NO bench record
+# (r7): every r6/r7 changed-code-path entry now leaves a timing trail —
+# the r6→r7 watch-item lesson was that unbenched paths can't be bisected.
+MEDIA_ANN = [
+    "multimodal_embed",
+    "multimodal_frame_sample",
+    "multimodal_audio_stats",
+    "multimodal_audio_frames",
+    "multimodal_resize",
+    "embedding_topk_vectorized",
+    "knn_join_sample",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # embedding_near_dup is deliberately ABSENT: it is the O(n^2)
+    # exact-verification baseline (~71s at sf0.1, measured r7 — it would
+    # double the whole bench's wall-clock); its changed guard code path
+    # is shared with and covered by knn_join_sample above, and its scale
+    # path is the next entry.
+    "embedding_near_dup_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+]
+
+
 def run_pipeline_group(sf: float, reps: int) -> dict[str, float]:
     """Time the FULL reference pipeline as one measured unit (mirrors the
     reference's main.py:6-39): generate -> bronze -> cleanse (parquet,
@@ -343,6 +368,7 @@ def main() -> None:
         ("tpch", [n for n in TPCH if n in REGISTRY]),
         ("scale_ops", [n for n in SCALE_OPS if n in REGISTRY]),
         ("stats", [n for n in STATS if n in REGISTRY]),
+        ("media_ann", [n for n in MEDIA_ANN if n in REGISTRY]),
     ]
 
     results: dict[str, dict[str, float]] = {}
@@ -356,6 +382,7 @@ def main() -> None:
     tpch_timings = results.get("tpch", {})
     ops_timings = results.get("scale_ops", {})
     stats_timings = results.get("stats", {})
+    media_timings = results.get("media_ann", {})
     pipeline_timings = results.get("pipeline", {})
     total = round(sum(timings.values()), 4)
     method = (
@@ -397,6 +424,8 @@ def main() -> None:
                 "scale_ops_queries": ops_timings,
                 "stats_total": round(sum(stats_timings.values()), 4),
                 "stats_queries": stats_timings,
+                "media_ann_total": round(sum(media_timings.values()), 4),
+                "media_ann_queries": media_timings,
                 "pipeline_total": round(sum(pipeline_timings.values()), 4),
                 "pipeline_queries": pipeline_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -417,6 +446,7 @@ def main() -> None:
                 "tpch_total": round(sum(tpch_timings.values()), 4),
                 "scale_ops_total": round(sum(ops_timings.values()), 4),
                 "stats_total": round(sum(stats_timings.values()), 4),
+                "media_ann_total": round(sum(media_timings.values()), 4),
                 "pipeline_total": round(sum(pipeline_timings.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "method": method,
