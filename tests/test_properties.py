@@ -358,3 +358,31 @@ def test_png_decode_inverts_any_filter_any_shape(h, w, ch, ftype, seed):
 
     out = png_decode_pixels(blob)
     assert out is not None and np.array_equal(out, img), (h, w, ch, ftype)
+
+
+# --- knn guard: bounded probes decide EXACTLY n_l*n_r > max_pairs -----------
+
+
+@PROP_SETTINGS
+@given(
+    n_l=st.integers(0, 40),
+    n_r=st.integers(0, 40),
+    max_pairs=st.integers(1, 400),
+)
+def test_bounded_pair_guard_decides_exactly(spark, n_l, n_r, max_pairs):
+    """_guard_max_pairs replaces two full counts with <=3 bounded probes;
+    the decision must remain EXACTLY n_l*n_r > max_pairs — the capped
+    probe plus the refine pass may never flip a verdict in either
+    direction (a false pass launches the cross join the guard exists to
+    stop; a false raise rejects a legitimate call)."""
+    from etl_data_spark.operators.similarity import _guard_max_pairs
+
+    left = spark.range(n_l)
+    right = spark.range(n_r)
+    should_raise = n_l * n_r > max_pairs
+    try:
+        _guard_max_pairs(left, right, max_pairs, op="t", scale_hint="h")
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised == should_raise, (n_l, n_r, max_pairs)
