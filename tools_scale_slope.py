@@ -243,6 +243,9 @@ def entries():
         "multimodal_audio_frames",
         # sketch path: approx aggregates must be flat-per-row by design
         "approx_percentiles",
+        # r7 ivf_assign argmax rewrite (round-8 window): one cosine per
+        # centroid per row — slope must stay linear-in-rows, no cliff
+        "ann_ivf_topk",
     ):
         out.append((name, REGISTRY[name].fn))
     return out
