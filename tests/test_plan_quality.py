@@ -397,3 +397,18 @@ def test_multimodal_audio_frames_zero_shuffle(spark):
     p = plan(q(spark, "multimodal_audio_frames"))
     assert "Exchange" not in p
     assert p.count("documents.parquet") == 1
+
+
+def test_ivf_assign_is_a_narrow_map(spark):
+    # the r7 argmax rewrite (one array_max over (sim, -cid) structs) must
+    # keep coarse quantization join-free and shuffle-free: centroids are
+    # plan literals, so assignment is a single projected scan — the
+    # property that makes the cell id usable as a partition key at rest
+    from etl_data_spark.operators.similarity import ivf_assign, sample_centroids
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    p = plan(ivf_assign(e, sample_centroids(e, k=4)))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert p.count("embeddings.parquet") == 1
