@@ -7,17 +7,14 @@ The driver verifies a bounded prefix of the registry (observed: the first
 ``oracle_sql()`` so that window always holds the highest-information set.
 
 Rotation policy: the catalog exceeds 50 high-value entries, so the window
-rotates across rounds — entries that earned a driver-green CORRECTNESS row
-in a previous round are demoted to make room for entries that have never
-been driver-verified. Rounds 1-3 verified 138 unique entries (round 4 was
-a no-op re-run); rounds 5 and 6 each went 50/50 green (184, then 234
-unique of 283 registered). Round 7 holds the final burn-down window: the
-49 oracle-backed entries still lacking a driver row (42 planned + 4 that
-gained oracles mid-r6 + the 2 approx_* rotation-plan holes + 1 slot freed
-by the r1 anchors) plus the 2 r6 code-path re-verifications. When it
-lands green, every oracle-backed entry (282 of 283) has a driver row;
-PRIORITY_R8 below pre-stages round 8's regression rotation (r7
-code-path-changed entries first, then oldest-green-first). All entries
+rotates across rounds. Rounds 1-7 completed the burn-down: every
+oracle-backed entry (282 of 283) holds at least one driver-green
+CORRECTNESS row (CORRECTNESS_r01-r07; the 283rd, generator_profile, is
+rows-only by design). From round 8 on the window is a REGRESSION
+rotation (ROTATION.md): entries whose code paths changed in the prior or
+current round first, then oldest-driver-green-first, so the whole catalog
+re-earns a fresh row roughly every 5-6 rounds and no entry's record can
+silently go stale while the code underneath it evolves. All entries
 remain pytest-oracle-checked locally every round regardless of position
 (tests/test_queries_oracle.py enumerates REGISTRY under the
 driver-strict Arrow-typed harness).
@@ -39,23 +36,11 @@ import etl_data_spark.queries_stats as _stats  # noqa: F401  (registers on impor
 import etl_data_spark.queries_tpch as _tpch  # noqa: F401  (registers on import)
 from etl_data_spark.queries import REGISTRY, QuerySpec  # noqa: F401
 
-# First-50 verification window, most valuable first. Round-7 rotation
-# (ROTATION.md): the 42 remaining never-driver-verified entries, the 4
-# entries that gained full oracles mid-r6 (after the r6 window was
-# pinned), the 2 rotation-plan holes the round-6 verdict flagged
-# (approx_distinct / approx_percentiles — rows-only when windowed in r1,
-# full tolerance-flag oracles since r2, but absent from every later
-# window), and the 2 r6 code-path re-verifications mandated by the
-# regression policy (dedup_cluster_sizes — connected-components rewrite;
-# multimodal_decode — real codec). The two r1 anchors in the pre-staged
-# plan (pricing_summary, dedup_minhash_lsh) gave up their slots to the
-# approx_* hole: both already hold r1 driver-green rows, pricing_summary
-# is additionally smoke-run by entry() every round, and both lead the
-# round-8 regression rotation below. After this window lands green,
-# every oracle-backed entry (282 of 283) has at least one driver
-# CORRECTNESS row; the only rows-only entry is generator_profile
-# (hash-derived RNG, no SQL mirror by design).
-PRIORITY = [
+# Historical round-7 window (landed 50/50 green — CORRECTNESS_r07.json).
+# Kept for the rotation audit in tests/test_rotation.py, which proves
+# every oracle-backed entry is either driver-green in a committed
+# CORRECTNESS_r*.json or scheduled in the ACTIVE window.
+PRIORITY_R7 = [
     "l_diversity",
     "pareto_front",
     "holt_linear",
@@ -114,22 +99,26 @@ PRIORITY = [
     "multimodal_decode",     # real PNG/WAV codec (r6)
 ]
 
-assert len(PRIORITY) == 50, f"PRIORITY must fill the window exactly: {len(PRIORITY)}"
+assert len(PRIORITY_R7) == 50, f"PRIORITY_R7 must hold its historical 50: {len(PRIORITY_R7)}"
 
-# Pre-staged round-8 window (ROTATION.md regression rotation): (a) entries
+# ACTIVE round-8 window (ROTATION.md regression rotation): (a) entries
 # whose code paths changed in round 7 — the knn_join guard rework touches
 # knn_join_sample / embedding_near_dup (embedding_topk_vectorized and the
-# multimodal audio entries also changed but sit in the ACTIVE r7 window, so
-# the driver verifies them post-change this round already) — then (b) the
+# multimodal audio entries also changed but sat in the r7 window, so the
+# driver verified them post-change in round 7 already) — then (b) the
 # entries with the OLDEST driver-green row, oldest round first, in
 # registration order, starting with the anchors that gave up their r7
-# slots. Round 8's rotation step: `PRIORITY = PRIORITY_R8`, appending any
-# entry whose code path changes during round 8 itself.
+# slots. Any entry whose code path changes during round 8 itself is
+# appended (swapping out the youngest-green tail entries to keep 50).
 PRIORITY_R8 = [
     # (a) r7 code-path changes not already in the r7 window
     "knn_join_sample",       # knn_join guard rework (r7)
     "embedding_near_dup",    # shares the guard code path (r7)
-    "ann_ivf_topk",          # ivf_assign argmax rewrite, 7x (r7)
+    "ann_ivf_topk",          # ivf_assign argmax rewrite (r7) + r8 hardening
+    # (a') r8 code-path change (HOF-hotspot sweep): fold let-bound via a
+    # split projection — re-enters the window per the changed-path rule,
+    # displacing text_stats (r1-green, re-earns its row in r9)
+    "holt_linear",
     # (b) oldest-green-first (r1, then r2), registration order;
     #     pricing_summary/dedup_minhash_lsh/star_join lead per ROTATION.md
     "pricing_summary",
@@ -178,10 +167,88 @@ PRIORITY_R8 = [
     "range_join_bursts",
     "salted_join_agg",
     "dq_checks_orders",
-    "text_stats",
 ]
 
 assert len(PRIORITY_R8) == 50, f"PRIORITY_R8 must fill the window exactly: {len(PRIORITY_R8)}"
+
+# Pre-staged round-9 window, derived mechanically from the committed
+# CORRECTNESS_r*.json records: every oracle-backed entry NOT in the r8
+# window, ordered by its LATEST driver-green round (oldest first), then
+# registration order — the r1/r2 anchors displaced or not re-verified by
+# r8 lead (text_stats first: it gave up its r8 slot to holt_linear),
+# then the r2 window's lexical/dedup/tpch families, then the r3/r4
+# greens. Round 9's rotation step: `PRIORITY = PRIORITY_R9`, then append
+# that round's changed paths per the CHANGED_THIS_ROUND rule.
+PRIORITY_R9 = [
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "bpe_token_count",
+    "winnow_fingerprints",
+    "quality_scores",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "embedding_topk",
+    "resample_ffill_grid",
+    "asof_join_purchase_click",
+    "session_stats",
+    "session_window_native",
+    "window_agg_5min",
+    "pii_redact",
+    "repetition_filter",
+    "train_split",
+    "sequence_pack",
+    "length_deciles",
+    "quality_sample",
+    "corpus_mix",
+    "corpus_report",
+    "ngram_topk",
+    "split_leakage",
+    "array_agg_ops",
+    "json_extract_agg",
+    "scalar_subquery_above_avg",
+    "correlated_avg_filter",
+    "tpch_q3_shipping",
+    "tpch_q6_forecast",
+    "tpch_q14_promo_ratio",
+    "tpch_q19_or_predicates",
+    "tpch_q18_large_orders",
+    "tpch_q5_regional",
+    "tpch_q22_global_sales",
+    "tpch_q2_min_cost_supply",
+    "tpch_q13_custdist",
+    "tpch_q21_waiting_supplier",
+    "tfidf_topk",
+    "bm25_search",
+    "unigram_logprob",
+    "hash_sample",
+    "stratified_sample",
+    "funnel_counts",
+    "cohort_retention",
+    "event_transitions",
+    "weighted_sample",
+    "dedup_minhash_lsh_native",
+    "dedup_survivor_docs",
+]
+
+assert len(PRIORITY_R9) == 50, f"PRIORITY_R9 must fill the window exactly: {len(PRIORITY_R9)}"
+
+# The driver verifies the first 50 entries of queries()/oracle_sql();
+# PRIORITY pins that order. Round 8 on: the regression rotation.
+PRIORITY = PRIORITY_R8
+
+# Entries whose implementing code path changed during the CURRENT round.
+# ROTATION.md rule (written r8): a changed entry must re-earn a driver
+# CORRECTNESS row in the SAME round — an already-green entry cannot ride
+# its stale row across a code change. tests/test_rotation.py enforces
+# that every name here sits inside the active PRIORITY window; when a
+# change lands on an un-windowed entry, swap out a youngest-green tail
+# entry in the same commit.
+CHANGED_THIS_ROUND = [
+    "ann_ivf_topk",  # ivf_assign degenerate-input hardening (r8, ADVICE)
+    "holt_linear",   # HOF fold let-bound via split projection (r8 sweep)
+]
 
 
 def _ordered() -> dict[str, QuerySpec]:

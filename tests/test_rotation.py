@@ -8,7 +8,14 @@ plan lived only in prose).
 import json
 import os
 
-from etl_data_spark.catalog import PRIORITY, PRIORITY_R8, REGISTRY
+from etl_data_spark.catalog import (
+    CHANGED_THIS_ROUND,
+    PRIORITY,
+    PRIORITY_R7,
+    PRIORITY_R8,
+    PRIORITY_R9,
+    REGISTRY,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -34,9 +41,40 @@ def _driver_green() -> set[str]:
 
 def test_window_is_exactly_50_known_entries():
     assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+    assert len(PRIORITY_R7) == 50 and len(set(PRIORITY_R7)) == 50
     assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
-    unknown = [n for n in PRIORITY + PRIORITY_R8 if n not in REGISTRY]
+    assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50
+    unknown = [
+        n
+        for n in PRIORITY + PRIORITY_R7 + PRIORITY_R8 + PRIORITY_R9
+        if n not in REGISTRY
+    ]
     assert not unknown, f"window references unregistered queries: {unknown}"
+    # consecutive windows must not overlap — an r9 slot spent on an entry
+    # the r8 window just re-verified is a wasted regression slot
+    assert not set(PRIORITY_R8) & set(PRIORITY_R9)
+
+
+def test_active_window_is_the_regression_rotation():
+    """Round 8 on: the burn-down is complete, so the active window must be
+    the regression rotation, opening with the prior round's changed code
+    paths (ROTATION.md)."""
+    assert PRIORITY is PRIORITY_R8
+    assert PRIORITY[:3] == ["knn_join_sample", "embedding_near_dup", "ann_ivf_topk"]
+
+
+def test_changed_paths_reenter_the_active_window():
+    """ROTATION.md rule: an entry whose code path changes this round must
+    re-earn a driver row THIS round — its historical green row is stale
+    the moment the code under it moves. Membership in the active window
+    is the mechanical form of that rule."""
+    unknown = [n for n in CHANGED_THIS_ROUND if n not in REGISTRY]
+    assert not unknown, f"CHANGED_THIS_ROUND references unregistered: {unknown}"
+    stale = [n for n in CHANGED_THIS_ROUND if n not in PRIORITY]
+    assert not stale, (
+        "entries changed this round but NOT scheduled for driver "
+        f"re-verification: {stale} — swap them into PRIORITY"
+    )
 
 
 def test_queries_surface_priority_first():
