@@ -175,10 +175,12 @@ def promote_staging_jdbc(
     keep ∪ staging -> overwrite, with the keep side materialized via
     ``localCheckpoint`` (lineage to the target table must be severed before
     the overwrite drops it). That materialization holds only the NON-window
-    rows of the target — for a true 100 TB deployment the promote would run
-    as server-side SQL through the warehouse connector instead; this path
-    exists for reference parity over any plain JDBC target. Returns the
-    number of staged rows promoted.
+    rows of the target — it rewrites the whole table, so for a large mart
+    use ``promote_staging_sql`` instead, which executes the reference's
+    own windowed DELETE + INSERT...SELECT server-side and never reads or
+    rewrites the kept rows; this path exists for reference parity over any
+    plain JDBC target and as the bootstrap that creates a missing target.
+    Returns the number of staged rows promoted.
     """
     from etl_data_spark.io.writers import window_replace_predicate
 
@@ -205,6 +207,173 @@ def promote_staging_jdbc(
     return n_staged
 
 
+def execute_jdbc_sql(spark: SparkSession, url: str, sql: str, **options: str) -> int:
+    """Execute one DDL/DML statement server-side over a driver-side JDBC
+    ``Statement``; returns the update count (0 for DDL). The statement runs
+    in the database — no row crosses the JDBC channel."""
+    jvm = spark._jvm
+    driver = options.get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    for k, v in options.items():
+        if k != "driver":
+            props.setProperty(k, str(v))
+    conn = _jdbc_connect(jvm, url, props, driver)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def promote_staging_sql(
+    spark: SparkSession,
+    url: str,
+    staging_table: str,
+    target_table: str,
+    start_date=None,
+    end_date=None,
+    date_col: str = "effective_from",
+    to_col: str = "effective_to",
+    **options: str,
+) -> int:
+    """Server-side staged promote: the reference's own windowed
+    DELETE + INSERT ... SELECT (fn_dm_data_stg_to_dm_load.sql:17-33),
+    executed INSIDE the database over one driver-side JDBC connection in a
+    single transaction.
+
+    This is the scale path ``promote_staging_jdbc`` documents as missing:
+    only the window's rows are deleted and only the staged rows are
+    inserted — kept rows are never read, never shipped over JDBC, and
+    never rewritten, so promoting a daily window into a multi-TB mart
+    touches the day, not the mart. No DataFrame is involved after the
+    existence probe (contract-tested: Spark's read/write channel is
+    stubbed out and the promote still succeeds).
+
+    Window semantics match ``window_replace_predicate`` exactly: present
+    bounds contribute ``date_col >= start`` / ``to_col <= end`` conjuncts
+    (parameterized ``java.sql.Date``s — no literal formatting, no
+    injection surface); both absent deletes everything; rows with NULL
+    dates never match (SQL three-valued logic, same as the reference
+    DELETE). The INSERT names the staging table's columns explicitly so
+    target/staging column order never has to agree.
+
+    The target must already exist (the reference assumes the dm schema is
+    bootstrapped); a first promote falls back to ``promote_staging_jdbc``,
+    which creates it through Spark's JDBC writer. Returns the number of
+    staged rows promoted, i.e. the reference function's count report.
+    """
+    if not jdbc_table_exists(spark, url, target_table, **options):
+        return promote_staging_jdbc(
+            spark, url, staging_table, target_table,
+            start_date, end_date, date_col, to_col, **options,
+        )
+
+    jvm = spark._jvm
+    driver = options.get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    for k, v in options.items():
+        if k != "driver":
+            props.setProperty(k, str(v))
+
+    def sql_date(d):
+        if d is None:
+            return None
+        return jvm.java.sql.Date.valueOf(str(d))
+
+    conn = _jdbc_connect(jvm, url, props, driver)
+    try:
+        conn.setAutoCommit(False)
+        # Spark's JDBC writer quotes column identifiers on CREATE TABLE, so
+        # they are stored case-SENSITIVELY; quote them here the same way
+        # (column args must be given in stored case, as with Spark itself).
+        q = conn.getMetaData().getIdentifierQuoteString() or '"'
+
+        def qi(ident: str) -> str:
+            return q + ident.replace(q, q + q) + q
+
+        conjuncts, params = [], []
+        if start_date is not None:
+            conjuncts.append(f"{qi(date_col)} >= ?")
+            params.append(sql_date(start_date))
+        if end_date is not None:
+            conjuncts.append(f"{qi(to_col)} <= ?")
+            params.append(sql_date(end_date))
+        where = f" WHERE {' AND '.join(conjuncts)}" if conjuncts else ""
+
+        stmt = conn.createStatement()
+        try:
+            # column list from the staging table's own metadata (0-row scan)
+            rs = stmt.executeQuery(f"SELECT * FROM {staging_table} WHERE 1=0")
+            md = rs.getMetaData()
+            cols = ", ".join(
+                qi(md.getColumnName(i))
+                for i in range(1, md.getColumnCount() + 1)
+            )
+            rs.close()
+
+            rs = stmt.executeQuery(f"SELECT COUNT(*) FROM {staging_table}")
+            rs.next()
+            n_staged = rs.getInt(1)
+            rs.close()
+
+            ps = conn.prepareStatement(f"DELETE FROM {target_table}{where}")
+            try:
+                for i, p in enumerate(params, start=1):
+                    ps.setDate(i, p)
+                ps.executeUpdate()
+            finally:
+                ps.close()
+
+            stmt.executeUpdate(
+                f"INSERT INTO {target_table} ({cols}) "
+                f"SELECT {cols} FROM {staging_table}"
+            )
+            conn.commit()
+            return n_staged
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def _jdbc_connect(jvm, url: str, props, driver_class: str | None):
+    """Driver-side ``java.sql.Connection``, robust to classloader quirks.
+
+    ``DriverManager`` checks that the *caller's* classloader can see the
+    driver, which can reject drivers shipped only via ``spark.jars`` with
+    "No suitable driver" even though Spark's own JDBC reads on the same
+    URL work. When an explicit ``driver`` class is known we fall back to
+    instantiating it directly and calling ``Driver.connect`` (the SPI
+    check doesn't apply there). Without an explicit driver class the jar
+    must be on the *driver JVM's* classpath (``spark.driver.
+    extraClassPath``), not only in ``spark.jars``.
+    """
+    try:
+        return jvm.java.sql.DriverManager.getConnection(url, props)
+    except Exception:
+        if not driver_class:
+            raise
+        drv = (
+            jvm.java.lang.Class.forName(driver_class)
+            .getDeclaredConstructor()
+            .newInstance()
+        )
+        conn = drv.connect(url, props)
+        if conn is None:  # JDBC contract: wrong-URL drivers return null
+            raise
+        return conn
+
+
 def jdbc_table_exists(
     spark: SparkSession, url: str, table: str, **options: str
 ) -> bool:
@@ -218,6 +387,18 @@ def jdbc_table_exists(
     identifiers are matched case-insensitively (Derby/Oracle store them
     uppercase, Postgres lowercase); a ``schema.table`` name is split and
     matched per part.
+
+    ``getTables`` takes LIKE *patterns*, where ``_`` and ``%`` are
+    wildcards — and ``_`` appears in every table name in this repo. Both
+    parts are escaped with the driver's ``getSearchStringEscape`` when the
+    driver reports one (Derby reports NONE — its metadata patterns cannot
+    be escaped at all), and every returned row is then post-verified for
+    LITERAL schema/name equality, so a wildcard sibling (``tXdmXwild``
+    matching a ``t_dm_wild`` probe) can never yield a false "exists" that
+    blocks a legitimate first promote. A missing schema part scopes the
+    probe to the connection's default schema (``conn.getSchema()``) when
+    the driver reports one, instead of searching every schema (where a
+    same-named table in another schema also yields a false "exists").
     """
     jvm = spark._jvm
     driver = options.get("driver")
@@ -229,16 +410,46 @@ def jdbc_table_exists(
         if k != "driver":
             props.setProperty(k, str(v))
     schema, _, name = table.rpartition(".")
-    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    conn = _jdbc_connect(jvm, url, props, driver)
     try:
         meta = conn.getMetaData()
-        candidates = {(schema or None, name)}
-        candidates.add(((schema or "").upper() or None, name.upper()))
-        candidates.add(((schema or "").lower() or None, name.lower()))
-        for cand_schema, cand_name in candidates:
-            rs = meta.getTables(None, cand_schema, cand_name, None)
+        esc = meta.getSearchStringEscape() or ""
+
+        def pattern(s: str) -> str:
+            if not esc:  # driver can't escape; post-filter below decides
+                return s
+            # escape the escape char first, then the LIKE wildcards
+            for ch in (esc, "_", "%"):
+                s = s.replace(ch, esc + ch)
+            return s
+
+        if not schema:
             try:
-                if rs.next():
+                default_schema = conn.getSchema()
+            except Exception:
+                default_schema = None  # driver predates JDBC 4.1 / no default
+        else:
+            default_schema = None
+        candidates = {(schema or default_schema or None, name)}
+        for case in (str.upper, str.lower):
+            candidates.add(
+                (case(schema) if schema else (default_schema or None), case(name))
+            )
+        for cand_schema, cand_name in candidates:
+            rs = meta.getTables(
+                None,
+                pattern(cand_schema) if cand_schema else None,
+                pattern(cand_name),
+                None,
+            )
+            try:
+                # patterns can over-match (wildcards in the probed name, or
+                # an unescapable driver): accept only a LITERAL row match
+                while rs.next():
+                    if rs.getString("TABLE_NAME") != cand_name:
+                        continue
+                    if cand_schema and rs.getString("TABLE_SCHEM") != cand_schema:
+                        continue
                     return True
             finally:
                 rs.close()

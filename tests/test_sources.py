@@ -189,6 +189,87 @@ def test_jdbc_table_exists_is_a_catalog_probe(spark, tmp_path):
         jdbc_table_exists(spark, f"jdbc:derby:{tmp_path}/absent_db", "t")
 
 
+def test_jdbc_table_exists_matches_literally_and_scopes_schema(spark, tmp_path):
+    """getTables takes LIKE patterns: `_` matches any char and a bare name
+    searches every schema. Both must be neutralized (ADVICE r8) — every
+    table name in this repo contains underscores, and a wildcard sibling
+    or same-named table in another schema yields a false 'exists' that
+    permanently blocks a legitimate first promote."""
+    from etl_data_spark.io.sources import execute_jdbc_sql, jdbc_table_exists
+
+    url = _derby_url(tmp_path)
+    # wildcard sibling: every `_` position filled by a literal char
+    write_jdbc(_fact(spark, n=5), url, "tXdmXwild")
+    assert jdbc_table_exists(spark, url, "tXdmXwild")
+    # old behavior: `_` wildcards made this probe match tXdmXwild -> True
+    assert not jdbc_table_exists(spark, url, "t_dm_wild")
+
+    # `%` in a (quoted) identifier must also be literal, not match-all
+    execute_jdbc_sql(spark, url, 'CREATE TABLE "pct%name" (i INT)')
+    assert jdbc_table_exists(spark, url, "pct%name")
+    assert not jdbc_table_exists(spark, url, "zz%")
+
+    # same-named table in ANOTHER schema must not satisfy a bare-name
+    # probe: unqualified names scope to the connection's default schema
+    # (Derby: APP), not to all schemas
+    execute_jdbc_sql(spark, url, "CREATE SCHEMA elsewhere")
+    execute_jdbc_sql(spark, url, "CREATE TABLE elsewhere.t_dm_only_there (i INT)")
+    assert jdbc_table_exists(spark, url, "elsewhere.t_dm_only_there")
+    assert not jdbc_table_exists(spark, url, "t_dm_only_there")
+
+
+def test_promote_staging_sql_touches_only_the_window(spark, tmp_path, monkeypatch):
+    """Server-side promote (r7 verdict item 3): after the existence probe,
+    no DataFrame is involved — the windowed DELETE + INSERT...SELECT runs
+    inside the database, so kept rows are never read over the JDBC channel
+    and never rewritten. Proven by stubbing Spark's read/write channel to
+    raise: the promote over an existing target must still succeed, with
+    only the window's rows replaced."""
+    import etl_data_spark.io.sources as SRC
+    from etl_data_spark.io.sources import promote_staging_sql
+
+    url = _derby_url(tmp_path)
+    fact = _fact(spark)
+
+    # bootstrap: first promote has no target -> documented fallback to the
+    # Spark-writer path (creates the table)
+    h1 = fact.filter(F.col("effective_to") <= F.lit("2023-06-30").cast("date"))
+    write_jdbc(h1, url, "t_dm_stg_task")
+    n1 = promote_staging_sql(
+        spark, url, "t_dm_stg_task", "t_dm_task", None, "2023-06-30"
+    )
+    assert n1 == h1.count()
+
+    # second window: stage it, then cut the Spark channel entirely
+    h2 = fact.filter(F.col("effective_from") >= F.lit("2023-07-01").cast("date"))
+    n_h2 = h2.count()
+    write_jdbc(h2, url, "t_dm_stg_task")
+
+    def _no_spark_channel(*a, **k):
+        raise AssertionError("promote_staging_sql used Spark's JDBC channel")
+
+    monkeypatch.setattr(SRC, "read_jdbc", _no_spark_channel)
+    monkeypatch.setattr(SRC, "write_jdbc", _no_spark_channel)
+    monkeypatch.setattr(SRC, "promote_staging_jdbc", _no_spark_channel)
+
+    n2 = promote_staging_sql(
+        spark, url, "t_dm_stg_task", "t_dm_task", "2023-07-01", None
+    )
+    assert n2 == n_h2
+    # idempotent re-promote of the same window, still server-side only
+    n3 = promote_staging_sql(
+        spark, url, "t_dm_stg_task", "t_dm_task", "2023-07-01", None
+    )
+    assert n3 == n_h2
+
+    monkeypatch.undo()
+    target = read_jdbc(spark, url, "t_dm_task")
+    assert target.count() == n1 + n_h2  # kept rows intact, window replaced once
+    # exact content check: target == h1 union h2
+    expect = sorted(map(tuple, h1.unionByName(h2).collect()))
+    assert sorted(map(tuple, target.collect())) == expect
+
+
 def test_ns_events_read_restores_conf_and_truncates(spark, tmp_path):
     """load_table's ns-parquet path must (a) truncate ns -> us exactly like
     DuckDB's cast and (b) restore the global nanosAsLong flag afterwards —
