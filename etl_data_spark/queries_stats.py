@@ -4157,12 +4157,22 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(l_new.alias("l"), b_new.alias("b"))
 
     st = F.aggregate(F.expr("slice(v, 3, greatest(size(v) - 2, 0))"), seed, step)
+    # The fold is projected in its OWN select: inlining st into the four
+    # output expressions would re-run the whole interpreted fold 4x per row
+    # (no codegen CSE for higher-order expressions; plan-verified 4 -> 1
+    # aggregate( occurrences — SCALE.md §interpreted-expression discipline,
+    # r8 HOF-hotspot sweep). Catalyst keeps the split: CollapseProject
+    # refuses to merge projections that duplicate expensive expressions.
     return s.select(
         "event_type",
         F.size("v").cast("long").alias("n_days"),
-        (F.round(st["l"], 6) + F.lit(0.0)).alias("level"),
-        (F.round(st["b"], 6) + F.lit(0.0)).alias("trend"),
-        (F.round(st["l"] + st["b"], 6) + F.lit(0.0)).alias(
+        st.alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        (F.round(F.col("st")["l"], 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("st")["b"], 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("st")["l"] + F.col("st")["b"], 6) + F.lit(0.0)).alias(
             "forecast_next"
         ),
     )
