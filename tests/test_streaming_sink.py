@@ -2,6 +2,7 @@
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_data_spark.io.writers import MONTH_KEY, compact_small_files
@@ -107,3 +108,86 @@ def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path):
         202401,
         202402,
     }
+
+
+@pytest.mark.parametrize("reliable_dir", [False, True])
+def test_iterative_operator_in_foreachbatch_survives_restart(
+    spark, tmp_path, reliable_dir
+):
+    """An iterative batch operator (connected_components, which truncates
+    per-round lineage via truncate_lineage) running INSIDE a streaming
+    foreachBatch, across a stop/restart — parametrized over the reliable-
+    checkpoint branch (r7 verdict item 7). With a global checkpoint dir
+    configured, truncate_lineage's RELIABLE checkpoint RDDs and the
+    stream's OWN offset checkpoint must coexist: the restart still resumes
+    exactly-once from the sink checkpoint, the per-batch clustering stays
+    exact, and checkpoint files actually land in the configured dir."""
+    import os
+
+    from etl_data_spark.operators.dedup import connected_components
+
+    src = tmp_path / "pairs_src"
+    out = tmp_path / "clusters"
+    ckpt = tmp_path / "stream_ckpt"
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None, "suite must start without a dir"
+    rdir = str(tmp_path / "reliable_ckpt")
+    if reliable_dir:
+        sc.setCheckpointDir(rdir)
+    try:
+
+        def run_stream():
+            stream = (
+                spark.readStream.schema("id_a long, id_b long")
+                .parquet(str(src))
+            )
+
+            def cluster_batch(batch_df, batch_id):
+                (
+                    connected_components(batch_df)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(str(out))
+                )
+
+            q = (
+                stream.writeStream.foreachBatch(cluster_batch)
+                .option("checkpointLocation", str(ckpt))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        # first component arrives, stream runs, stops
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"]
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        run_stream()
+
+        # second, disjoint component lands while the query is DOWN
+        spark.createDataFrame(
+            [(10, 11), (11, 12), (10, 12)], ["id_a", "id_b"]
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        run_stream()
+
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        # exactly-once: batch 1's chain clustered once, batch 2's clique
+        # clustered once, no re-processing of batch 1 on restart
+        assert got == {
+            (0, 0), (1, 0), (2, 0), (3, 0),
+            (10, 10), (11, 10), (12, 10),
+        }
+        assert spark.read.parquet(str(out)).count() == 7
+        if reliable_dir:
+            written = [
+                os.path.join(root, f)
+                for root, _, files in os.walk(rdir)
+                for f in files
+            ]
+            assert written, "reliable branch not taken inside foreachBatch"
+    finally:
+        sc._jsc.setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
