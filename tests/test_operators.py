@@ -434,6 +434,45 @@ def test_ivf_recall_and_probe_pruning(spark):
     assert all_probe == exact  # probing every cell recovers exact top-k
 
 
+def test_cosine_operators_survive_degenerate_vectors(spark):
+    """Zero-norm and NaN-contaminated embeddings must not crash (ANSI
+    mode — the Spark 4 default — turns a plain divide-by-zero into a
+    DIVIDE_BY_ZERO error, which every cosine-based operator hit before
+    the r8 try_divide fix) and must not WIN rankings (a NaN sim sorts
+    greatest in Spark): the contract is NULL similarity — fails
+    thresholds, sorts last in top-k."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),            # zero-norm: sim NULL
+        (3, [float("nan"), 1.0]),   # NaN element: sim NULL (never wins)
+        (4, [0.9, 0.1]),
+        (5, [1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # top-k: real scores fill the k slots first; degenerate rows sort last
+    top = S.brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 5, 4]
+    assert all(r["cosine_sim"] is not None for r in top)
+
+    # near-dup: NULL sim fails the threshold — degenerate rows pair with
+    # nothing, instead of crashing the whole pass
+    pairs = S.near_dup_pairs(df, threshold=0.5, max_pairs=100).collect()
+    ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+    assert ids and not ({2, 3} & ids)
+
+    # knn join: degenerate corpus rows never rank above a real score —
+    # they fill trailing slots with NULL sim only after every real
+    # neighbor (window desc is nulls-last too)
+    knn = S.knn_join(
+        df.filter(F.col("vec_id") == 1), df, k=4, max_pairs=100
+    ).collect()
+    assert [r["neighbor_id"] for r in knn][:2] == [5, 4]
+    sims = [r["cosine_sim"] for r in knn]
+    assert sims[:2] == sorted(sims[:2], reverse=True)
+    assert None not in sims[:2] and sims[2:] == [None, None]
+
+
 def test_ivf_assign_degenerate_semantics(spark):
     """Pin ivf_assign's documented degenerate-input contract against a
     naive Python argmax-lowest-cid reference (r7 verdict item 2): exact

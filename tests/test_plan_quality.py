@@ -412,3 +412,18 @@ def test_ivf_assign_is_a_narrow_map(spark):
     assert "Exchange" not in p
     assert "Join" not in p
     assert p.count("embeddings.parquet") == 1
+
+
+def test_holt_linear_fold_evaluated_once(spark):
+    # the Holt smoothing fold is projected in its OWN select so the four
+    # output expressions share ONE evaluation — higher-order functions are
+    # interpreted (no codegen CSE), so inlining st["l"]/st["b"] into each
+    # column re-ran the whole fold 4x per row (SCALE.md §27). Pin the
+    # optimized plan to exactly one aggregate( lambda.
+    opt = (
+        q(spark, "holt_linear")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert opt.count("aggregate(") == 1
