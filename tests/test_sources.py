@@ -269,6 +269,24 @@ def test_promote_staging_sql_touches_only_the_window(spark, tmp_path, monkeypatc
     expect = sorted(map(tuple, h1.unionByName(h2).collect()))
     assert sorted(map(tuple, target.collect())) == expect
 
+    # NULL-date rows never match the windowed DELETE (SQL three-valued
+    # logic) — same keep semantics as window_replace_predicate's
+    # ~coalesce(pred, False) and the reference DELETE
+    from etl_data_spark.io.sources import execute_jdbc_sql
+
+    execute_jdbc_sql(
+        spark, url,
+        'INSERT INTO t_dm_task ("fact_id", "customer_id", "purchase_amount", '
+        '"effective_from", "effective_to") VALUES (999999, 0, 1.0, NULL, NULL)',
+    )
+    n4 = promote_staging_sql(
+        spark, url, "t_dm_stg_task", "t_dm_task", "2023-07-01", None
+    )
+    assert n4 == n_h2
+    target = read_jdbc(spark, url, "t_dm_task")
+    assert target.count() == n1 + n_h2 + 1
+    assert target.filter(F.col("fact_id") == 999999).count() == 1
+
 
 def test_ns_events_read_restores_conf_and_truncates(spark, tmp_path):
     """load_table's ns-parquet path must (a) truncate ns -> us exactly like
