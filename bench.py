@@ -304,6 +304,7 @@ MEDIA_ANN = [
     # is shared with and covered by knn_join_sample above, and its scale
     # path is the next entry.
     "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_banded",  # corpus-scale banded variant (r8)
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",

@@ -127,6 +127,10 @@ PRIORITY_R8 = [
     "rrf_hybrid_search",
     "mmr_diverse_topk",
     "knn_mrr",
+    # (a'') NEW r8 entry — the corpus-scale banded LSH variant (fixed
+    # plane-sets go quadratic in candidates; SCALE.md §29) — a new
+    # oracle-backed entry must be windowed the round it registers
+    "embedding_near_dup_lsh_banded",
     # (b) oldest-green-first (r1, then r2), registration order;
     #     pricing_summary/dedup_minhash_lsh/star_join lead per ROTATION.md
     "pricing_summary",
@@ -168,7 +172,6 @@ PRIORITY_R8 = [
     "cross_join_grid",
     "explode_posexplode",
     "scalar_function_surface",
-    "string_function_surface",
 ]
 
 assert len(PRIORITY_R8) == 50, f"PRIORITY_R8 must fill the window exactly: {len(PRIORITY_R8)}"
@@ -182,6 +185,7 @@ assert len(PRIORITY_R8) == 50, f"PRIORITY_R8 must fill the window exactly: {len(
 # `PRIORITY = PRIORITY_R9`, reset CHANGED_THIS_ROUND, then append that
 # round's changed paths per the changed-path rule.
 PRIORITY_R9 = [
+    "string_function_surface",
     "date_arithmetic",
     "null_semantics",
     "date_parts",
@@ -231,7 +235,6 @@ PRIORITY_R9 = [
     "unigram_logprob",
     "hash_sample",
     "stratified_sample",
-    "funnel_counts",
 ]
 
 assert len(PRIORITY_R9) == 50, f"PRIORITY_R9 must fill the window exactly: {len(PRIORITY_R9)}"

@@ -278,6 +278,80 @@ def near_dup_pairs_lsh(
     )
 
 
+def _auto_planes(n: int, target_bucket_rows: int) -> int:
+    """Plane count that keeps expected LSH bucket occupancy ~constant:
+    ceil(log2(n / target)) — 2^p buckets for n rows leaves ~target rows
+    per bucket at ANY corpus size, so per-band candidate pairs stay
+    ~n * target / 2 (LINEAR in n) instead of n^2 / 2^(p+1) (quadratic
+    when p is fixed). Clamped to [2, 24]."""
+    import math
+
+    return max(2, min(24, math.ceil(math.log2(max(n, 2) / max(target_bucket_rows, 1)))))
+
+
+def near_dup_pairs_lsh_banded(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    bands: int = 4,
+    planes_per_band: int | None = None,
+    target_bucket_rows: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-random-projection near-dup pairs — the corpus-scale
+    variant of ``near_dup_pairs_lsh``.
+
+    The single-plane-set variant has a hidden quadratic: with p planes,
+    expected candidates are ~n²/2^(p+1), so a FIXED p turns linear corpus
+    growth into quadratic candidate growth — measured 2× vectors → 5.6×
+    wall at p=4 (SCALE.md §29). Here each of ``bands`` independent
+    plane-sets carries ``planes_per_band`` planes, auto-sized to
+    ceil(log2(n / target_bucket_rows)) when None, so expected bucket
+    occupancy stays ~target_bucket_rows at ANY corpus size and per-band
+    candidates stay ~n·target/2 — linear. The recall a longer code costs
+    is recovered by the OR over bands (a pair with per-plane agreement q
+    survives with 1-(1-q^r)^b) — the same band/row trade
+    ``minhash_lsh_pairs`` uses for text (dedup.py:194).
+
+    Stage shape (Spark-first): only (id_a, id_b) travel through the b
+    band-joins and the cross-band ``dropDuplicates``; the wide embedding
+    arrays are joined back ONCE for the exact-cosine verify, so vector
+    payloads never ride the candidate shuffles. Every stage is a keyed
+    equi-join — no all-pairs anywhere, and the verify keeps precision
+    exact (the bands only decide WHICH pairs get scored).
+    """
+    if planes_per_band is None:
+        planes_per_band = _auto_planes(df.count(), target_bucket_rows)
+    ids = None
+    for band in range(bands):
+        bucketed = lsh_bucket_assign(
+            df, dim, planes_per_band, seed + 7919 * band, vec_col
+        ).select(F.col(id_col).alias("id"), "bucket")
+        a = bucketed.select(F.col("id").alias("id_a"), "bucket")
+        b = bucketed.select(F.col("id").alias("id_b"), "bucket")
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        ids = pairs if ids is None else ids.unionByName(pairs)
+    cand = ids.dropDuplicates(["id_a", "id_b"])
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def _plane(seed: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from (seed, plane) — driver-side
     tiny, hash-based so no RNG state."""

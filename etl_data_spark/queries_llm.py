@@ -910,19 +910,21 @@ def _duck_cos(a: str, b: str) -> str:
            i -> CAST({b}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE))))))"""
 
 
-def _duck_bucket(vec: str) -> str:
+def _duck_bucket(vec: str, seed: int = _ANN_SEED, planes: int = _ANN_PLANES) -> str:
     """LSH bucket id of a 64-dim list column: sign bits of dot products
-    with the same md5-derived hyperplanes ``similarity._plane`` builds."""
+    with the same md5-derived hyperplanes ``similarity._plane`` builds.
+    ``seed``/``planes`` parameterize the plane-set so banded oracles can
+    replay each band's independent set."""
     terms = []
-    for p in range(_ANN_PLANES):
-        plane = S._plane(_ANN_SEED, p, _ANN_DIM)
+    for p in range(planes):
+        plane = S._plane(seed, p, _ANN_DIM)
         lst = "[" + ", ".join(repr(v) for v in plane) + "]"
         dot = (
             f"list_sum(list_transform(range(1, {_ANN_DIM} + 1), "
             f"i -> CAST({vec}[CAST(i AS INT)] AS DOUBLE) * ({lst})[CAST(i AS INT)]))"
         )
         terms.append(
-            f"(CASE WHEN {dot} >= 0 THEN {1 << (_ANN_PLANES - 1 - p)} ELSE 0 END)"
+            f"(CASE WHEN {dot} >= 0 THEN {1 << (planes - 1 - p)} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
 
@@ -1050,6 +1052,59 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(e.select("embedding").first()[0])
     assert dim == _ANN_DIM, "oracle plane constants assume dim=64"
     return S.near_dup_pairs_lsh(e, dim=dim, threshold=0.4, num_planes=_ANN_PLANES)
+
+
+_BANDS, _BAND_PLANES, _BAND_SEED_STEP = 4, 4, 7919
+
+
+def _banded_oracle_sql() -> str:
+    """Oracle for the banded LSH near-dup: per band, pairs sharing that
+    band's md5-plane bucket; UNION dedups across bands (mirrors the
+    operator's dropDuplicates); vectors joined back once for the exact
+    verify. Fixed (bands=4, planes_per_band=4) so the plane constants are
+    corpus-independent; the auto-sizing path is exercised by pytest and
+    the SCALE.md §29 slope runs instead."""
+    band_ctes, band_pairs = [], []
+    for band in range(_BANDS):
+        seed = 42 + _BAND_SEED_STEP * band
+        band_ctes.append(
+            f"b{band} AS (SELECT vec_id, "
+            f"{_duck_bucket('embedding', seed=seed, planes=_BAND_PLANES)} AS bucket "
+            "FROM embeddings)"
+        )
+        band_pairs.append(
+            f"SELECT a.vec_id AS id_a, c.vec_id AS id_b "
+            f"FROM b{band} a JOIN b{band} c "
+            "ON a.bucket = c.bucket AND a.vec_id < c.vec_id"
+        )
+    return f"""
+    WITH {", ".join(band_ctes)},
+    cand AS ({" UNION ".join(band_pairs)})
+    SELECT cand.id_a, cand.id_b,
+           ROUND({_duck_cos("ea.embedding", "eb.embedding")}, 6) AS cosine_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+    WHERE ROUND({_duck_cos("ea.embedding", "eb.embedding")}, 6) >= 0.4
+    """
+
+
+@register(
+    "embedding_near_dup_lsh_banded",
+    _banded_oracle_sql(),
+    doc="Banded sign-random-projection near-dup pairs (the corpus-scale "
+    "LSH variant: independent plane-sets OR'd for recall, per-band codes "
+    "sized so candidates stay linear in n — SCALE.md §29); deterministic "
+    "given the md5 planes, oracle replays all 4 band joins + the "
+    "cross-band dedup + the exact-cosine verify.",
+)
+def q_embedding_near_dup_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    assert dim == _ANN_DIM, "oracle plane constants assume dim=64"
+    return S.near_dup_pairs_lsh_banded(
+        e, dim=dim, threshold=0.4, bands=_BANDS, planes_per_band=_BAND_PLANES
+    )
 
 
 # --------------------------------------------------------------------------

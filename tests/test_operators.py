@@ -434,6 +434,53 @@ def test_ivf_recall_and_probe_pruning(spark):
     assert all_probe == exact  # probing every cell recovers exact top-k
 
 
+def test_banded_lsh_near_dup_recall_and_auto_sizing(spark):
+    """Banded sign-random-projection near-dup (SCALE.md §29): precision is
+    exact by construction (every candidate is cosine-verified), recall
+    beats the single-plane-set variant at equal code length (OR over
+    bands), and the auto-sizer keeps expected bucket occupancy constant
+    so candidates stay linear in n."""
+    from etl_data_spark.operators.similarity import _auto_planes
+    from etl_data_spark.queries import load_table
+
+    # auto-sizing: p = ceil(log2(n / target)), clamped
+    assert _auto_planes(1_000, 64) == 4
+    assert _auto_planes(2_000_000, 64) == 15
+    assert _auto_planes(2_000_000_000, 64) == 24  # ceiling clamp
+    assert _auto_planes(10, 64) == 2  # floor clamp
+    # doubling n adds exactly one plane: occupancy (and so per-band
+    # candidate pairs per row) stays constant as the corpus grows
+    for n in (10_000, 20_000, 40_000):
+        assert _auto_planes(2 * n, 64) == _auto_planes(n, 64) + 1
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(e.first()["embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs(e, threshold=0.4).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_lsh(e, dim=dim, threshold=0.4, num_planes=4).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_lsh_banded(
+            e, dim=dim, threshold=0.4, bands=4, planes_per_band=4
+        ).collect()
+    }
+    assert banded <= exact  # exact-verify stage: precision 1.0
+    assert len(banded) >= len(single)  # OR over 4 band-sets >= 1 set
+    assert len(banded) / max(len(exact), 1) >= 0.5  # measured ~0.7+
+
+    # auto path (planes_per_band=None) runs end-to-end and stays a subset
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_lsh_banded(e, dim=dim, threshold=0.4).collect()
+    }
+    assert auto <= exact
+
+
 def test_cosine_operators_survive_degenerate_vectors(spark):
     """Zero-norm and NaN-contaminated embeddings must not crash (ANSI
     mode — the Spark 4 default — turns a plain divide-by-zero into a
