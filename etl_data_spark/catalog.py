@@ -176,15 +176,31 @@ PRIORITY_R8 = [
 
 assert len(PRIORITY_R8) == 50, f"PRIORITY_R8 must fill the window exactly: {len(PRIORITY_R8)}"
 
-# Pre-staged round-9 window, derived mechanically from the committed
-# CORRECTNESS_r*.json records: every oracle-backed entry NOT in the r8
-# window, ordered by its LATEST driver-green round (oldest first), then
-# registration order — the seven r1/r2 anchors displaced from r8 by this
-# round's changed paths lead, then the r2 window's lexical/dedup/tpch
-# families, then the r3/r4 greens. Round 9's rotation step:
-# `PRIORITY = PRIORITY_R9`, reset CHANGED_THIS_ROUND, then append that
-# round's changed paths per the changed-path rule.
+# ACTIVE round-9 window. Base: the pre-staged mechanical derivation from
+# the committed CORRECTNESS_r*.json records — every oracle-backed entry
+# NOT in the r8 window, ordered by its LATEST driver-green round (oldest
+# first), then registration order. Per the changed-path rule, the ten
+# entries whose code paths changed THIS round lead the window (the
+# quadratic-LSH retirement re-touched near_dup_pairs/near_dup_pairs_lsh/
+# near_dup_pairs_lsh_banded, and the degenerate-contract oracle mirror —
+# ADVICE r8: NULLIF + isnan in _duck_cos/_SQL_COSINE/_SQL_PAIR_COSINE/
+# _SQL_COS_RRF — changed every cosine-family oracle), displacing the ten
+# YOUNGEST-green tail entries (r3/r4 greens: tpch_q5/q22/q2/q13/q21,
+# tfidf_topk, bm25_search, unigram_logprob, hash_sample,
+# stratified_sample) to the r10 head.
 PRIORITY_R9 = [
+    # (a) r9 changed paths — all held r8-green rows, re-earning post-change
+    "embedding_topk",
+    "knn_join_sample",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_banded",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "rrf_hybrid_search",
+    "mmr_diverse_topk",
+    "knn_mrr",
+    # (b) oldest-latest-green-first (mechanical pre-staging)
     "string_function_surface",
     "date_arithmetic",
     "null_semantics",
@@ -225,23 +241,13 @@ PRIORITY_R9 = [
     "tpch_q14_promo_ratio",
     "tpch_q19_or_predicates",
     "tpch_q18_large_orders",
-    "tpch_q5_regional",
-    "tpch_q22_global_sales",
-    "tpch_q2_min_cost_supply",
-    "tpch_q13_custdist",
-    "tpch_q21_waiting_supplier",
-    "tfidf_topk",
-    "bm25_search",
-    "unigram_logprob",
-    "hash_sample",
-    "stratified_sample",
 ]
 
 assert len(PRIORITY_R9) == 50, f"PRIORITY_R9 must fill the window exactly: {len(PRIORITY_R9)}"
 
 # The driver verifies the first 50 entries of queries()/oracle_sql();
 # PRIORITY pins that order. Round 8 on: the regression rotation.
-PRIORITY = PRIORITY_R8
+PRIORITY = PRIORITY_R9
 
 # Entries whose implementing code path changed during the CURRENT round.
 # ROTATION.md rule (written r8): a changed entry must re-earn a driver
@@ -251,15 +257,19 @@ PRIORITY = PRIORITY_R8
 # change lands on an un-windowed entry, swap out a youngest-green tail
 # entry in the same commit.
 CHANGED_THIS_ROUND = [
-    "ann_ivf_topk",  # ivf_assign degenerate-input hardening (r8, ADVICE)
-    "holt_linear",   # HOF fold let-bound via split projection (r8 sweep)
-    # cosine() ANSI fix (try_divide + NaN->NULL) — every caller of the
-    # shared similarity helper:
+    # r9: quadratic fixed-plane LSH retirement (near_dup_pairs_lsh
+    # defaults to auto-sized planes; near_dup_pairs/near_dup_pairs_lsh_
+    # banded guard/docstring + bounded-probe auto-sizer) and the
+    # degenerate-contract oracle mirror (ADVICE r8: NULLIF + isnan →
+    # NULL in _duck_cos, _SQL_COSINE, _SQL_PAIR_COSINE, _SQL_COS_RRF —
+    # the oracle now pins cosine()'s NULL-on-zero-norm/NaN semantics):
     "embedding_topk",
     "knn_join_sample",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_banded",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "rrf_hybrid_search",
     "mmr_diverse_topk",
     "knn_mrr",

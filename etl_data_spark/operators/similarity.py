@@ -11,7 +11,9 @@ Two tiers, as a 100 TB design:
   hash-derived so assignment is deterministic and partition-independent).
   A query probes only its own bucket (+ optional neighbors), turning a
   full-corpus scan into a pruned partition read; bucket id is a parquet
-  partition column at rest.
+  partition column at rest. For all-pairs near-dup the scale path is
+  ``near_dup_pairs_lsh_banded``: auto-sized plane counts keep candidate
+  pairs linear in corpus size, OR'd bands keep recall (SCALE.md §29).
 
 Float determinism: fold order over array elements is index order in both
 Spark (aggregate) and the SQL mirror (list_sum over list_transform), so
@@ -155,7 +157,10 @@ def knn_join(
 
     Small/medium corpora only (cross join). The scale path is
     ``lsh_bucket_assign`` + per-bucket knn_join, which prunes the cross
-    product to bucket-local candidates.
+    product to bucket-local candidates — size the plane count with
+    ``_auto_planes`` (ceil(log2(n/target))) so bucket occupancy, and with
+    it the per-bucket cross product, stays constant as the corpus grows
+    (a fixed plane count is quadratic; SCALE.md §29).
 
     Cross-join guard: unless ``allow_cross=True``, the sides are probed
     with BOUNDED counts (``limit(cap).count()`` — the scan short-circuits
@@ -211,9 +216,10 @@ def near_dup_pairs(
 
     All-pairs verification baseline: O(n^2) dot products, JVM-side fold,
     no Python. Use for candidate verification or small corpora; the scale
-    path is ``near_dup_pairs_lsh`` (bucket-pruned candidates). Same
-    fail-fast bounded-probe cross-join guard as ``knn_join`` (one probe —
-    both sides are the same frame).
+    path is ``near_dup_pairs_lsh_banded`` (auto-sized banded LSH —
+    candidates stay LINEAR in corpus size; SCALE.md §29). Same fail-fast
+    bounded-probe cross-join guard as ``knn_join`` (one probe — both
+    sides are the same frame).
     """
     if not allow_cross:
         cap = math.isqrt(max_pairs) + 1
@@ -222,8 +228,8 @@ def near_dup_pairs(
             shown = f">= {cap:,}" if n >= cap else f"{n:,}"
             raise ValueError(
                 f"near_dup_pairs would score n^2 pairs with n {shown} "
-                f"(> max_pairs={max_pairs:,}). Use near_dup_pairs_lsh for "
-                "corpora this size, or pass allow_cross=True."
+                f"(> max_pairs={max_pairs:,}). Use near_dup_pairs_lsh_banded "
+                "for corpora this size, or pass allow_cross=True."
             )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -242,20 +248,38 @@ def near_dup_pairs_lsh(
     df: DataFrame,
     dim: int,
     threshold: float = 0.4,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Approximate near-dup pairs: candidates share a random-hyperplane
-    bucket (equi-join on the bucket id — shuffle keyed by a small int, not
-    all-pairs), then exact cosine verification on the candidate set only.
+    """Single-plane-set LSH near-dup pairs: candidates share ONE
+    random-hyperplane bucket (equi-join on the bucket id), then exact
+    cosine verification on the candidate set only.
 
-    Recall for a pair at angle theta is (1 - theta/pi)^num_planes per
-    plane-set; high-cosine pairs (small theta) land in the same bucket with
-    high probability. At 100 TB the bucket id doubles as a parquet
-    partition key so candidate joins never shuffle the full corpus.
+    **The scale path is ``near_dup_pairs_lsh_banded``.** A FIXED plane
+    count is secretly quadratic: expected candidates are ~n²/2^(p+1), so
+    bucket occupancy grows with the corpus — measured 2× rows → 5.6× wall
+    at p=4 (SCALE.md §29). ``num_planes`` therefore defaults to None =
+    auto-sized to ceil(log2(n / target_bucket_rows)), which keeps
+    occupancy ~constant and candidates linear — but a SINGLE longer code
+    also loses recall (a pair survives with per-plane agreement q^p and
+    nothing recovers the misses). The banded variant pays the same linear
+    candidate cost and ORs b independent plane-sets to win the recall
+    back; prefer it for any real corpus. This form stays as the
+    oracle-parity configuration (explicit ``num_planes`` replays the
+    deterministic md5 planes the SQL oracle inlines).
+
+    ``n_rows``: caller-supplied corpus size for the auto-sizer (skips the
+    bounded counting probe — pass it when the input plan is expensive).
     """
+    if num_planes is None:
+        num_planes = _auto_planes(
+            n_rows if n_rows is not None else _bounded_count(df),
+            target_bucket_rows,
+        )
     bucketed = lsh_bucket_assign(df, dim, num_planes, seed, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
     )
@@ -284,9 +308,27 @@ def _auto_planes(n: int, target_bucket_rows: int) -> int:
     per bucket at ANY corpus size, so per-band candidate pairs stay
     ~n * target / 2 (LINEAR in n) instead of n^2 / 2^(p+1) (quadratic
     when p is fixed). Clamped to [2, 24]."""
-    import math
-
     return max(2, min(24, math.ceil(math.log2(max(n, 2) / max(target_bucket_rows, 1)))))
+
+
+def _bounded_count(df: DataFrame, start: int = 1024) -> int:
+    """Corpus size via successive ``limit(cap).count()`` doubling — never
+    a full unbounded ``count()`` over a possibly expensive uncached plan.
+
+    Each probe is a CollectLimit that short-circuits at ``cap`` rows
+    (Spark runs one partition, then scales up only if needed), so small
+    frames answer in one cheap job and the cumulative cost is bounded by
+    ~3n limited-scan rows — vs a full aggregate pass that executes the
+    ENTIRE upstream plan just to pick an integer. The consumer only needs
+    ceil(log2(n/target)) granularity, so callers with a known/estimated
+    size should pass it directly (``n_rows``) and skip the probe
+    entirely; this is the fallback for interactive use."""
+    cap = start
+    while True:
+        c = df.limit(cap).count()
+        if c < cap:
+            return c
+        cap *= 2
 
 
 def near_dup_pairs_lsh_banded(
@@ -299,6 +341,7 @@ def near_dup_pairs_lsh_banded(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Banded sign-random-projection near-dup pairs — the corpus-scale
     variant of ``near_dup_pairs_lsh``.
@@ -321,9 +364,20 @@ def near_dup_pairs_lsh_banded(
     payloads never ride the candidate shuffles. Every stage is a keyed
     equi-join — no all-pairs anywhere, and the verify keeps precision
     exact (the bands only decide WHICH pairs get scored).
+
+    ``n_rows``: caller-supplied corpus size for the auto-sizer. When
+    absent, the size comes from a bounded doubling probe
+    (``_bounded_count``), not a full ``count()`` — the sizer only needs
+    ceil(log2(n/target)) granularity, and a full count would execute the
+    entire (possibly expensive, uncached) input plan once more before the
+    band joins execute it again. At 100 TB pass ``n_rows`` (or an
+    explicit ``planes_per_band``) from catalog statistics.
     """
     if planes_per_band is None:
-        planes_per_band = _auto_planes(df.count(), target_bucket_rows)
+        planes_per_band = _auto_planes(
+            n_rows if n_rows is not None else _bounded_count(df),
+            target_bucket_rows,
+        )
     ids = None
     for band in range(bands):
         bucketed = lsh_bucket_assign(

@@ -705,15 +705,22 @@ _RRF_POOL = 50  # candidates taken from each modality before fusion
 
 # Same element-wise construction as queries_llm._SQL_COSINE (sequential
 # left fold, 6dp round) — inlined rather than imported so this module's
-# import cannot reorder registration of the llm family.
-_SQL_COS_RRF = """
-    ROUND(
-      list_sum(list_transform(range(1, len(e.embedding) + 1),
+# import cannot reorder registration of the llm family. Mirrors the
+# NULL-on-degenerate contract of operators.similarity.cosine(): NULLIF
+# maps a zero-norm denominator to NULL like Spark's try_divide, the isnan
+# CASE maps NaN to NULL like nanvl (value-identical on clean corpora).
+_SQL_COS_RRF_RAW = """
+    (list_sum(list_transform(range(1, len(e.embedding) + 1),
         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      / NULLIF(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
          * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
-           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 6)
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))), 0))
+"""
+
+_SQL_COS_RRF = f"""
+    ROUND((CASE WHEN isnan({_SQL_COS_RRF_RAW}) THEN NULL
+           ELSE {_SQL_COS_RRF_RAW} END), 6)
 """
 
 

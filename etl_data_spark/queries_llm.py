@@ -813,12 +813,35 @@ _SQL_COSINE_RAW = """
            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))))
 """
 
-_SQL_COSINE = f"ROUND({_SQL_COSINE_RAW}, 6)"
+# NULL-on-degenerate mirror of operators.similarity.cosine(): NULLIF maps a
+# zero-norm denominator to NULL like Spark's try_divide; the isnan CASE maps
+# a NaN-contaminated similarity to NULL like nanvl. Value-identical to the
+# raw form on corpora without degenerate embeddings. Built from named
+# pieces so the (repeated) expression stays paren-balanced by construction.
+def _sql_norm(t: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, len({t}.embedding) + 1), "
+        f"i -> CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE))))"
+    )
+
+
+_SQL_COSINE_DOT = """list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"""
+_SQL_COSINE_DEN = f"NULLIF({_sql_norm('e')} * {_sql_norm('q')}, 0)"
+_SQL_COSINE_SAFE = f"({_SQL_COSINE_DOT} / {_SQL_COSINE_DEN})"
+_SQL_COSINE_GUARDED_RAW = (
+    f"(CASE WHEN isnan({_SQL_COSINE_SAFE}) THEN NULL ELSE {_SQL_COSINE_SAFE} END)"
+)
+
+_SQL_COSINE = f"ROUND({_SQL_COSINE_GUARDED_RAW}, 6)"
 
 # floor(x*1e6 + 0.5)/1e6 — the EXACT double-arithmetic rounding the
 # vectorized operator applies (np.floor over the same IEEE ops), so the
 # oracle and the operator share one rounding rule instead of relying on
 # np.round (half-to-even) and SQL ROUND (half-away-from-zero) agreeing.
+# Deliberately NOT the NULL-guarded form: brute_force_topk_vectorized's
+# own contract scores zero-norm vectors 0.0 (np.where(denom > 0, ., 0.0)),
+# not NULL — a different (also deterministic) degenerate rule.
 _SQL_COSINE_FLOOR6 = f"(FLOOR({_SQL_COSINE_RAW} * 1e6 + 0.5) / 1e6 + 0.0)"
 
 
@@ -900,14 +923,23 @@ _ANN_DIM, _ANN_SEED, _ANN_PLANES = 64, 42, 4
 
 def _duck_cos(a: str, b: str) -> str:
     """Cosine between two 64-dim list columns (matches operators.similarity
-    fold: float->double per element, index-order sum)."""
-    return f"""(
+    fold: float->double per element, index-order sum).
+
+    Mirrors ``cosine()``'s degenerate-input contract (similarity.py): a
+    zero-norm vector makes the denominator 0 — ``NULLIF`` maps the
+    division to NULL exactly like Spark's ``try_divide`` — and a
+    NaN-contaminated similarity maps to NULL like ``nanvl``. So the
+    oracle pins the degenerate semantics too, not just the clean-corpus
+    values (on corpora with no degenerate embeddings the guarded and
+    plain forms are value-identical)."""
+    raw = f"""(
       list_sum(list_transform(range(1, {_ANN_DIM} + 1),
         i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(range(1, {_ANN_DIM} + 1),
+      / NULLIF(sqrt(list_sum(list_transform(range(1, {_ANN_DIM} + 1),
            i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({a}[CAST(i AS INT)] AS DOUBLE))))
          * sqrt(list_sum(list_transform(range(1, {_ANN_DIM} + 1),
-           i -> CAST({b}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE))))))"""
+           i -> CAST({b}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))), 0))"""
+    return f"(CASE WHEN isnan({raw}) THEN NULL ELSE {raw} END)"
 
 
 def _duck_bucket(vec: str, seed: int = _ANN_SEED, planes: int = _ANN_PLANES) -> str:
@@ -1000,14 +1032,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, qvec, cents, k=10, n_probe=3)
 
 
-_SQL_PAIR_COSINE = """
-    ROUND(
-      list_sum(list_transform(range(1, len(a.embedding) + 1),
+# Same NULL-on-degenerate mirror as _SQL_COSINE_GUARDED_RAW, over an
+# (a, b) pair of embedding rows. ROUND(NULL, 6) stays NULL in both engines.
+_SQL_PAIR_COSINE_RAW = """
+    (list_sum(list_transform(range(1, len(a.embedding) + 1),
         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
          * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6)
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0))
+"""
+
+_SQL_PAIR_COSINE = f"""
+    ROUND((CASE WHEN isnan({_SQL_PAIR_COSINE_RAW}) THEN NULL
+           ELSE {_SQL_PAIR_COSINE_RAW} END), 6)
 """
 
 
@@ -1044,8 +1082,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4
     """,
-    doc="Embedding near-dup via random-hyperplane LSH buckets (scale path); "
-    "deterministic given the md5 planes, oracle replays bucket join + verify.",
+    doc="Embedding near-dup via ONE random-hyperplane plane-set, pinned at "
+    "p=4 as the ORACLE-PARITY configuration (corpus-independent md5-plane "
+    "constants, oracle replays bucket join + verify). NOT the scale path: "
+    "a fixed plane count makes candidates ~n²/2^(p+1) — measured 2× rows "
+    "→ 5.6× wall (SCALE.md §29). The scale path is "
+    "embedding_near_dup_lsh_banded (near_dup_pairs_lsh_banded: auto-sized "
+    "planes keep candidates linear, OR'd bands keep recall).",
 )
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

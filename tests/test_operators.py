@@ -480,6 +480,101 @@ def test_banded_lsh_near_dup_recall_and_auto_sizing(spark):
     }
     assert auto <= exact
 
+    # caller-supplied n_rows skips the counting probe and picks the same
+    # plane count as the probe path (same output)
+    n = e.count()
+    auto_n = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_lsh_banded(
+            e, dim=dim, threshold=0.4, n_rows=n
+        ).collect()
+    }
+    assert auto_n == auto
+
+    # r9 retirement of the quadratic default: near_dup_pairs_lsh with no
+    # num_planes auto-sizes (ceil(log2(n/target)) planes, occupancy-
+    # constant) instead of silently running the fixed-plane configuration
+    # that SCALE.md §29 measured quadratic. Explicit num_planes remains
+    # the oracle-parity path.
+    auto_single = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_lsh(e, dim=dim, threshold=0.4).collect()
+    }
+    assert auto_single <= exact
+    expected_p = S._auto_planes(n, 64)
+    sized = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_lsh(
+            e, dim=dim, threshold=0.4, num_planes=expected_p
+        ).collect()
+    }
+    assert auto_single == sized  # default == auto-sized explicit planes
+
+
+def test_banded_lsh_recall_floor_at_scaled_corpus(spark):
+    """Recall floor at a SCALED corpus (r8 verdict item 3): the sf0.001
+    recall pin runs at n where the auto-sizer picks the minimum plane
+    count, so it never exercises the planes-vs-bands trade. Here n = 8k
+    forces auto planes_per_band = 7 (> the fixed-4 oracle config), and
+    recall is measured over PLANTED near-twin pairs (cosine ~0.99995):
+    the OR over 4 bands must recover what the longer per-band code
+    costs — theory: q = 1 - theta/pi ~ 0.997 per plane, miss per band
+    1 - q^7 ~ 0.02, miss overall ~ 0.02^4 ~ 2e-7. Floor 0.98 leaves
+    room for hash-plane luck, not for a broken sizing law."""
+    from etl_data_spark.operators.similarity import _auto_planes
+
+    n_base, dim = 4_000, 16
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.hash(F.col("id") * dim + j), F.lit(1000)).cast("double")
+                / 500.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    twins = base.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, j: x
+            + (
+                F.pmod(F.hash(F.col("vec_id") * dim + j + 7), F.lit(11)).cast(
+                    "double"
+                )
+                - 5.0
+            )
+            * 1e-3,
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    n = 2 * n_base
+    assert _auto_planes(n, 64) == 7  # genuinely past the sf0.001 regime
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_lsh_banded(
+            corpus, dim=dim, threshold=0.9, bands=4, n_rows=n
+        ).collect()
+    }
+    planted = {(i, i + 100_000) for i in range(n_base)}
+    recall = len(found & planted) / n_base
+    assert recall >= 0.98, f"planted-twin recall {recall:.4f} at auto planes=7"
+
+
+def test_bounded_count_probe(spark):
+    """_bounded_count (ADVICE r8): corpus size via limit-doubling probes,
+    never a full count() over the input plan. Exact at every size class —
+    below the first cap, exactly at a cap boundary, and above it."""
+    from etl_data_spark.operators.similarity import _bounded_count
+
+    for n in (0, 1, 7, 8, 9, 100):
+        df = spark.range(n)
+        assert _bounded_count(df, start=8) == n
+    assert _bounded_count(spark.range(5000)) == 5000  # default start
+
 
 def test_cosine_operators_survive_degenerate_vectors(spark):
     """Zero-norm and NaN-contaminated embeddings must not crash (ANSI
@@ -518,6 +613,53 @@ def test_cosine_operators_survive_degenerate_vectors(spark):
     sims = [r["cosine_sim"] for r in knn]
     assert sims[:2] == sorted(sims[:2], reverse=True)
     assert None not in sims[:2] and sims[2:] == [None, None]
+
+
+def test_oracle_cosine_mirrors_degenerate_contract(spark):
+    """ADVICE r8: the DuckDB oracle cosine helpers must pin the SAME
+    degenerate-input contract as Spark's cosine() (NULL on zero-norm via
+    NULLIF ~ try_divide, NULL on NaN via the isnan CASE ~ nanvl) — not
+    just agree on clean corpora. Cross-engine check on a corpus that
+    CONTAINS degenerate vectors: identical (id, sim-or-NULL) sets."""
+    import duckdb
+
+    from etl_data_spark.operators.similarity import cosine
+    from etl_data_spark.queries_llm import _duck_cos
+
+    rows = [
+        (1, [1.0, 0.0] + [0.0] * 62),
+        (2, [0.0] * 64),                      # zero-norm
+        (3, [float("nan")] + [1.0] * 63),     # NaN element
+        (4, [0.5] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = F.array(*[F.lit(v) for v in rows[0][1]])
+    got_spark = {
+        r["vec_id"]: r["sim"]
+        for r in df.select(
+            "vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("sim")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (vec_id BIGINT, embedding DOUBLE[])"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, [None if v != v else v for v in vec]) for i, vec in rows],
+    )
+    # NaN can't ride the python list parameter — rebuild it SQL-side
+    con.execute("UPDATE t SET embedding = ['nan'::DOUBLE] || embedding[2:64] WHERE vec_id = 3")
+    got_duck = dict(
+        con.execute(
+            "SELECT a.vec_id, ROUND("
+            + _duck_cos("a.embedding", "b.embedding")
+            + ", 6) FROM t a, (SELECT embedding FROM t WHERE vec_id = 1) b"
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+    assert got_spark[2] is None and got_spark[3] is None  # the pins bite
 
 
 def test_ivf_assign_degenerate_semantics(spark):

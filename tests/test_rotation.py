@@ -50,17 +50,25 @@ def test_window_is_exactly_50_known_entries():
         if n not in REGISTRY
     ]
     assert not unknown, f"window references unregistered queries: {unknown}"
-    # consecutive windows must not overlap — an r9 slot spent on an entry
-    # the r8 window just re-verified is a wasted regression slot
-    assert not set(PRIORITY_R8) & set(PRIORITY_R9)
+    # consecutive windows must not overlap EXCEPT for changed-path
+    # re-entries — a slot spent on an entry the previous window just
+    # re-verified is wasted UNLESS its code path changed again this round
+    # (ROTATION.md: a changed entry must re-earn its row the same round)
+    overlap = set(PRIORITY_R8) & set(PRIORITY_R9)
+    assert overlap <= set(CHANGED_THIS_ROUND), (
+        f"unchanged entries repeat across consecutive windows: "
+        f"{sorted(overlap - set(CHANGED_THIS_ROUND))}"
+    )
 
 
 def test_active_window_is_the_regression_rotation():
     """Round 8 on: the burn-down is complete, so the active window must be
-    the regression rotation, opening with the prior round's changed code
+    the regression rotation, opening with the current round's changed code
     paths (ROTATION.md)."""
-    assert PRIORITY is PRIORITY_R8
-    assert PRIORITY[:3] == ["knn_join_sample", "embedding_near_dup", "ann_ivf_topk"]
+    assert PRIORITY is PRIORITY_R9
+    # r9 changed paths lead the window: the quadratic-LSH retirement + the
+    # degenerate-contract oracle mirror (the full cosine family)
+    assert PRIORITY[: len(CHANGED_THIS_ROUND)] == CHANGED_THIS_ROUND
 
 
 def test_changed_paths_reenter_the_active_window():
