@@ -168,8 +168,11 @@ def promote_staging_jdbc(
     **options: str,
 ) -> int:
     """Staging -> target windowed promote over JDBC (reference
-    fn_dm_data_stg_to_dm_load.sql:8-36: count staging, DELETE target rows in
-    the window, INSERT ... SELECT from staging, report the row count).
+    fn_dm_data_stg_to_dm_load.sql:8-36: count staging IN THE WINDOW,
+    DELETE target rows in the window, INSERT ... SELECT the staging rows
+    in the window, report the row count — the window predicate binds all
+    three statements, so staged rows outside [start_date, end_date] are
+    neither counted nor promoted).
 
     Spark's JDBC channel has no DELETE-WHERE primitive, so the promote is
     keep ∪ staging -> overwrite, with the keep side materialized via
@@ -185,6 +188,11 @@ def promote_staging_jdbc(
     from etl_data_spark.io.writers import window_replace_predicate
 
     staged = read_jdbc(spark, url, staging_table, **options)
+    pred = window_replace_predicate(start_date, end_date, date_col, to_col)
+    if pred is not None:
+        # same three-valued logic as the reference's staging WHERE: rows
+        # with NULL dates never match, so they are not promoted either
+        staged = staged.filter(F.coalesce(pred, F.lit(False)))
     n_staged = staged.count()
 
     # Existence is probed EXPLICITLY against the JDBC catalog
@@ -198,7 +206,6 @@ def promote_staging_jdbc(
         merged = staged
     else:
         target = read_jdbc(spark, url, target_table, **options)
-        pred = window_replace_predicate(start_date, end_date, date_col, to_col)
         keep = target.limit(0) if pred is None else target.filter(
             ~F.coalesce(pred, F.lit(False))
         )
@@ -254,13 +261,18 @@ def promote_staging_sql(
     existence probe (contract-tested: Spark's read/write channel is
     stubbed out and the promote still succeeds).
 
-    Window semantics match ``window_replace_predicate`` exactly: present
+    Window semantics match the reference procedure exactly: present
     bounds contribute ``date_col >= start`` / ``to_col <= end`` conjuncts
     (parameterized ``java.sql.Date``s — no literal formatting, no
-    injection surface); both absent deletes everything; rows with NULL
-    dates never match (SQL three-valued logic, same as the reference
-    DELETE). The INSERT names the staging table's columns explicitly so
-    target/staging column order never has to agree.
+    injection surface), applied to the target DELETE **and to the staging
+    COUNT and INSERT...SELECT** — the reference windows all three
+    (fn_dm_data_stg_to_dm_load.sql lines 11-14, 17-20, 22-35), so staged
+    rows outside [start_date, end_date] are neither counted nor promoted
+    (a re-promote of a narrower window can therefore never duplicate
+    out-of-window leftovers in staging). Both bounds absent promotes
+    everything; rows with NULL dates never match (SQL three-valued
+    logic, same as the reference). The INSERT names the staging table's
+    columns explicitly so target/staging column order never has to agree.
 
     The target must already exist (the reference assumes the dm schema is
     bootstrapped); a first promote falls back to ``promote_staging_jdbc``,
@@ -307,6 +319,28 @@ def promote_staging_sql(
             params.append(sql_date(end_date))
         where = f" WHERE {' AND '.join(conjuncts)}" if conjuncts else ""
 
+        def run_windowed(sql: str, query: bool = False):
+            """Prepared statement with the window's Date params bound —
+            the same conjuncts (and the same parameter values) serve the
+            staging COUNT, the target DELETE, and the INSERT...SELECT,
+            exactly as the reference binds p_start_dt/p_end_dt three
+            times."""
+            ps = conn.prepareStatement(sql)
+            try:
+                for i, p in enumerate(params, start=1):
+                    ps.setDate(i, p)
+                if not query:
+                    return ps.executeUpdate()
+                rs = ps.executeQuery()
+                rs.next()
+                # getLong, not getInt: a multi-TB staging count overflows
+                # int32 — this is the path documented as the scale path
+                n = rs.getLong(1)
+                rs.close()
+                return int(n)
+            finally:
+                ps.close()
+
         stmt = conn.createStatement()
         try:
             # column list from the staging table's own metadata (0-row scan)
@@ -318,22 +352,13 @@ def promote_staging_sql(
             )
             rs.close()
 
-            rs = stmt.executeQuery(f"SELECT COUNT(*) FROM {staging_table}")
-            rs.next()
-            n_staged = rs.getInt(1)
-            rs.close()
-
-            ps = conn.prepareStatement(f"DELETE FROM {target_table}{where}")
-            try:
-                for i, p in enumerate(params, start=1):
-                    ps.setDate(i, p)
-                ps.executeUpdate()
-            finally:
-                ps.close()
-
-            stmt.executeUpdate(
+            n_staged = run_windowed(
+                f"SELECT COUNT(*) FROM {staging_table}{where}", query=True
+            )
+            run_windowed(f"DELETE FROM {target_table}{where}")
+            run_windowed(
                 f"INSERT INTO {target_table} ({cols}) "
-                f"SELECT {cols} FROM {staging_table}"
+                f"SELECT {cols} FROM {staging_table}{where}"
             )
             conn.commit()
             return n_staged

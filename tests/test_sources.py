@@ -163,6 +163,19 @@ def test_jdbc_windowed_migrate_and_promote(spark, tmp_path):
     total = read_jdbc(spark, url, "t_dm_task").count()
     assert total == n_window + n3
 
+    # the window predicate binds the STAGING side too (reference
+    # fn_dm_data_stg_to_dm_load.sql:11-14, 22-35 / r8 ADVICE): with the
+    # WHOLE fact table staged, promoting a window counts and inserts only
+    # the window's staged rows — out-of-window leftovers in staging are
+    # neither reported nor duplicated into the target
+    write_jdbc(fact, url, "t_dm_stg_task")
+    n4 = promote_staging_jdbc(
+        spark, url, "t_dm_stg_task", "t_dm_task", "2023-07-01", None
+    )
+    assert n4 == n3  # only the July+ staged rows counted
+    total = read_jdbc(spark, url, "t_dm_task").count()
+    assert total == n_window + n3  # first window untouched, no duplicates
+
 
 def test_jdbc_table_exists_is_a_catalog_probe(spark, tmp_path):
     """Existence comes from DatabaseMetaData, not from a read attempt:
@@ -286,6 +299,28 @@ def test_promote_staging_sql_touches_only_the_window(spark, tmp_path, monkeypatc
     target = read_jdbc(spark, url, "t_dm_task")
     assert target.count() == n1 + n_h2 + 1
     assert target.filter(F.col("fact_id") == 999999).count() == 1
+
+    # the window binds the staging COUNT and INSERT...SELECT too
+    # (reference lines 11-14/22-35; r8 ADVICE medium): stage the WHOLE
+    # fact table, promote only the July+ window — out-of-window staged
+    # rows are neither counted nor inserted, so the H1 window in the
+    # target is not duplicated by leftovers in staging
+    write_jdbc(fact, url, "t_dm_stg_task")
+    monkeypatch.setattr(SRC, "read_jdbc", _no_spark_channel)
+    monkeypatch.setattr(SRC, "write_jdbc", _no_spark_channel)
+    monkeypatch.setattr(SRC, "promote_staging_jdbc", _no_spark_channel)
+    n5 = promote_staging_sql(
+        spark, url, "t_dm_stg_task", "t_dm_task", "2023-07-01", None
+    )
+    assert n5 == n_h2
+    monkeypatch.undo()
+    target = read_jdbc(spark, url, "t_dm_task")
+    assert target.count() == n1 + n_h2 + 1  # unchanged: window replaced 1:1
+    expect = sorted(map(tuple, h1.unionByName(h2).collect()))
+    got = sorted(
+        map(tuple, target.filter(F.col("fact_id") != 999999).collect())
+    )
+    assert got == expect
 
 
 def test_ns_events_read_restores_conf_and_truncates(spark, tmp_path):
