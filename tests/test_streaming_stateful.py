@@ -101,7 +101,8 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path_factory):
     assert out.select("event_id").distinct().count() == 40
 
 
-def test_stateful_session_state_survives_restart(spark, tmp_path):
+@pytest.mark.parametrize("reliable_dir", [False, True])
+def test_stateful_session_state_survives_restart(spark, tmp_path, reliable_dir):
     """An OPEN session's state (start/last/count) must be recovered from
     the checkpoint across a full stop/restart: events before the restart
     and events after it must fold into ONE session. If state were lost,
@@ -109,13 +110,25 @@ def test_stateful_session_state_survives_restart(spark, tmp_path):
     post-restart timestamp — the assertion below distinguishes exactly
     that. Uses NoTimeout (finite replay mode) so processAllAvailable
     terminates, and a parquet sink so run-1 output (none expected)
-    and run-2 output share one table."""
+    and run-2 output share one table.
+
+    Parametrized over a configured GLOBAL reliable-checkpoint dir (r8
+    verdict item 6): a real session mixes batch-iterative operators
+    (which sc.setCheckpointDir for truncate_lineage's reliable branch)
+    with stateful streams, and the applyInPandasWithState STATE STORE
+    must keep recovering from the stream's own checkpoint while the
+    global RDD checkpoint dir is set — the one store/checkpoint
+    combination the r8 foreachBatch test didn't cover."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = tmp_path / "src"
     out = tmp_path / "sessions"
     ckpt = tmp_path / "ckpt"
     t0 = dt.datetime(2024, 3, 1)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None, "suite must start without a dir"
+    if reliable_dir:
+        sc.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
 
     def land(rows):
         spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
@@ -138,20 +151,24 @@ def test_stateful_session_state_survives_restart(spark, tmp_path):
         q.processAllAvailable()
         q.stop()
 
-    # run 1: two events 5 min apart -> session stays OPEN in state
-    land([(0, t0, 7, "click", 1.0, "{}"),
-          (1, t0 + dt.timedelta(minutes=5), 7, "click", 1.0, "{}")])
-    run_once()
-    assert not out.exists() or spark.read.parquet(str(out)).count() == 0
+    try:
+        # run 1: two events 5 min apart -> session stays OPEN in state
+        land([(0, t0, 7, "click", 1.0, "{}"),
+              (1, t0 + dt.timedelta(minutes=5), 7, "click", 1.0, "{}")])
+        run_once()
+        assert not out.exists() or spark.read.parquet(str(out)).count() == 0
 
-    # down-time arrivals: one more event INSIDE the gap (continues the
-    # pre-restart session), then one far beyond it (forces the close)
-    land([(2, t0 + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
-          (3, t0 + dt.timedelta(hours=3), 7, "click", 1.0, "{}")])
-    run_once()
+        # down-time arrivals: one more event INSIDE the gap (continues the
+        # pre-restart session), then one far beyond it (forces the close)
+        land([(2, t0 + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+              (3, t0 + dt.timedelta(hours=3), 7, "click", 1.0, "{}")])
+        run_once()
 
-    got = [
-        (r["session_start"], r["session_end"], r["n_events"])
-        for r in spark.read.parquet(str(out)).collect()
-    ]
-    assert got == [(t0, t0 + dt.timedelta(minutes=10), 3)], got
+        got = [
+            (r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(str(out)).collect()
+        ]
+        assert got == [(t0, t0 + dt.timedelta(minutes=10), 3)], got
+    finally:
+        sc._jsc.setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
