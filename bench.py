@@ -305,6 +305,7 @@ MEDIA_ANN = [
     # path is the next entry.
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_banded",  # corpus-scale banded variant (r8)
+    "knn_join_lsh_banded",  # corpus-scale banded kNN join (r9)
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",

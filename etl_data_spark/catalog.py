@@ -200,6 +200,10 @@ PRIORITY_R9 = [
     "rrf_hybrid_search",
     "mmr_diverse_topk",
     "knn_mrr",
+    # (a') NEW r9 entry — banded-LSH kNN join (knn_join's scale path; a
+    # new oracle-backed entry must be windowed the round it registers).
+    # Takes tpch_q18_large_orders's slot (youngest-green tail → r10 head).
+    "knn_join_lsh_banded",
     # (b) oldest-latest-green-first (mechanical pre-staging)
     "string_function_surface",
     "date_arithmetic",
@@ -240,10 +244,72 @@ PRIORITY_R9 = [
     "tpch_q6_forecast",
     "tpch_q14_promo_ratio",
     "tpch_q19_or_predicates",
-    "tpch_q18_large_orders",
 ]
 
 assert len(PRIORITY_R9) == 50, f"PRIORITY_R9 must fill the window exactly: {len(PRIORITY_R9)}"
+
+# Pre-staged round-10 window, derived mechanically from the committed
+# CORRECTNESS_r*.json records (latest driver-green round per entry,
+# oldest first, registration order as tie-break; entries in the r9
+# window excluded — they earn r9 greens): the eleven tail entries the
+# r9 changed paths displaced lead (r2 tpch anchors, then the r4
+# retrieval/sampling block), then the rest of the r4 greens. Round 10's
+# rotation step: `PRIORITY = PRIORITY_R10`, reset CHANGED_THIS_ROUND,
+# then append that round's changed paths per the changed-path rule.
+PRIORITY_R10 = [
+    "tpch_q18_large_orders",
+    "tpch_q5_regional",
+    "tpch_q22_global_sales",
+    "tpch_q2_min_cost_supply",
+    "tpch_q13_custdist",
+    "tpch_q21_waiting_supplier",
+    "tfidf_topk",
+    "bm25_search",
+    "unigram_logprob",
+    "hash_sample",
+    "stratified_sample",
+    "funnel_counts",
+    "cohort_retention",
+    "event_transitions",
+    "weighted_sample",
+    "dedup_minhash_lsh_native",
+    "dedup_survivor_docs",
+    "dedup_simhash",
+    "multimodal_embed",
+    "multimodal_frame_sample",
+    "streaming_sessionize",
+    "streaming_window_counts",
+    "streaming_stream_join",
+    "corpus_curate_end2end",
+    "window_function_surface",
+    "cdc_snapshot_diff",
+    "cdc_merge_upsert",
+    "scd2_apply",
+    "bitmap_distinct_merge",
+    "hll_incremental_distinct",
+    "interval_merge",
+    "zorder_layout_stats",
+    "regr_daily_trend",
+    "corr_matrix",
+    "basket_pairs",
+    "pagerank_copurchase",
+    "column_profile",
+    "gini_revenue",
+    "countmin_heavy_hitters",
+    "abc_analysis",
+    "tpch_q4_priority_queue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_supply",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promotion_supplier",
+    "value_histogram",
+]
+
+assert len(PRIORITY_R10) == 50, f"PRIORITY_R10 must fill the window exactly: {len(PRIORITY_R10)}"
 
 # The driver verifies the first 50 entries of queries()/oracle_sql();
 # PRIORITY pins that order. Round 8 on: the regression rotation.

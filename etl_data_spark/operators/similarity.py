@@ -156,11 +156,10 @@ def knn_join(
     """Exact k-NN join: for each left row, its k nearest right rows.
 
     Small/medium corpora only (cross join). The scale path is
-    ``lsh_bucket_assign`` + per-bucket knn_join, which prunes the cross
-    product to bucket-local candidates — size the plane count with
-    ``_auto_planes`` (ceil(log2(n/target))) so bucket occupancy, and with
-    it the per-bucket cross product, stays constant as the corpus grows
-    (a fixed plane count is quadratic; SCALE.md §29).
+    ``knn_join_lsh_banded``: banded-LSH candidate pruning with auto-sized
+    codes, so candidates stay linear in corpus size and the per-query
+    ranking window is bounded (a fixed code length is the quadratic trap
+    SCALE.md §29 measured).
 
     Cross-join guard: unless ``allow_cross=True``, the sides are probed
     with BOUNDED counts (``limit(cap).count()`` — the scan short-circuits
@@ -178,9 +177,9 @@ def knn_join(
             right,
             max_pairs,
             op="knn_join",
-            scale_hint="Use the bucketed ANN path (lsh_bucket_assign / "
-            "ivf_assign) for corpora this size, or pass allow_cross=True "
-            "if the cross join is intentional.",
+            scale_hint="Use knn_join_lsh_banded (or the ivf_assign "
+            "bucketed path) for corpora this size, or pass "
+            "allow_cross=True if the cross join is intentional.",
         )
 
     l = left.select(
@@ -193,6 +192,91 @@ def knn_join(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def knn_join_lsh_banded(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bands: int = 4,
+    planes_per_band: int | None = None,
+    target_bucket_rows: int = 64,
+    seed: int = 42,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN join at corpus scale — the banded-LSH variant of
+    ``knn_join`` (which is an all-pairs cross join and guards itself shut
+    on large inputs).
+
+    Same stage shape as ``near_dup_pairs_lsh_banded``: each of ``bands``
+    independent plane-sets buckets BOTH sides (auto-sized codes keep
+    expected occupancy ~``target_bucket_rows`` at any corpus size, so
+    per-band candidates stay LINEAR in rows — a fixed code length is the
+    quadratic trap SCALE.md §29 measured), candidates are the per-band
+    bucket equi-joins carrying only (query_id, neighbor_id), the
+    cross-band ``dropDuplicates`` merges them, and the wide vectors join
+    back ONCE for the exact-cosine scoring. The per-query ``row_number``
+    window then ranks ~bands * target_bucket_rows candidates — a
+    BOUNDED frame by construction of the sizing law, independent of
+    corpus size, so the window never sees a data-scaled partition.
+
+    Approximation contract: a true neighbor is found iff it shares at
+    least one band bucket with the query (probability 1-(1-q^r)^b for
+    per-plane agreement q = 1 - theta/pi), so high-cosine neighbors are
+    found with high probability and the returned ``rank`` is exact OVER
+    THE CANDIDATE SET. Scoring, ordering, and tie-breaks are identical
+    to ``knn_join``; queries sharing no bucket with >= 1 neighbor return
+    fewer than k rows rather than arbitrary fill. ``n_rows``: see
+    ``near_dup_pairs_lsh_banded``.
+    """
+    from pyspark.sql import Window
+
+    if planes_per_band is None:
+        planes_per_band = _auto_planes(
+            n_rows if n_rows is not None else _bounded_count(right),
+            target_bucket_rows,
+        )
+    cand = None
+    for band in range(bands):
+        band_seed = seed + 7919 * band
+        lb = lsh_bucket_assign(
+            left, dim, planes_per_band, band_seed, vec_col
+        ).select(F.col(left_id).alias("query_id"), "bucket")
+        rb = lsh_bucket_assign(
+            right, dim, planes_per_band, band_seed, vec_col
+        ).select(F.col(right_id).alias("neighbor_id"), "bucket")
+        pairs = (
+            lb.join(rb, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    qv = left.select(F.col(left_id).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = right.select(
+        F.col(right_id).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

@@ -1150,6 +1150,72 @@ def q_embedding_near_dup_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _knn_banded_oracle_sql() -> str:
+    """Oracle for the banded-LSH kNN join: per band, (query, neighbor)
+    pairs sharing that band's md5-plane bucket (left side = the 20 query
+    vectors, right side = the corpus); UNION dedups across bands
+    (mirrors the operator's dropDuplicates); vectors join back once and
+    the per-query ROW_NUMBER ranks the ROUNDED cosine with id tiebreak —
+    the same total order as the operator. Fixed (bands=4,
+    planes_per_band=4) so the plane constants are corpus-independent;
+    the auto-sizing path is exercised by pytest and the SCALE.md slope
+    runs instead."""
+    band_ctes, band_pairs = [], []
+    for band in range(_BANDS):
+        seed = _ANN_SEED + _BAND_SEED_STEP * band
+        band_ctes.append(
+            f"kb{band} AS (SELECT vec_id, "
+            f"{_duck_bucket('embedding', seed=seed, planes=_BAND_PLANES)} AS bucket "
+            "FROM embeddings)"
+        )
+        band_pairs.append(
+            f"SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id "
+            f"FROM kb{band} l JOIN kb{band} r ON l.bucket = r.bucket "
+            "AND l.vec_id < 20 AND r.vec_id != l.vec_id"
+        )
+    return f"""
+    WITH {", ".join(band_ctes)},
+    cand AS ({" UNION ".join(band_pairs)}),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND({_duck_cos("ea.embedding", "eb.embedding")}, 6) AS cosine_sim
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.query_id
+      JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@register(
+    "knn_join_lsh_banded",
+    _knn_banded_oracle_sql(),
+    doc="Banded-LSH approximate k-NN join (top-3 neighbors for 20 query "
+    "vectors) — the corpus-scale variant of knn_join_sample: per-band "
+    "bucket equi-joins generate candidates carrying only id pairs, the "
+    "cross-band dedup merges them, vectors join back once for exact "
+    "scoring, and the per-query ranking window is bounded at ~bands x "
+    "target_bucket_rows candidates at ANY corpus size. Deterministic "
+    "given the md5 planes; the oracle replays all 4 band joins, the "
+    "dedup, the exact cosine, and the ranking.",
+)
+def q_knn_join_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    assert dim == _ANN_DIM, "oracle plane constants assume dim=64"
+    left = e.filter(F.col("vec_id") < 20)
+    return S.knn_join_lsh_banded(
+        left, e, k=3, dim=dim, bands=_BANDS, planes_per_band=_BAND_PLANES
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal: as-of join, sessionization, tumbling windows
 # --------------------------------------------------------------------------

@@ -564,6 +564,60 @@ def test_banded_lsh_recall_floor_at_scaled_corpus(spark):
     assert recall >= 0.98, f"planted-twin recall {recall:.4f} at auto planes=7"
 
 
+def test_knn_join_lsh_banded_semantics(spark):
+    """Banded-LSH kNN join (r9): scoring/ordering must be IDENTICAL to
+    the exact knn_join restricted to the candidate set — same rounded
+    cosine, same (sim desc, id) tie-break, ranks contiguous from 1 — and
+    banded candidate generation must recover most of the true top-k on
+    the test corpus (OR over 4 bands). Auto-sizing path runs end-to-end
+    with a caller-supplied n_rows."""
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(e.first()["embedding"])
+    left = e.filter(F.col("vec_id") < 20)
+
+    exact = S.knn_join(left, e, k=3).collect()
+    banded = S.knn_join_lsh_banded(
+        left, e, k=3, dim=dim, bands=4, planes_per_band=4
+    ).collect()
+
+    # exact scoring: every returned sim matches the exact join's sim for
+    # that (query, neighbor) pair (the bands only pick WHO gets scored)
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in S.knn_join(left, e, k=10**6, allow_cross=True).collect()
+    }
+    for r in banded:
+        assert exact_sims[(r["query_id"], r["neighbor_id"])] == r["cosine_sim"]
+
+    # ranks contiguous from 1 per query, ordered by (sim desc, id asc)
+    by_q: dict = {}
+    for r in banded:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r["cosine_sim"], r["neighbor_id"]) for r in rows]
+        assert keys == sorted(keys)
+
+    # recall of the true top-3 across the 20 queries. This corpus's top
+    # neighbors are only weakly similar (cosine ~0.3-0.4 -> per-plane
+    # agreement q ~ 0.62, per-band q^4 ~ 0.15, OR over 4 bands ~ 0.48),
+    # so ~0.4-0.5 IS the theoretical recall here — the high-cosine
+    # contract (planted twins found at ~1.0) is pinned by
+    # test_banded_lsh_recall_floor_at_scaled_corpus on the same banding
+    # machinery; grow `bands` to trade cost for recall on weak neighbors
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["query_id"], r["neighbor_id"]) for r in banded}
+    assert len(found & truth) / len(truth) >= 0.35
+
+    # auto-sized path (planes_per_band=None, explicit n_rows)
+    n = e.count()
+    auto = S.knn_join_lsh_banded(left, e, k=3, dim=dim, n_rows=n).collect()
+    assert auto and all(r["rank"] <= 3 for r in auto)
+
+
 def test_bounded_count_probe(spark):
     """_bounded_count (ADVICE r8): corpus size via limit-doubling probes,
     never a full count() over the input plan. Exact at every size class —

@@ -14,6 +14,7 @@ from etl_data_spark.catalog import (
     PRIORITY_R7,
     PRIORITY_R8,
     PRIORITY_R9,
+    PRIORITY_R10,
     REGISTRY,
 )
 
@@ -44,12 +45,17 @@ def test_window_is_exactly_50_known_entries():
     assert len(PRIORITY_R7) == 50 and len(set(PRIORITY_R7)) == 50
     assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
     assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50
+    assert len(PRIORITY_R10) == 50 and len(set(PRIORITY_R10)) == 50
     unknown = [
         n
-        for n in PRIORITY + PRIORITY_R7 + PRIORITY_R8 + PRIORITY_R9
+        for n in PRIORITY + PRIORITY_R7 + PRIORITY_R8 + PRIORITY_R9 + PRIORITY_R10
         if n not in REGISTRY
     ]
     assert not unknown, f"window references unregistered queries: {unknown}"
+    # the PRE-STAGED next window must not overlap the active one at all —
+    # changed-path exemptions only apply once that round actually changes
+    # code (its rotation step appends them explicitly)
+    assert not set(PRIORITY_R9) & set(PRIORITY_R10)
     # consecutive windows must not overlap EXCEPT for changed-path
     # re-entries — a slot spent on an entry the previous window just
     # re-verified is wasted UNLESS its code path changed again this round

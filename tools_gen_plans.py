@@ -83,6 +83,11 @@ PICK = [
     "spearman_rho",
     "skew_kurtosis",
     "order_reconciliation",
+    # round 9: the banded-LSH scale paths (near-dup added r8, kNN join
+    # added r9) — plan-audited so the id-only candidate shuffles and the
+    # single vector join-back stay visible
+    "embedding_near_dup_lsh_banded",
+    "knn_join_lsh_banded",
 ]
 
 

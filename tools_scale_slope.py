@@ -189,6 +189,23 @@ def entries():
     def q_pagerank(spark, sf_dir):
         return pagerank(edges_of(spark, sf_dir), iters=10)
 
+    # banded-LSH paths in their AUTO-SIZED configuration (the registry
+    # entries pin 4x4 banding for corpus-independent oracle constants;
+    # the scale claim rests on the auto path, so slope THAT): plane
+    # counts grow log2(n), candidates stay linear — SCALE.md §29/§30
+    def q_near_dup_banded_auto(spark, sf_dir):
+        import etl_data_spark.operators.similarity as S
+
+        e = load_table(spark, sf_dir, "embeddings")
+        return S.near_dup_pairs_lsh_banded(e, dim=64, threshold=0.4)
+
+    def q_knn_banded_auto(spark, sf_dir):
+        import etl_data_spark.operators.similarity as S
+
+        e = load_table(spark, sf_dir, "embeddings")
+        left = e.filter(F.col("vec_id") < 20)  # bounded query set
+        return S.knn_join_lsh_banded(left, e, k=3, dim=64)
+
     def q_bfs(spark, sf_dir):
         e = edges_of(spark, sf_dir)
         src_id = symmetrize(e).agg(F.min("u").alias("m")).collect()[0]["m"]
@@ -200,6 +217,8 @@ def entries():
         ("minhash_lsh_incremental", q_minhash_incr),
         ("pagerank_copurchase", q_pagerank),
         ("bfs_hops", q_bfs),
+        ("near_dup_banded_auto", q_near_dup_banded_auto),
+        ("knn_join_banded_auto", q_knn_banded_auto),
     ]
     # registry entries runnable against the scaled dir as-is (their input
     # tables — documents/lineitem/events/embeddings — are the scaled ones;
