@@ -699,21 +699,17 @@ def ivf_topk(
     )
 
 
-def ann_topk(
-    df: DataFrame,
+def query_probes(
     query_vec: list[float],
-    k: int = 10,
     num_planes: int = 4,
     probe_adjacent: bool = True,
     seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket
-    (optionally + all buckets at Hamming distance 1)."""
+) -> set[int]:
+    """Bucket ids a query should probe: its own LSH bucket, plus (with
+    ``probe_adjacent``) every bucket at Hamming distance 1. Driver-side
+    arithmetic over the same md5 planes ``lsh_bucket_assign`` uses, so
+    probe selection is deterministic and engine-independent."""
     dim = len(query_vec)
-    bucketed = lsh_bucket_assign(df, dim, num_planes, seed, vec_col)
-
     qbits = []
     for p in range(num_planes):
         plane = _plane(seed, p, dim)
@@ -725,6 +721,28 @@ def ann_topk(
     probes = {qbucket}
     if probe_adjacent:
         probes |= {qbucket ^ (1 << i) for i in range(num_planes)}
+    return probes
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 4,
+    probe_adjacent: bool = True,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (optionally + all buckets at Hamming distance 1). Buckets are
+    computed on the fly (one pass over the corpus); for a corpus AT REST
+    use ``write_ann_bucketed`` + ``ann_topk_at_rest``, where the probe
+    filter prunes parquet PARTITIONS and the scan reads ~|probes|/2^p of
+    the data instead of all of it."""
+    dim = len(query_vec)
+    bucketed = lsh_bucket_assign(df, dim, num_planes, seed, vec_col)
+    probes = query_probes(query_vec, num_planes, probe_adjacent, seed)
 
     candidates = bucketed.filter(F.col("bucket").isin(*probes))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
@@ -734,6 +752,65 @@ def ann_topk(
             F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
             # emit the deterministic bucket id so the oracle can verify the
             # LSH assignment per result row, not just the final top-k
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def write_ann_bucketed(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the ANN layout the LSH docstrings promise: the corpus
+    parquet-partitioned BY BUCKET ID, so a probed query prunes whole
+    partitions at the scan instead of filtering after reading 100 TB.
+
+    The bucket assignment is the same deterministic md5-plane function
+    the on-the-fly path uses, so a corpus written once keeps serving the
+    same probes forever (new vectors append into their bucket directory).
+    2^num_planes directories; size ``num_planes`` with ``_auto_planes``
+    so per-partition bytes stay bounded as the corpus grows."""
+    (
+        lsh_bucket_assign(df, dim, num_planes, seed, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_topk_at_rest(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 4,
+    probe_adjacent: bool = True,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ann_topk`` against a ``write_ann_bucketed`` corpus: the probe
+    set becomes a PartitionFilter on the bucket partition column, so the
+    scan READS only the probed directories (~|probes|/2^num_planes of
+    the corpus) — verified against the physical plan by
+    ``test_ann_at_rest_partition_pruning``. Results are identical to the
+    on-the-fly ``ann_topk`` with the same parameters by construction
+    (same planes, same probes, same scoring/ordering)."""
+    probes = query_probes(query_vec, num_planes, probe_adjacent, seed)
+    candidates = spark.read.parquet(path).filter(
+        F.col("bucket").isin(*probes)
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
             F.col("bucket").cast("int").alias("bucket"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))

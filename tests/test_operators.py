@@ -618,6 +618,46 @@ def test_knn_join_lsh_banded_semantics(spark):
     assert auto and all(r["rank"] <= 3 for r in auto)
 
 
+def test_ann_at_rest_partition_pruning(spark, tmp_path):
+    """The at-rest ANN layout (r9): write_ann_bucketed partitions the
+    corpus by LSH bucket id; ann_topk_at_rest must (a) return EXACTLY
+    the on-the-fly ann_topk's rows and (b) prune the scan to the probed
+    partitions — the physical plan's PartitionFilters must carry the
+    bucket probe, which is the whole point of the layout at 100 TB."""
+    from etl_data_spark.operators.similarity import (
+        ann_topk_at_rest,
+        query_probes,
+        write_ann_bucketed,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(e.first()["embedding"])
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "ann_bucketed")
+    write_ann_bucketed(e, path, dim=dim, num_planes=4)
+
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert dirs and len(dirs) <= 16  # 2^4 partition directories
+
+    at_rest = ann_topk_at_rest(spark, path, qvec, k=10, num_planes=4)
+    fly = S.ann_topk(e, qvec, k=10, num_planes=4)
+    assert [tuple(r) for r in at_rest.collect()] == [
+        tuple(r) for r in fly.collect()
+    ]
+
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    probes = query_probes(qvec, num_planes=4)
+    assert "PartitionFilters" in plan
+    # the probe list reaches the partition filter (scan-level pruning,
+    # not a post-read filter): every probed id appears in the plan's
+    # PartitionFilters clause
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert all(str(p) in pf for p in probes), pf
+
+
 def test_bounded_count_probe(spark):
     """_bounded_count (ADVICE r8): corpus size via limit-doubling probes,
     never a full count() over the input plan. Exact at every size class —
