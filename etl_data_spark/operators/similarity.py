@@ -661,6 +661,40 @@ def kmeans_objective(
     return assigned.select(F.avg(best_sim).alias("obj")).collect()[0]["obj"]
 
 
+def ivf_probes(
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 2,
+) -> list[int]:
+    """Cell ids of the ``n_probe`` centroids nearest the query by cosine
+    (driver-side — k centroids, not the corpus). Shared by the on-the-fly
+    and at-rest IVF paths so probe selection cannot diverge."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(centroids, key=lambda cv: -cos(query_vec, cv[1]))
+    return [cid for cid, _ in ranked[:n_probe]]
+
+
+def _ivf_score_probed(candidates: DataFrame, query_vec, k, id_col, vec_col):
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            # deterministic cell id in the output -> oracle checks the IVF
+            # assignment itself, not just the surviving top-k
+            F.col("cell").cast("int").alias("cell"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -671,32 +705,55 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors in the ``n_probe`` cells
-    nearest the query. With cell as a storage partition key the probed scan
-    reads ~n_probe/k_cells of the corpus."""
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return dot_ / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(centroids, key=lambda cv: -cos(query_vec, cv[1]))
-    probes = [cid for cid, _ in ranked[:n_probe]]
-
+    nearest the query. Cells are assigned on the fly here; for a corpus
+    AT REST use ``write_ivf_partitioned`` + ``ivf_topk_at_rest``, where
+    the probe filter prunes parquet partitions and the scan reads
+    ~n_probe/k_cells of the corpus."""
+    probes = ivf_probes(query_vec, centroids, n_probe)
     assigned = ivf_assign(df, centroids, vec_col)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (
-        assigned.filter(F.col("cell").isin(probes))
-        .select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
-            # deterministic cell id in the output -> oracle checks the IVF
-            # assignment itself, not just the surviving top-k
-            F.col("cell").cast("int").alias("cell"),
-        )
-        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
-        .limit(k)
+    return _ivf_score_probed(
+        assigned.filter(F.col("cell").isin(probes)), query_vec, k, id_col, vec_col
     )
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: the corpus parquet-partitioned by cell
+    id (the coarse-quantizer assignment baked into the plan as literals —
+    a narrow map, no shuffle beyond the write). Keep the SAME centroid
+    list for probing; at scale, persist the centroids beside the layout.
+    New batches can ``.write.mode("append")`` through ``ivf_assign`` with
+    the same centroids — untouched cells are never rewritten."""
+    (
+        ivf_assign(df, centroids, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_at_rest(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` against a ``write_ivf_partitioned`` corpus: the probe
+    cells become a PartitionFilter, so the scan reads ~n_probe/k_cells of
+    the corpus (plan-pinned by ``test_ivf_at_rest_partition_pruning``).
+    Row-identical to the on-the-fly path with the same centroids by
+    construction (shared ``ivf_probes`` + shared scoring)."""
+    probes = ivf_probes(query_vec, centroids, n_probe)
+    candidates = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return _ivf_score_probed(candidates, query_vec, k, id_col, vec_col)
 
 
 def query_probes(
@@ -779,6 +836,29 @@ def write_ann_bucketed(
     (
         lsh_bucket_assign(df, dim, num_planes, seed, vec_col)
         .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def append_ann_bucketed(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a ``write_ann_bucketed`` layout: new
+    vectors APPEND into their bucket directories (dynamic-partition
+    append — untouched buckets are never rewritten), so a growing corpus
+    costs writes proportional to the batch, not the index. Assignment is
+    the same deterministic md5-plane function, so every existing probe
+    keeps working; ``num_planes``/``seed`` MUST match the original write
+    (at scale, store them beside the layout as table properties)."""
+    (
+        lsh_bucket_assign(df, dim, num_planes, seed, vec_col)
+        .write.mode("append")
         .partitionBy("bucket")
         .parquet(path)
     )

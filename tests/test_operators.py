@@ -658,6 +658,60 @@ def test_ann_at_rest_partition_pruning(spark, tmp_path):
     assert all(str(p) in pf for p in probes), pf
 
 
+def test_ann_at_rest_incremental_append(spark, tmp_path):
+    """append_ann_bucketed (r9): a layout written from a base corpus and
+    then APPENDED with a new batch must serve probes exactly as a fresh
+    full write would — the deterministic planes mean new vectors land in
+    the right bucket directories and existing probes keep working."""
+    from etl_data_spark.operators.similarity import (
+        ann_topk_at_rest,
+        append_ann_bucketed,
+        write_ann_bucketed,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(e.first()["embedding"])
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "ann_incr")
+
+    write_ann_bucketed(e.filter(F.col("vec_id") < 100), path, dim=dim)
+    append_ann_bucketed(e.filter(F.col("vec_id") >= 100), path, dim=dim)
+
+    incr = ann_topk_at_rest(spark, path, qvec, k=10)
+    fly = S.ann_topk(e, qvec, k=10)
+    assert [tuple(r) for r in incr.collect()] == [tuple(r) for r in fly.collect()]
+
+
+def test_ivf_at_rest_partition_pruning(spark, tmp_path):
+    """IVF twin of the LSH at-rest pin: write_ivf_partitioned partitions
+    by cell, ivf_topk_at_rest returns exactly the on-the-fly rows, and
+    the probe cells reach the scan as PartitionFilters."""
+    from etl_data_spark.operators.similarity import (
+        ivf_probes,
+        ivf_topk_at_rest,
+        write_ivf_partitioned,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    cents = S.sample_centroids(e, k=8)
+    path = str(tmp_path / "ivf_cells")
+    write_ivf_partitioned(e, path, cents)
+
+    at_rest = ivf_topk_at_rest(spark, path, qvec, cents, k=10, n_probe=3)
+    fly = S.ivf_topk(e, qvec, cents, k=10, n_probe=3)
+    assert [tuple(r) for r in at_rest.collect()] == [
+        tuple(r) for r in fly.collect()
+    ]
+
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert all(str(c) in pf for c in ivf_probes(qvec, cents, 3)), pf
+
+
 def test_bounded_count_probe(spark):
     """_bounded_count (ADVICE r8): corpus size via limit-doubling probes,
     never a full count() over the input plan. Exact at every size class —
