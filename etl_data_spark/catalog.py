@@ -7,10 +7,11 @@ The driver verifies a bounded prefix of the registry (observed: the first
 ``oracle_sql()`` so that window always holds the highest-information set.
 
 Rotation policy: the catalog exceeds 50 high-value entries, so the window
-rotates across rounds. Rounds 1-7 completed the burn-down: every
-oracle-backed entry (282 of 283) holds at least one driver-green
-CORRECTNESS row (CORRECTNESS_r01-r07; the 283rd, generator_profile, is
-rows-only by design). From round 8 on the window is a REGRESSION
+rotates across rounds. Rounds 1-7 completed the original burn-down (282
+of the then-283 entries); as of round 9 the cross-round union covers ALL
+284 oracle-backed entries of the current 285-entry registry
+(CORRECTNESS_r01-r09; the 285th, generator_profile, is rows-only by
+design). From round 8 on the window is a REGRESSION
 rotation (ROTATION.md): entries whose code paths changed in the prior or
 current round first, then oldest-driver-green-first, so the whole catalog
 re-earns a fresh row roughly every 5-6 rounds and no entry's record can
@@ -254,9 +255,25 @@ assert len(PRIORITY_R9) == 50, f"PRIORITY_R9 must fill the window exactly: {len(
 # window excluded — they earn r9 greens): the eleven tail entries the
 # r9 changed paths displaced lead (r2 tpch anchors, then the r4
 # retrieval/sampling block), then the rest of the r4 greens. Round 10's
-# rotation step: `PRIORITY = PRIORITY_R10`, reset CHANGED_THIS_ROUND,
-# then append that round's changed paths per the changed-path rule.
+# rotation step (applied below): the four entries whose code paths change
+# THIS round lead the window per the changed-path rule — the floor6
+# oracle now mirrors brute_force_topk_vectorized's 0.0 degenerate
+# contract (ADVICE r9 → embedding_topk_vectorized oracle SQL changed),
+# `_bounded_count` short-circuits exchange-shaped plans (ADVICE r9 →
+# near_dup_pairs_lsh's auto-sizing branch), and the banded family gains
+# `_auto_bands`/`target_recall` + caching guidance (r9 verdict #4 /
+# ADVICE r9 → near_dup_pairs_lsh_banded, knn_join_lsh_banded). They
+# displace the four YOUNGEST-green tail entries (tpch_q15/q16/q20,
+# value_histogram) to the r11 head.
 PRIORITY_R10 = [
+    # (a) r10 changed paths — all hold r9-green rows, re-earning
+    # post-change (consecutive-window overlap is allowed exactly for
+    # CHANGED_THIS_ROUND members)
+    "embedding_topk_vectorized",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_banded",
+    "knn_join_lsh_banded",
+    # (b) mechanical pre-staging: oldest-latest-green-first
     "tpch_q18_large_orders",
     "tpch_q5_regional",
     "tpch_q22_global_sales",
@@ -303,6 +320,11 @@ PRIORITY_R10 = [
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_supply",
+]
+
+# Displaced youngest-green tail (r10 changed paths took their slots);
+# they lead the round-11 window per the rotation rule.
+_DISPLACED_TO_R11 = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "tpch_q20_promotion_supplier",
@@ -313,7 +335,7 @@ assert len(PRIORITY_R10) == 50, f"PRIORITY_R10 must fill the window exactly: {le
 
 # The driver verifies the first 50 entries of queries()/oracle_sql();
 # PRIORITY pins that order. Round 8 on: the regression rotation.
-PRIORITY = PRIORITY_R9
+PRIORITY = PRIORITY_R10
 
 # Entries whose implementing code path changed during the CURRENT round.
 # ROTATION.md rule (written r8): a changed entry must re-earn a driver
@@ -323,12 +345,24 @@ PRIORITY = PRIORITY_R9
 # change lands on an un-windowed entry, swap out a youngest-green tail
 # entry in the same commit.
 CHANGED_THIS_ROUND = [
-    # r9: quadratic fixed-plane LSH retirement (near_dup_pairs_lsh
-    # defaults to auto-sized planes; near_dup_pairs/near_dup_pairs_lsh_
-    # banded guard/docstring + bounded-probe auto-sizer) and the
-    # degenerate-contract oracle mirror (ADVICE r8: NULLIF + isnan →
-    # NULL in _duck_cos, _SQL_COSINE, _SQL_PAIR_COSINE, _SQL_COS_RRF —
-    # the oracle now pins cosine()'s NULL-on-zero-norm/NaN semantics):
+    # r10: the floor6 oracle mirrors brute_force_topk_vectorized's 0.0
+    # degenerate contract (ADVICE r9 — oracle SQL change, so the green
+    # row's comparison moved even though values match on clean corpora);
+    # _bounded_count short-circuits exchange-shaped plans (ADVICE r9 —
+    # near_dup_pairs_lsh's num_planes=None auto-sizing branch);
+    # near_dup_pairs_lsh_banded gains _auto_bands via target_recall
+    # (r9 verdict #4); knn_join_lsh_banded input-caching guidance +
+    # shared sizer (ADVICE r9):
+    "embedding_topk_vectorized",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_banded",
+    "knn_join_lsh_banded",
+]
+
+# Frozen history: the r9 changed-path list, kept so the rotation tests can
+# audit the r8→r9 window overlap against the exemption that justified it,
+# independent of the CURRENT round's list (test_rotation.py).
+CHANGED_R9 = [
     "embedding_topk",
     "knn_join_sample",
     "embedding_near_dup",

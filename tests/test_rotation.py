@@ -9,6 +9,7 @@ import json
 import os
 
 from etl_data_spark.catalog import (
+    CHANGED_R9,
     CHANGED_THIS_ROUND,
     PRIORITY,
     PRIORITY_R7,
@@ -52,18 +53,22 @@ def test_window_is_exactly_50_known_entries():
         if n not in REGISTRY
     ]
     assert not unknown, f"window references unregistered queries: {unknown}"
-    # the PRE-STAGED next window must not overlap the active one at all —
-    # changed-path exemptions only apply once that round actually changes
-    # code (its rotation step appends them explicitly)
-    assert not set(PRIORITY_R9) & set(PRIORITY_R10)
     # consecutive windows must not overlap EXCEPT for changed-path
     # re-entries — a slot spent on an entry the previous window just
     # re-verified is wasted UNLESS its code path changed again this round
-    # (ROTATION.md: a changed entry must re-earn its row the same round)
-    overlap = set(PRIORITY_R8) & set(PRIORITY_R9)
-    assert overlap <= set(CHANGED_THIS_ROUND), (
+    # (ROTATION.md: a changed entry must re-earn its row the same round).
+    # Historical pairs are audited against the frozen changed-list of the
+    # round that justified the overlap; the latest pair against the
+    # current round's list.
+    overlap_89 = set(PRIORITY_R8) & set(PRIORITY_R9)
+    assert overlap_89 <= set(CHANGED_R9), (
+        f"unchanged entries repeated across the r8/r9 windows: "
+        f"{sorted(overlap_89 - set(CHANGED_R9))}"
+    )
+    overlap_910 = set(PRIORITY_R9) & set(PRIORITY_R10)
+    assert overlap_910 <= set(CHANGED_THIS_ROUND), (
         f"unchanged entries repeat across consecutive windows: "
-        f"{sorted(overlap - set(CHANGED_THIS_ROUND))}"
+        f"{sorted(overlap_910 - set(CHANGED_THIS_ROUND))}"
     )
 
 
@@ -71,9 +76,9 @@ def test_active_window_is_the_regression_rotation():
     """Round 8 on: the burn-down is complete, so the active window must be
     the regression rotation, opening with the current round's changed code
     paths (ROTATION.md)."""
-    assert PRIORITY is PRIORITY_R9
-    # r9 changed paths lead the window: the quadratic-LSH retirement + the
-    # degenerate-contract oracle mirror (the full cosine family)
+    assert PRIORITY is PRIORITY_R10
+    # r10 changed paths lead the window: the floor6 degenerate-contract
+    # oracle mirror + the _bounded_count/_auto_bands banded-family work
     assert PRIORITY[: len(CHANGED_THIS_ROUND)] == CHANGED_THIS_ROUND
 
 
