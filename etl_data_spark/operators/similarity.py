@@ -23,6 +23,7 @@ emit boundary anyway.
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import DataFrame
@@ -241,6 +242,17 @@ def knn_join_lsh_banded(
     to ``knn_join``; queries sharing no bucket with >= 1 neighbor return
     fewer than k rows rather than arbitrary fill. ``n_rows``: see
     ``near_dup_pairs_lsh_banded``.
+
+    Input re-evaluation: each band re-derives buckets from BOTH sides
+    (``2 * bands`` ``lsh_bucket_assign`` scans) and the scoring joins
+    back to each side once more — ~``bands + 1`` evaluations per input
+    plan (~10 total at the default ``bands=4``). For plain parquet
+    scans that is the cheap, cache-free design; for an EXPENSIVE
+    uncached upstream plan, ``.cache()``/checkpoint the inputs first or
+    read the right side from its at-rest layout (``write_ann_bucketed``
+    already persists the per-band bucket of ONE plane-set; a banded
+    layout is ``bands`` such writes), matching the guidance on
+    ``near_dup_pairs_lsh_banded``.
     """
     from pyspark.sql import Window
 
@@ -397,22 +409,78 @@ def _auto_planes(n: int, target_bucket_rows: int) -> int:
 
 def _bounded_count(df: DataFrame, start: int = 1024) -> int:
     """Corpus size via successive ``limit(cap).count()`` doubling — never
-    a full unbounded ``count()`` over a possibly expensive uncached plan.
+    a full unbounded ``count()`` over a possibly expensive uncached SCAN.
 
     Each probe is a CollectLimit that short-circuits at ``cap`` rows
     (Spark runs one partition, then scales up only if needed), so small
     frames answer in one cheap job and the cumulative cost is bounded by
     ~3n limited-scan rows — vs a full aggregate pass that executes the
-    ENTIRE upstream plan just to pick an integer. The consumer only needs
+    ENTIRE upstream plan just to pick an integer. That bound holds ONLY
+    for scan-shaped plans: when the input carries an exchange
+    (shuffle/aggregate-backed), ``limit(cap)`` cannot short-circuit the
+    upstream — every doubling probe would re-execute the full plan,
+    turning the loop into O(n log n) upstream work. So exchange-shaped
+    plans short-circuit to ONE ``count()`` here (one full execution, the
+    best available without caching). The consumer only needs
     ceil(log2(n/target)) granularity, so callers with a known/estimated
     size should pass it directly (``n_rows``) and skip the probe
     entirely; this is the fallback for interactive use."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # pragma: no cover - plan introspection best-effort
+        plan = "Exchange"  # unknown shape: assume the probe loop is unsafe
+    if "Exchange" in plan:
+        return df.count()
     cap = start
     while True:
         c = df.limit(cap).count()
         if c < cap:
             return c
         cap *= 2
+
+
+def _auto_bands(
+    n: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    target_bucket_rows: int = 64,
+    max_bands: int = 64,
+    planes_per_band: int | None = None,
+) -> int:
+    """Band count that holds expected recall ~``target_recall`` AT the
+    cosine ``threshold``, given auto-sized codes — the SCALE.md §29 law
+    as code instead of prose.
+
+    A pair with cosine ``s`` agrees on one sign-random-projection plane
+    with probability q = 1 - arccos(s)/pi, survives a band of r planes
+    with q^r, and survives ANY of b OR'd bands with 1-(1-q^r)^b.
+    ``r = _auto_planes(n, target_bucket_rows)`` grows with log n (that is
+    exactly what keeps per-band candidates linear in n), so holding
+    recall at a LOW threshold requires b to grow with log n too; this
+    solves b >= log(1-R) / log(1-q^r) at s = threshold. Cost is linear in
+    b (b bucket equi-joins, each ~n*target/2 candidate pairs), so the
+    recall floor is bought at b/4 the fixed-``bands=4`` cost ratio.
+    Clamped to [1, max_bands] — at 100 TB cap ``max_bands`` by the
+    shuffle budget and lower ``target_recall`` instead of letting b run
+    away on near-orthogonal thresholds. ``planes_per_band``: pass the
+    code length actually in use when it was chosen explicitly; None
+    re-derives it from (n, target_bucket_rows) like the callers do."""
+    r = (
+        planes_per_band
+        if planes_per_band is not None
+        else _auto_planes(n, target_bucket_rows)
+    )
+    t = max(-1.0, min(1.0, threshold))
+    q = 1.0 - math.acos(t) / math.pi
+    qr = q**r
+    if qr >= 1.0:
+        return 1
+    if qr <= 0.0:
+        return max_bands
+    b = math.ceil(
+        math.log1p(-min(target_recall, 0.999999)) / math.log1p(-qr)
+    )
+    return max(1, min(max_bands, b))
 
 
 def near_dup_pairs_lsh_banded(
@@ -426,6 +494,7 @@ def near_dup_pairs_lsh_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Banded sign-random-projection near-dup pairs — the corpus-scale
     variant of ``near_dup_pairs_lsh``.
@@ -456,11 +525,35 @@ def near_dup_pairs_lsh_banded(
     entire (possibly expensive, uncached) input plan once more before the
     band joins execute it again. At 100 TB pass ``n_rows`` (or an
     explicit ``planes_per_band``) from catalog statistics.
+
+    ``target_recall``: when set, ``bands`` is REPLACED by
+    ``_auto_bands(n, threshold, target_recall)`` — the 1-(1-q^r)^b law
+    solved for b at the mining threshold, growing with log n alongside
+    the auto-sized codes. Fixed ``bands=4`` holds recall FLAT but LOW in
+    the low-threshold regime (~0.52 at threshold 0.4, §29); a recall
+    floor is bought with linearly more bands (each band is one more
+    n*target/2-candidate equi-join), so at 100 TB set the floor you can
+    afford rather than inheriting the default.
+
+    Input re-evaluation: each band re-derives buckets from ``df`` (one
+    ``lsh_bucket_assign`` scan per band) and the verify joins back to
+    ``df`` twice more — ``bands + 2`` evaluations of the input plan. For
+    a plain parquet scan that is the cheap, cache-free design; for an
+    EXPENSIVE upstream plan (joins/aggregations), ``.cache()`` or
+    checkpoint the input first, or run against the at-rest layout
+    (``write_ann_bucketed``), or the multiplier bites.
     """
+    if planes_per_band is None or target_recall is not None:
+        n = n_rows if n_rows is not None else _bounded_count(df)
     if planes_per_band is None:
-        planes_per_band = _auto_planes(
-            n_rows if n_rows is not None else _bounded_count(df),
+        planes_per_band = _auto_planes(n, target_bucket_rows)
+    if target_recall is not None:
+        bands = _auto_bands(
+            n,
+            threshold,
+            target_recall,
             target_bucket_rows,
+            planes_per_band=planes_per_band,
         )
     ids = None
     for band in range(bands):
@@ -716,6 +809,102 @@ def ivf_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# At-rest layout metadata sidecar
+#
+# The r9 at-rest layouts had a read-time footgun: probes and appends had to
+# re-supply the EXACT write-time parameters (planes/seed or centroid list);
+# a mismatch silently probed the wrong directories, and append_ann_bucketed
+# would happily mix two plane-sets in one layout — corrupted probes forever
+# after. The sidecar makes the layout self-describing: the write paths
+# persist their parameters beside the data, the read/append paths default
+# to them, and an EXPLICIT parameter that contradicts the sidecar fails
+# loudly instead of corrupting.
+# --------------------------------------------------------------------------
+
+_ANN_META_FILE = "_ann_meta.json"
+
+
+def _layout_meta_path(spark, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path, _ANN_META_FILE)
+
+
+def _write_layout_meta(spark, path: str, meta: dict) -> None:
+    """Persist layout parameters as an ``_ann_meta.json`` sidecar under
+    the layout root (underscore-prefixed, so Spark's file index treats it
+    as hidden metadata like ``_SUCCESS`` and scans never read it as
+    data). Written through the Hadoop FileSystem API, so the layout may
+    live on HDFS/S3/local alike — the sidecar rides the same filesystem
+    as the parquet it describes."""
+    p = _layout_meta_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _read_layout_meta(spark, path: str) -> dict | None:
+    """Read the ``_ann_meta.json`` sidecar; None for a pre-sidecar
+    (legacy) layout, where read paths fall back to explicit params."""
+    p = _layout_meta_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _resolve_meta(
+    meta: dict | None,
+    kind: str,
+    path: str,
+    op: str,
+    **explicit,
+) -> dict:
+    """Merge explicit parameters with the sidecar: sidecar fills every
+    None; an explicit value that CONTRADICTS the sidecar raises (the
+    sidecar records what the directories physically are — probing or
+    appending under different parameters is never right); with no
+    sidecar every parameter must be explicit (legacy layout)."""
+    if meta is None:
+        missing = [k for k, v in explicit.items() if v is None]
+        if missing:
+            raise ValueError(
+                f"{op}: layout at {path!r} has no {_ANN_META_FILE} sidecar "
+                f"(pre-r10 layout?) and {missing} were not passed — supply "
+                "them explicitly, matching the original write."
+            )
+        return explicit
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"{op}: layout at {path!r} is kind={meta.get('kind')!r}, "
+            f"not {kind!r} — wrong reader for this layout."
+        )
+    resolved = {}
+    for key, val in explicit.items():
+        if val is None:
+            resolved[key] = meta.get(key)
+        elif key in meta and val != meta[key]:
+            raise ValueError(
+                f"{op}: explicit {key}={val!r} contradicts the layout's "
+                f"sidecar ({key}={meta[key]!r}) at {path!r} — a mismatched "
+                f"{key} would silently probe/append the wrong bucket "
+                "directories. Drop the override (the sidecar is "
+                "authoritative) or rewrite the layout."
+            )
+        else:
+            resolved[key] = val
+    return resolved
+
+
 def write_ivf_partitioned(
     df: DataFrame,
     path: str,
@@ -724,15 +913,38 @@ def write_ivf_partitioned(
 ) -> None:
     """Materialize the IVF layout: the corpus parquet-partitioned by cell
     id (the coarse-quantizer assignment baked into the plan as literals —
-    a narrow map, no shuffle beyond the write). Keep the SAME centroid
-    list for probing; at scale, persist the centroids beside the layout.
-    New batches can ``.write.mode("append")`` through ``ivf_assign`` with
-    the same centroids — untouched cells are never rewritten."""
+    a narrow map, no shuffle beyond the write). The centroid list is
+    persisted beside the data (``_ann_meta.json``), so probes and
+    appends default to the EXACT quantizer the directories were built
+    with. New batches can ``.write.mode("append")`` through
+    ``ivf_assign`` with the same centroids — untouched cells are never
+    rewritten."""
     (
         ivf_assign(df, centroids, vec_col)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
+    )
+    _write_layout_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "ivf",
+            "centroids": _centroids_jsonable(centroids),
+            "vec_col": vec_col,
+        },
+    )
+
+
+def _centroids_jsonable(
+    centroids: list[tuple[int, list[float]]],
+) -> list[list]:
+    """Canonical JSON shape for a centroid list: [[cell_id, [floats]]…],
+    sorted by cell id. float64 survives a JSON round-trip exactly (repr
+    serialization), so sidecar equality is exact equality."""
+    return sorted(
+        [[int(c), [float(x) for x in v]] for c, v in centroids],
+        key=lambda cv: cv[0],
     )
 
 
@@ -740,7 +952,7 @@ def ivf_topk_at_rest(
     spark,
     path: str,
     query_vec: list[float],
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
     k: int = 10,
     n_probe: int = 2,
     id_col: str = "vec_id",
@@ -750,8 +962,21 @@ def ivf_topk_at_rest(
     cells become a PartitionFilter, so the scan reads ~n_probe/k_cells of
     the corpus (plan-pinned by ``test_ivf_at_rest_partition_pruning``).
     Row-identical to the on-the-fly path with the same centroids by
-    construction (shared ``ivf_probes`` + shared scoring)."""
-    probes = ivf_probes(query_vec, centroids, n_probe)
+    construction (shared ``ivf_probes`` + shared scoring).
+
+    ``centroids`` defaults to the layout's sidecar (the quantizer the
+    directories were physically built with); an explicit list that
+    contradicts the sidecar raises rather than silently probing the
+    wrong cells."""
+    meta = _read_layout_meta(spark, path)
+    explicit = (
+        _centroids_jsonable(centroids) if centroids is not None else None
+    )
+    resolved = _resolve_meta(
+        meta, "ivf", path, "ivf_topk_at_rest", centroids=explicit
+    )
+    cents = [(int(c), list(v)) for c, v in resolved["centroids"]]
+    probes = ivf_probes(query_vec, cents, n_probe)
     candidates = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     return _ivf_score_probed(candidates, query_vec, k, id_col, vec_col)
 
@@ -820,9 +1045,11 @@ def write_ann_bucketed(
     df: DataFrame,
     path: str,
     dim: int,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
+    target_bucket_rows: int = 4096,
+    n_rows: int | None = None,
 ) -> None:
     """Materialize the ANN layout the LSH docstrings promise: the corpus
     parquet-partitioned BY BUCKET ID, so a probed query prunes whole
@@ -831,37 +1058,95 @@ def write_ann_bucketed(
     The bucket assignment is the same deterministic md5-plane function
     the on-the-fly path uses, so a corpus written once keeps serving the
     same probes forever (new vectors append into their bucket directory).
-    2^num_planes directories; size ``num_planes`` with ``_auto_planes``
-    so per-partition bytes stay bounded as the corpus grows."""
+    2^num_planes directories; ``num_planes=None`` (default) auto-sizes
+    the code with ``_auto_planes`` so expected per-partition rows stay
+    ~``target_bucket_rows`` at ANY corpus size (pass ``n_rows`` from
+    catalog statistics at scale to skip the bounded probe) — the r9
+    fixed-4 default made partitions grow linearly with the corpus. The
+    chosen ``num_planes``/``seed``/``dim``/``vec_col`` are persisted
+    beside the data (``_ann_meta.json``), so probes and appends default
+    to the EXACT plane-set the directories were built with."""
+    if num_planes is None:
+        num_planes = _auto_planes(
+            n_rows if n_rows is not None else _bounded_count(df),
+            target_bucket_rows,
+        )
     (
         lsh_bucket_assign(df, dim, num_planes, seed, vec_col)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
     )
+    _write_layout_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "lsh",
+            "num_planes": int(num_planes),
+            "seed": int(seed),
+            "dim": int(dim),
+            "vec_col": vec_col,
+        },
+    )
 
 
 def append_ann_bucketed(
     df: DataFrame,
     path: str,
-    dim: int,
-    num_planes: int = 4,
-    seed: int = 42,
-    vec_col: str = "embedding",
+    dim: int | None = None,
+    num_planes: int | None = None,
+    seed: int | None = None,
+    vec_col: str | None = None,
 ) -> None:
     """Incremental maintenance of a ``write_ann_bucketed`` layout: new
     vectors APPEND into their bucket directories (dynamic-partition
     append — untouched buckets are never rewritten), so a growing corpus
-    costs writes proportional to the batch, not the index. Assignment is
-    the same deterministic md5-plane function, so every existing probe
-    keeps working; ``num_planes``/``seed`` MUST match the original write
-    (at scale, store them beside the layout as table properties)."""
+    costs writes proportional to the batch, not the index.
+
+    ``num_planes``/``seed``/``dim``/``vec_col`` default to the layout's
+    ``_ann_meta.json`` sidecar — the plane-set the directories were
+    physically built with — and an explicit value that CONTRADICTS the
+    sidecar raises: appending vectors bucketed under different planes
+    would corrupt every probe of the layout forever after, silently.
+    For a pre-sidecar (legacy) layout all four must be passed explicitly,
+    and a successful append stamps the sidecar so the layout is
+    self-describing from then on."""
+    spark = df.sparkSession
+    meta = _read_layout_meta(spark, path)
+    resolved = _resolve_meta(
+        meta,
+        "lsh",
+        path,
+        "append_ann_bucketed",
+        dim=dim,
+        num_planes=num_planes,
+        seed=seed,
+        vec_col=vec_col,
+    )
     (
-        lsh_bucket_assign(df, dim, num_planes, seed, vec_col)
+        lsh_bucket_assign(
+            df,
+            resolved["dim"],
+            resolved["num_planes"],
+            resolved["seed"],
+            resolved["vec_col"],
+        )
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(path)
     )
+    if meta is None:
+        _write_layout_meta(
+            spark,
+            path,
+            {
+                "kind": "lsh",
+                "num_planes": int(resolved["num_planes"]),
+                "seed": int(resolved["seed"]),
+                "dim": int(resolved["dim"]),
+                "vec_col": resolved["vec_col"],
+            },
+        )
 
 
 def ann_topk_at_rest(
