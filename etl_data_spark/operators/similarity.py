@@ -1154,11 +1154,11 @@ def ann_topk_at_rest(
     path: str,
     query_vec: list[float],
     k: int = 10,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     probe_adjacent: bool = True,
-    seed: int = 42,
+    seed: int | None = None,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
 ) -> DataFrame:
     """``ann_topk`` against a ``write_ann_bucketed`` corpus: the probe
     set becomes a PartitionFilter on the bucket partition column, so the
@@ -1166,7 +1166,29 @@ def ann_topk_at_rest(
     the corpus) — verified against the physical plan by
     ``test_ann_at_rest_partition_pruning``. Results are identical to the
     on-the-fly ``ann_topk`` with the same parameters by construction
-    (same planes, same probes, same scoring/ordering)."""
+    (same planes, same probes, same scoring/ordering).
+
+    ``num_planes``/``seed``/``vec_col`` default to the layout's
+    ``_ann_meta.json`` sidecar — the plane-set the directories were
+    physically built with — and an explicit value that CONTRADICTS the
+    sidecar raises rather than silently probing the wrong directories
+    and returning confidently wrong neighbors. For a pre-sidecar
+    (legacy) layout all three must be passed explicitly."""
+    meta = _read_layout_meta(spark, path)
+    resolved = _resolve_meta(
+        meta,
+        "lsh",
+        path,
+        "ann_topk_at_rest",
+        num_planes=num_planes,
+        seed=seed,
+        vec_col=vec_col,
+    )
+    num_planes, seed, vec_col = (
+        resolved["num_planes"],
+        resolved["seed"],
+        resolved["vec_col"],
+    )
     probes = query_probes(query_vec, num_planes, probe_adjacent, seed)
     candidates = spark.read.parquet(path).filter(
         F.col("bucket").isin(*probes)

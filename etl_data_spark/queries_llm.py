@@ -839,10 +839,16 @@ _SQL_COSINE = f"ROUND({_SQL_COSINE_GUARDED_RAW}, 6)"
 # vectorized operator applies (np.floor over the same IEEE ops), so the
 # oracle and the operator share one rounding rule instead of relying on
 # np.round (half-to-even) and SQL ROUND (half-away-from-zero) agreeing.
-# Deliberately NOT the NULL-guarded form: brute_force_topk_vectorized's
-# own contract scores zero-norm vectors 0.0 (np.where(denom > 0, ., 0.0)),
-# not NULL — a different (also deterministic) degenerate rule.
-_SQL_COSINE_FLOOR6 = f"(FLOOR({_SQL_COSINE_RAW} * 1e6 + 0.5) / 1e6 + 0.0)"
+# Degenerate rule: brute_force_topk_vectorized scores zero-norm vectors
+# 0.0 (np.where(denom > 0, ., 0.0)), not NULL — so the oracle COALESCEs
+# the NULL-guarded form to 0.0 BEFORE the shared floor rounding. (r10,
+# ADVICE r9: the previous unguarded expression yielded NaN/NULL on a
+# 0/0, silently diverging from the operator if a degenerate vector ever
+# entered the benched corpus; now both sides pin the same 0.0 contract.)
+_SQL_COSINE_FLOOR6 = (
+    f"(FLOOR(COALESCE({_SQL_COSINE_GUARDED_RAW}, 0.0) * 1e6 + 0.5) "
+    "/ 1e6 + 0.0)"
+)
 
 
 @register(

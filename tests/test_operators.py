@@ -2,6 +2,7 @@
 where the expected answer is known exactly)."""
 
 import datetime as dt
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -564,6 +565,100 @@ def test_banded_lsh_recall_floor_at_scaled_corpus(spark):
     assert recall >= 0.98, f"planted-twin recall {recall:.4f} at auto planes=7"
 
 
+def test_auto_bands_holds_recall_floor_at_low_threshold(spark):
+    """_auto_bands (r10): the §29 recall law as code. Fixed bands=4
+    holds recall FLAT but LOW in the low-threshold regime; passing
+    target_recall must solve 1-(1-q^r)^b for b at the mining threshold
+    and actually deliver the floor. Corpus: 4k random base vectors plus
+    4k planted HALF-COPY partners (shared first half, fresh second half
+    -> true cosine ~0.5 +/- 0.1, i.e. genuinely weak neighbors, not
+    twins). Theory at r=4 planes/band, pair cosine 0.5: q = 1 -
+    arccos(.5)/pi = 2/3, per-band hit q^4 ~ 0.20 -> fixed b=4 recall
+    ~ 0.59; target_recall=0.9 at threshold 0.45 solves b=12 -> expected
+    ~ 0.93 on the planted pairs. Recall is measured ONLY over planted
+    pairs whose exact rounded cosine qualifies (>= threshold), so the
+    floor is a true recall, not contaminated by the sub-threshold tail."""
+    from etl_data_spark.operators.similarity import (
+        _auto_bands,
+        _auto_planes,
+        cosine,
+    )
+
+    n_base, dim, half = 4_000, 32, 16
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.hash(F.col("id") * dim + j), F.lit(1000)).cast("double")
+                / 500.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    partners = base.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, j: F.when(j < half, x).otherwise(
+                F.pmod(
+                    F.hash(F.col("vec_id") * dim + j + 13), F.lit(1000)
+                ).cast("double")
+                / 500.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(partners)
+    n, threshold, tbr = 2 * n_base, 0.45, 512
+    assert _auto_planes(n, tbr) == 4
+
+    # the law solves for MORE than the fixed default in this regime
+    b_auto = _auto_bands(n, threshold, 0.9, tbr)
+    assert b_auto > 4, b_auto
+
+    # qualifying planted pairs by EXACT rounded cosine (same helper the
+    # operator's verify stage uses)
+    qual = {
+        (r["vec_id"], r["vec_id"] + 100_000)
+        for r in base.alias("b")
+        .join(
+            partners.alias("p"),
+            F.col("p.vec_id") == F.col("b.vec_id") + 100_000,
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.round(
+                cosine(F.col("b.embedding"), F.col("p.embedding")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .collect()
+    }
+    assert len(qual) > 2_000  # the construction really plants weak pairs
+
+    def recall(df) -> float:
+        found = {(r["id_a"], r["id_b"]) for r in df.collect()}
+        return len(found & qual) / len(qual)
+
+    rec_fixed = recall(
+        S.near_dup_pairs_lsh_banded(
+            corpus, dim=dim, threshold=threshold, bands=4,
+            target_bucket_rows=tbr, n_rows=n,
+        )
+    )
+    rec_target = recall(
+        S.near_dup_pairs_lsh_banded(
+            corpus, dim=dim, threshold=threshold, target_recall=0.9,
+            target_bucket_rows=tbr, n_rows=n,
+        )
+    )
+    # fixed-4 sags in this regime; the solved band count buys the floor
+    assert rec_fixed <= 0.75, rec_fixed
+    assert rec_target >= 0.80, rec_target
+    assert rec_target - rec_fixed >= 0.10, (rec_fixed, rec_target)
+
+
 def test_knn_join_lsh_banded_semantics(spark):
     """Banded-LSH kNN join (r9): scoring/ordering must be IDENTICAL to
     the exact knn_join restricted to the candidate set — same rounded
@@ -653,17 +748,22 @@ def test_ann_at_rest_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     # the probe list reaches the partition filter (scan-level pruning,
     # not a post-read filter): every probed id appears in the plan's
-    # PartitionFilters clause
+    # PartitionFilters clause as a whole token (boundary-aware — a bare
+    # substring match would let probe 1 be satisfied by the digits of 12)
     pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
-    assert all(str(p) in pf for p in probes), pf
+    assert all(re.search(rf"\b{p}\b", pf) for p in probes), pf
 
 
 def test_ann_at_rest_incremental_append(spark, tmp_path):
     """append_ann_bucketed (r9): a layout written from a base corpus and
     then APPENDED with a new batch must serve probes exactly as a fresh
     full write would — the deterministic planes mean new vectors land in
-    the right bucket directories and existing probes keep working."""
+    the right bucket directories and existing probes keep working. The
+    append passes NO plane parameters: they resolve from the sidecar,
+    which is exactly how a batch job appending to a layout it didn't
+    write stays consistent with it."""
     from etl_data_spark.operators.similarity import (
+        _read_layout_meta,
         ann_topk_at_rest,
         append_ann_bucketed,
         write_ann_bucketed,
@@ -676,10 +776,13 @@ def test_ann_at_rest_incremental_append(spark, tmp_path):
     path = str(tmp_path / "ann_incr")
 
     write_ann_bucketed(e.filter(F.col("vec_id") < 100), path, dim=dim)
-    append_ann_bucketed(e.filter(F.col("vec_id") >= 100), path, dim=dim)
+    append_ann_bucketed(e.filter(F.col("vec_id") >= 100), path)
 
+    meta = _read_layout_meta(spark, path)
     incr = ann_topk_at_rest(spark, path, qvec, k=10)
-    fly = S.ann_topk(e, qvec, k=10)
+    fly = S.ann_topk(
+        e, qvec, k=10, num_planes=meta["num_planes"], seed=meta["seed"]
+    )
     assert [tuple(r) for r in incr.collect()] == [tuple(r) for r in fly.collect()]
 
 
@@ -709,7 +812,104 @@ def test_ivf_at_rest_partition_pruning(spark, tmp_path):
     plan = at_rest._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
-    assert all(str(c) in pf for c in ivf_probes(qvec, cents, 3)), pf
+    assert all(
+        re.search(rf"\b{c}\b", pf) for c in ivf_probes(qvec, cents, 3)
+    ), pf
+
+
+def test_ann_layout_sidecar_self_describing(spark, tmp_path):
+    """The _ann_meta.json sidecar (r10): a write_ann_bucketed layout is
+    self-describing — probes and appends default to the persisted
+    plane-set, an explicit parameter that CONTRADICTS the sidecar fails
+    loudly (the r9 footgun: a mismatched num_planes silently probed the
+    wrong directories and returned confidently wrong neighbors), and a
+    wrong-kind reader is rejected outright."""
+    import os
+
+    from etl_data_spark.operators.similarity import (
+        _read_layout_meta,
+        ann_topk_at_rest,
+        append_ann_bucketed,
+        ivf_topk_at_rest,
+        write_ann_bucketed,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(e.first()["embedding"])
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "ann_meta")
+    write_ann_bucketed(e, path, dim=dim)  # num_planes auto-sized
+
+    meta = _read_layout_meta(spark, path)
+    assert meta["kind"] == "lsh" and meta["dim"] == dim
+    planes, seed = meta["num_planes"], meta["seed"]
+
+    # read with NO parameters == on-the-fly with the sidecar's params
+    blind = ann_topk_at_rest(spark, path, qvec, k=10)
+    fly = S.ann_topk(e, qvec, k=10, num_planes=planes, seed=seed)
+    assert [tuple(r) for r in blind.collect()] == [
+        tuple(r) for r in fly.collect()
+    ]
+    # an explicit value that MATCHES the sidecar is accepted
+    ok = ann_topk_at_rest(spark, path, qvec, k=10, num_planes=planes)
+    assert ok.count() == 10
+
+    # a contradicting probe fails loudly, never returns wrong neighbors
+    with pytest.raises(ValueError, match="contradicts"):
+        ann_topk_at_rest(spark, path, qvec, k=10, num_planes=planes + 1)
+    # a contradicting append fails loudly, never corrupts the layout
+    with pytest.raises(ValueError, match="contradicts"):
+        append_ann_bucketed(e.limit(5), path, seed=(seed + 1))
+    # the wrong reader kind is rejected outright
+    with pytest.raises(ValueError, match="kind"):
+        ivf_topk_at_rest(spark, path, qvec, k=5)
+
+    # legacy layout (no sidecar): every parameter must be explicit…
+    os.remove(os.path.join(path, "_ann_meta.json"))
+    with pytest.raises(ValueError, match="sidecar"):
+        ann_topk_at_rest(spark, path, qvec, k=10)
+    legacy = ann_topk_at_rest(
+        spark, path, qvec, k=10, num_planes=planes, seed=seed,
+        vec_col="embedding",
+    )
+    assert [tuple(r) for r in legacy.collect()] == [
+        tuple(r) for r in fly.collect()
+    ]
+    # …and a fully-explicit append stamps the sidecar back
+    append_ann_bucketed(
+        e.limit(0), path, dim=dim, num_planes=planes, seed=seed,
+        vec_col="embedding",
+    )
+    assert _read_layout_meta(spark, path)["num_planes"] == planes
+
+
+def test_ivf_layout_sidecar_self_describing(spark, tmp_path):
+    """IVF twin: the centroid list rides the sidecar, a blind read probes
+    the exact quantizer the directories were built with, and a
+    contradicting explicit list raises."""
+    from etl_data_spark.operators.similarity import (
+        ivf_topk_at_rest,
+        write_ivf_partitioned,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    cents = S.sample_centroids(e, k=8)
+    path = str(tmp_path / "ivf_meta")
+    write_ivf_partitioned(e, path, cents)
+
+    blind = ivf_topk_at_rest(spark, path, qvec, k=10, n_probe=3)
+    fly = S.ivf_topk(e, qvec, cents, k=10, n_probe=3)
+    assert [tuple(r) for r in blind.collect()] == [
+        tuple(r) for r in fly.collect()
+    ]
+    # matching explicit list accepted; a perturbed quantizer raises
+    assert ivf_topk_at_rest(spark, path, qvec, cents, k=5).count() == 5
+    wrong = [(c, [v + 1.0 for v in vec]) for c, vec in cents]
+    with pytest.raises(ValueError, match="contradicts"):
+        ivf_topk_at_rest(spark, path, qvec, wrong, k=5)
 
 
 def test_bounded_count_probe(spark):
@@ -808,6 +1008,53 @@ def test_oracle_cosine_mirrors_degenerate_contract(spark):
     )
     assert got_spark == got_duck
     assert got_spark[2] is None and got_spark[3] is None  # the pins bite
+
+
+def test_floor6_oracle_mirrors_vectorized_zero_contract(spark):
+    """ADVICE r9 (closed r10): _SQL_COSINE_FLOOR6 — the oracle expression
+    for brute_force_topk_vectorized — must pin the operator's
+    0.0-on-degenerate contract (np.where(denom > 0, ., 0.0)), not yield
+    NaN/NULL from the unguarded 0/0. Cross-engine check on a corpus that
+    CONTAINS a zero-norm and a NaN vector: identical ordered (id, sim)
+    lists, with the degenerate rows scored exactly 0.0 on both sides."""
+    import duckdb
+
+    from etl_data_spark.queries_llm import _SQL_COSINE_FLOOR6
+
+    rows = [
+        (1, [1.0, 0.0] + [0.0] * 62),
+        (2, [0.0] * 64),                      # zero-norm -> 0.0
+        (3, [float("nan")] + [1.0] * 63),     # NaN element -> 0.0
+        (4, [0.5] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in S.brute_force_topk_vectorized(
+            df, rows[0][1], k=len(rows)
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(i, [None if v != v else v for v in vec]) for i, vec in rows],
+    )
+    # NaN can't ride the python list parameter — rebuild it SQL-side
+    con.execute(
+        "UPDATE embeddings SET embedding = ['nan'::DOUBLE] || embedding[2:64] "
+        "WHERE vec_id = 3"
+    )
+    want = con.execute(
+        f"SELECT e.vec_id, {_SQL_COSINE_FLOOR6} AS cosine_sim "
+        "FROM embeddings e, "
+        "(SELECT embedding FROM embeddings WHERE vec_id = 1) q "
+        "ORDER BY cosine_sim DESC, e.vec_id"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    scored = dict(got)
+    assert scored[2] == 0.0 and scored[3] == 0.0  # the contract bites
 
 
 def test_ivf_assign_degenerate_semantics(spark):

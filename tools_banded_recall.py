@@ -71,6 +71,14 @@ def main() -> None:
     ap.add_argument("--scales", default="0.5,1.0,2.0")
     ap.add_argument("--threshold", type=float, default=0.4)
     ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument(
+        "--target-recall",
+        type=float,
+        default=None,
+        help="also measure the _auto_bands path at this recall floor "
+        "(bands solved from 1-(1-q^r)^b at the threshold, growing with "
+        "log n alongside the auto-sized codes)",
+    )
     args = ap.parse_args()
 
     from etl_data_spark import get_spark
@@ -112,23 +120,41 @@ def main() -> None:
                 bands=args.bands, n_rows=n,
             ),
         }
+        bands_of = {name: (1 if name.startswith("single") else args.bands)
+                    for name in variants}
+        if args.target_recall is not None:
+            # the r10 law-as-code path: bands solved for the recall floor
+            # at this threshold/corpus size (grows with log n where fixed
+            # b=4 sags)
+            b_auto = S._auto_bands(
+                n, args.threshold, args.target_recall, 64,
+                planes_per_band=auto_p,
+            )
+            name = f"banded_target{args.target_recall}"
+            variants[name] = S.near_dup_pairs_lsh_banded(
+                e, dim=dim, threshold=args.threshold,
+                target_recall=args.target_recall, n_rows=n,
+            )
+            bands_of[name] = b_auto
         for name, df in variants.items():
             got = pairs_of(df)
             assert got <= truth_loose, "verify stage must make precision exact"
             rec = len(got & truth) / max(len(truth), 1)
             row = {
                 "variant": name, "sf": s, "rows": n, "auto_planes": auto_p,
+                "bands": bands_of[name],
                 "truth_pairs": len(truth), "found_pairs": len(got),
                 "recall": round(rec, 4),
             }
             rows_out.append(row)
             print(json.dumps(row), flush=True)
 
-    print("\n| variant | rows | planes | truth | found | recall |")
-    print("|---|---|---|---|---|---|")
+    print("\n| variant | rows | planes | bands | truth | found | recall |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows_out:
         print(
             f"| {r['variant']} | {r['rows']:,} | {r['auto_planes']} "
+            f"| {r['bands']} "
             f"| {r['truth_pairs']:,} | {r['found_pairs']:,} | {r['recall']:.3f} |"
         )
     spark.stop()
