@@ -908,8 +908,12 @@ def _resolve_meta(
 def write_ivf_partitioned(
     df: DataFrame,
     path: str,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
     vec_col: str = "embedding",
+    target_cell_rows: int = 4096,
+    n_rows: int | None = None,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
 ) -> None:
     """Materialize the IVF layout: the corpus parquet-partitioned by cell
     id (the coarse-quantizer assignment baked into the plan as literals —
@@ -918,7 +922,25 @@ def write_ivf_partitioned(
     appends default to the EXACT quantizer the directories were built
     with. New batches can ``.write.mode("append")`` through
     ``ivf_assign`` with the same centroids — untouched cells are never
-    rewritten."""
+    rewritten.
+
+    ``centroids=None`` (default) trains the coarse quantizer at write
+    time with the cell count SIZED TO THE CORPUS — k =
+    ceil(n / target_cell_rows), seeded by ``sample_centroids`` and
+    refined with ``refine_iters`` Lloyd passes — so expected rows per
+    cell stay ~``target_cell_rows`` at any corpus size. A FIXED cell
+    count makes a probed read a constant FRACTION of the corpus
+    (measured: n_probe=3 of 16 cells reads 17.6% at both 10k and 40k
+    rows, SCALE.md §30); growing k with n is what turns probes into a
+    shrinking fraction, the same law `_auto_planes` applies to the LSH
+    twin. Pass ``n_rows`` from catalog statistics at scale to skip the
+    bounded count probe."""
+    if centroids is None:
+        n = n_rows if n_rows is not None else _bounded_count(df)
+        k_cells = max(1, math.ceil(n / target_cell_rows))
+        centroids = sample_centroids(df, k_cells, id_col, vec_col)
+        if refine_iters > 0:
+            centroids = kmeans_refine(df, centroids, refine_iters, vec_col)
     (
         ivf_assign(df, centroids, vec_col)
         .write.mode("overwrite")
@@ -1202,6 +1224,157 @@ def ann_topk_at_rest(
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def write_ann_banded(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    bands: int = 4,
+    planes_per_band: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_bucket_rows: int = 4096,
+    n_rows: int | None = None,
+) -> None:
+    """Materialize the BANDED LSH layout: the corpus parquet-partitioned
+    by (band, bucket), one replica per band — the at-rest form of the
+    index `knn_join_lsh_banded` / `near_dup_pairs_lsh_banded` rebuild
+    on every call (each band re-derives its buckets from the input;
+    SCALE.md §30). Storage costs ``bands``× the corpus (the classic
+    LSH-index replica trade: recall 1-(1-q^r)^b is bought with b
+    replicas), written in ONE scan: all band codes are computed as
+    narrow map columns and ``posexplode``d, so the input plan is
+    evaluated once, not per band.
+
+    ``planes_per_band=None`` auto-sizes the code (`_auto_planes`) so
+    expected per-(band,bucket) rows stay ~``target_bucket_rows`` at any
+    corpus size. Parameters persist in the ``_ann_meta.json`` sidecar;
+    probes resolve them from it (``knn_join_lsh_banded_at_rest``)."""
+    if planes_per_band is None:
+        planes_per_band = _auto_planes(
+            n_rows if n_rows is not None else _bounded_count(df),
+            target_bucket_rows,
+        )
+    coded = df
+    code_cols = []
+    for band in range(bands):
+        col = f"_band_code_{band}"
+        coded = lsh_bucket_assign(
+            coded, dim, planes_per_band, seed + 7919 * band, vec_col, col
+        )
+        code_cols.append(col)
+    (
+        coded.select(
+            *[c for c in df.columns],
+            F.posexplode(F.array(*[F.col(c) for c in code_cols])).alias(
+                "band", "bucket"
+            ),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(path)
+    )
+    _write_layout_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "lsh_banded",
+            "bands": int(bands),
+            "planes_per_band": int(planes_per_band),
+            "seed": int(seed),
+            "dim": int(dim),
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+
+
+def knn_join_lsh_banded_at_rest(
+    spark,
+    left: DataFrame,
+    path: str,
+    k: int = 5,
+    left_id: str = "vec_id",
+) -> DataFrame:
+    """``knn_join_lsh_banded`` served from a ``write_ann_banded`` layout:
+    row-identical to the on-the-fly join with the layout's parameters
+    (same band seeds, same candidate rule, same scoring/ordering — pinned
+    by ``test_banded_knn_at_rest_matches_on_the_fly``), but the corpus
+    side costs PRUNED SCANS instead of ``bands`` full re-evaluations of
+    the input plan: per band, the query set's bucket ids become a
+    ``(band, bucket)`` PartitionFilter, so the scan reads only the
+    probed directories and the neighbor vectors ride the pruned scan —
+    no join-back to the corpus at all.
+
+    The query side is collected per band to build the probe set, so this
+    is the SERVING path: ``left`` must be a bounded query set (thousands,
+    not the corpus — the same boundedness `ann_topk_at_rest` assumes for
+    its single query). For corpus×corpus joins use the on-the-fly
+    ``knn_join_lsh_banded``, which keeps both sides distributed. All
+    layout parameters resolve from the ``_ann_meta.json`` sidecar — the
+    plane-sets the directories were physically built with."""
+    from pyspark.sql import Window
+
+    meta = _read_layout_meta(spark, path)
+    if meta is None or meta.get("kind") != "lsh_banded":
+        raise ValueError(
+            f"knn_join_lsh_banded_at_rest: layout at {path!r} is "
+            f"kind={None if meta is None else meta.get('kind')!r}, not "
+            "'lsh_banded' — write it with write_ann_banded first."
+        )
+    bands, planes = meta["bands"], meta["planes_per_band"]
+    seed, dim = meta["seed"], meta["dim"]
+    right_id, vec_col = meta["id_col"], meta["vec_col"]
+
+    cand = None
+    for band in range(bands):
+        lb = lsh_bucket_assign(
+            left, dim, planes, seed + 7919 * band, vec_col
+        ).select(F.col(left_id).alias("query_id"), "bucket")
+        probes = [
+            r["bucket"] for r in lb.select("bucket").distinct().collect()
+        ]
+        if not probes:
+            continue
+        scan = spark.read.parquet(path).filter(
+            (F.col("band") == band) & F.col("bucket").isin(*probes)
+        )
+        rb = scan.select(
+            F.col(right_id).alias("neighbor_id"),
+            "bucket",
+            F.col(vec_col).alias("nv"),
+        )
+        # queries are bounded by contract -> broadcast: each band join is
+        # map-only over its pruned scan, no shuffle of the corpus side
+        pairs = (
+            rb.join(F.broadcast(lb), "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "nv")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    if cand is None:
+        raise ValueError("knn_join_lsh_banded_at_rest: empty query set")
+    # cross-band dedup: copies of a pair carry identical vectors, any
+    # survivor is correct
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    qv = left.select(
+        F.col(left_id).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
 
 

@@ -912,6 +912,80 @@ def test_ivf_layout_sidecar_self_describing(spark, tmp_path):
         ivf_topk_at_rest(spark, path, qvec, wrong, k=5)
 
 
+def test_banded_knn_at_rest_matches_on_the_fly(spark, tmp_path):
+    """write_ann_banded + knn_join_lsh_banded_at_rest (r10): the at-rest
+    banded layout (one replica per band, partitioned by (band, bucket))
+    must serve the EXACT rows the on-the-fly banded join computes with
+    the same parameters — same band seeds, same candidate rule, same
+    scoring/tie-breaks — while the corpus side is pruned scans (every
+    band's FileScan carries a PartitionFilters clause) instead of bands
+    re-evaluations of the input plan."""
+    from etl_data_spark.operators.similarity import (
+        knn_join_lsh_banded_at_rest,
+        write_ann_banded,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(e.first()["embedding"])
+    path = str(tmp_path / "ann_banded")
+    write_ann_banded(e, path, dim=dim, bands=4, planes_per_band=4)
+
+    left = e.filter(F.col("vec_id") < 20)
+    at_rest = knn_join_lsh_banded_at_rest(spark, left, path, k=3)
+    fly = S.knn_join_lsh_banded(
+        left, e, k=3, dim=dim, bands=4, planes_per_band=4
+    )
+    assert sorted(tuple(r) for r in at_rest.collect()) == sorted(
+        tuple(r) for r in fly.collect()
+    )
+
+    # every band's scan is partition-pruned (4 bands -> 4 pruned scans)
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters") >= 4, plan
+
+    # the wrong reader kind is rejected outright
+    from etl_data_spark.operators.similarity import write_ann_bucketed
+
+    flat = str(tmp_path / "ann_flat")
+    write_ann_bucketed(e, flat, dim=dim, num_planes=4)
+    with pytest.raises(ValueError, match="lsh_banded"):
+        knn_join_lsh_banded_at_rest(spark, left, flat, k=3)
+
+
+def test_ivf_write_auto_trains_quantizer(spark, tmp_path):
+    """write_ivf_partitioned with centroids=None (r10): the coarse
+    quantizer is trained at write time with k = ceil(n/target_cell_rows)
+    cells (seeded + one Lloyd pass), persisted in the sidecar, and a
+    blind ivf_topk_at_rest read probes exactly that quantizer — the
+    fixed-16-cells constant-fraction read (SCALE.md §30) is no longer
+    the default anyone inherits."""
+    import math
+
+    from etl_data_spark.operators.similarity import (
+        _read_layout_meta,
+        ivf_topk_at_rest,
+        write_ivf_partitioned,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = e.count()
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "ivf_auto")
+    write_ivf_partitioned(e, path, target_cell_rows=64, n_rows=n)
+
+    meta = _read_layout_meta(spark, path)
+    cents = [(int(c), list(v)) for c, v in meta["centroids"]]
+    assert len(cents) == max(1, math.ceil(n / 64))
+
+    blind = ivf_topk_at_rest(spark, path, qvec, k=10, n_probe=3)
+    fly = S.ivf_topk(e, qvec, cents, k=10, n_probe=3)
+    assert [tuple(r) for r in blind.collect()] == [
+        tuple(r) for r in fly.collect()
+    ]
+
+
 def test_bounded_count_probe(spark):
     """_bounded_count (ADVICE r8): corpus size via limit-doubling probes,
     never a full count() over the input plan. Exact at every size class —

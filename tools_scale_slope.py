@@ -245,6 +245,25 @@ def entries():
             k=10,
         )
 
+    def prep_knn_banded_at_rest(spark, sf_dir):
+        import etl_data_spark.operators.similarity as S
+
+        path = os.path.join(_layout_root(sf_dir), "lsh_banded")
+        if not os.path.exists(os.path.join(path, "_ann_meta.json")):
+            e = load_table(spark, sf_dir, "embeddings")
+            S.write_ann_banded(e, path, dim=64, bands=4,
+                               target_bucket_rows=64)
+
+    def q_knn_banded_at_rest(spark, sf_dir):
+        import etl_data_spark.operators.similarity as S
+
+        e = load_table(spark, sf_dir, "embeddings")
+        left = e.filter(F.col("vec_id") < 20)  # bounded query set
+        return S.knn_join_lsh_banded_at_rest(
+            spark, left, os.path.join(_layout_root(sf_dir), "lsh_banded"),
+            k=3,
+        )
+
     def prep_ivf_at_rest(spark, sf_dir):
         import etl_data_spark.operators.similarity as S
 
@@ -281,6 +300,8 @@ def entries():
         ("knn_join_banded_auto", q_knn_banded_auto),
         ("ann_lsh_topk_at_rest", q_ann_at_rest, prep_ann_at_rest),
         ("ann_ivf_topk_at_rest", q_ivf_at_rest, prep_ivf_at_rest),
+        ("knn_join_banded_at_rest", q_knn_banded_at_rest,
+         prep_knn_banded_at_rest),
     ]
     # registry entries runnable against the scaled dir as-is (their input
     # tables — documents/lineitem/events/embeddings — are the scaled ones;
