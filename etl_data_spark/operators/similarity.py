@@ -1252,7 +1252,18 @@ def write_ann_banded(
     ``planes_per_band=None`` auto-sizes the code (`_auto_planes`) so
     expected per-(band,bucket) rows stay ~``target_bucket_rows`` at any
     corpus size. Parameters persist in the ``_ann_meta.json`` sidecar;
-    probes resolve them from it (``knn_join_lsh_banded_at_rest``)."""
+    probes resolve them from it (``knn_join_lsh_banded_at_rest``).
+
+    Sizing note: at-rest buckets are parquet FILES, so
+    ``target_bucket_rows`` here is an I/O knob, NOT the on-the-fly
+    join's candidate knob — size it for healthy file/partition sizes
+    (the 4096 default; at 100 TB aim for 128 MB-ish directories), never
+    for the join default of 64. Measured: a 64-row target at 40k rows
+    produced 4x1024 tiny directories and the probed scan spent 25s in
+    file overhead vs 6s with 1024-row buckets (SCALE.md §30). Candidate
+    count per query per band equals the LAYOUT's bucket occupancy, so a
+    coarser at-rest bucket trades a little more verify work for
+    scan-sized files — the right trade on any real filesystem."""
     if planes_per_band is None:
         planes_per_band = _auto_planes(
             n_rows if n_rows is not None else _bounded_count(df),

@@ -251,8 +251,12 @@ def entries():
         path = os.path.join(_layout_root(sf_dir), "lsh_banded")
         if not os.path.exists(os.path.join(path, "_ann_meta.json")):
             e = load_table(spark, sf_dir, "embeddings")
+            # at-rest buckets are FILES: size them for I/O (~1k rows),
+            # not for the per-band join target (64) — a 64-row target
+            # at 40k rows means 4x1024 tiny directories and the scan
+            # drowns in file overhead (measured: 25s vs 11s at sf2.0)
             S.write_ann_banded(e, path, dim=64, bands=4,
-                               target_bucket_rows=64)
+                               target_bucket_rows=1024)
 
     def q_knn_banded_at_rest(spark, sf_dir):
         import etl_data_spark.operators.similarity as S
