@@ -1320,13 +1320,22 @@ def knn_join_lsh_banded_at_rest(
     probed directories and the neighbor vectors ride the pruned scan —
     no join-back to the corpus at all.
 
-    The query side is collected per band to build the probe set, so this
-    is the SERVING path: ``left`` must be a bounded query set (thousands,
-    not the corpus — the same boundedness `ann_topk_at_rest` assumes for
-    its single query). For corpus×corpus joins use the on-the-fly
+    The query side is collected (once, all band codes computed in a
+    single pass) to build the probe set, so this is the SERVING path:
+    ``left`` must be a bounded query set (thousands, not the corpus —
+    the same boundedness `ann_topk_at_rest` assumes for its single
+    query). For corpus×corpus joins use the on-the-fly
     ``knn_join_lsh_banded``, which keeps both sides distributed. All
     layout parameters resolve from the ``_ann_meta.json`` sidecar — the
-    plane-sets the directories were physically built with."""
+    plane-sets the directories were physically built with.
+
+    Stage shape: ONE evaluation of the query plan (the probe collect),
+    ONE pruned scan of the layout (the per-band probe sets become a
+    single OR-of-(band = b AND bucket IN …) partition predicate — both
+    are partition columns, so the whole disjunction prunes at the file
+    index), one broadcast join against the collected (query, band,
+    bucket) probe table, and one broadcast join back to the query
+    vectors. No shuffle ever touches the corpus side."""
     from pyspark.sql import Window
 
     meta = _read_layout_meta(spark, path)
@@ -1340,37 +1349,51 @@ def knn_join_lsh_banded_at_rest(
     seed, dim = meta["seed"], meta["dim"]
     right_id, vec_col = meta["id_col"], meta["vec_col"]
 
-    cand = None
+    # all band codes in one narrow pass over the (bounded) query set
+    coded = left
     for band in range(bands):
-        lb = lsh_bucket_assign(
-            left, dim, planes, seed + 7919 * band, vec_col
-        ).select(F.col(left_id).alias("query_id"), "bucket")
-        probes = [
-            r["bucket"] for r in lb.select("bucket").distinct().collect()
-        ]
-        if not probes:
-            continue
-        scan = spark.read.parquet(path).filter(
-            (F.col("band") == band) & F.col("bucket").isin(*probes)
+        coded = lsh_bucket_assign(
+            coded, dim, planes, seed + 7919 * band, vec_col,
+            f"_band_code_{band}",
         )
-        rb = scan.select(
-            F.col(right_id).alias("neighbor_id"),
-            "bucket",
-            F.col(vec_col).alias("nv"),
-        )
-        # queries are bounded by contract -> broadcast: each band join is
-        # map-only over its pruned scan, no shuffle of the corpus side
-        pairs = (
-            rb.join(F.broadcast(lb), "bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "nv")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    if cand is None:
+    qrows = coded.select(
+        F.col(left_id).alias("query_id"),
+        *[f"_band_code_{b}" for b in range(bands)],
+    ).collect()
+    if not qrows:
         raise ValueError("knn_join_lsh_banded_at_rest: empty query set")
-    # cross-band dedup: copies of a pair carry identical vectors, any
-    # survivor is correct
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    probe_rows = [
+        (r["query_id"], b, r[f"_band_code_{b}"])
+        for r in qrows
+        for b in range(bands)
+    ]
+    lb = spark.createDataFrame(
+        probe_rows, "query_id long, band int, bucket long"
+    )
+    probes_by_band = {}
+    for _, b, bucket in probe_rows:
+        probes_by_band.setdefault(b, set()).add(bucket)
+    prune = None
+    for b, bks in sorted(probes_by_band.items()):
+        clause = (F.col("band") == b) & F.col("bucket").isin(*sorted(bks))
+        prune = clause if prune is None else (prune | clause)
+
+    scan = spark.read.parquet(path).filter(prune)
+    rb = scan.select(
+        F.col(right_id).alias("neighbor_id"),
+        F.col("band").cast("int").alias("band"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col(vec_col).alias("nv"),
+    )
+    # queries are bounded by contract -> broadcast: the candidate join is
+    # map-only over the pruned scan; cross-band dedup keeps any survivor
+    # (copies of a pair carry identical vectors)
+    cand = (
+        rb.join(F.broadcast(lb), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     qv = left.select(
         F.col(left_id).alias("query_id"), F.col(vec_col).alias("qv")
     )

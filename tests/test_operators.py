@@ -917,9 +917,9 @@ def test_banded_knn_at_rest_matches_on_the_fly(spark, tmp_path):
     banded layout (one replica per band, partitioned by (band, bucket))
     must serve the EXACT rows the on-the-fly banded join computes with
     the same parameters — same band seeds, same candidate rule, same
-    scoring/tie-breaks — while the corpus side is pruned scans (every
-    band's FileScan carries a PartitionFilters clause) instead of bands
-    re-evaluations of the input plan."""
+    scoring/tie-breaks — while the corpus side is ONE pruned scan (the
+    per-band probe sets ride a single OR-of-(band, bucket) partition
+    predicate) instead of bands re-evaluations of the input plan."""
     from etl_data_spark.operators.similarity import (
         knn_join_lsh_banded_at_rest,
         write_ann_banded,
@@ -940,9 +940,20 @@ def test_banded_knn_at_rest_matches_on_the_fly(spark, tmp_path):
         tuple(r) for r in fly.collect()
     )
 
-    # every band's scan is partition-pruned (4 bands -> 4 pruned scans)
+    # the layout scan is partition-pruned on BOTH partition columns via
+    # the single OR-of-(band, bucket) predicate (every FileScan prints a
+    # PartitionFilters attribute — empty [] on non-partitioned scans;
+    # AQE may print a reused pruned subtree more than once, so pin the
+    # predicate shape, not the line count)
     plan = at_rest._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("PartitionFilters") >= 4, plan
+    pf_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "PartitionFilters: []" not in ln
+    ]
+    assert pf_lines, plan
+    for ln in pf_lines:
+        assert "band" in ln and "bucket" in ln, ln
 
     # the wrong reader kind is rejected outright
     from etl_data_spark.operators.similarity import write_ann_bucketed
