@@ -273,6 +273,17 @@ PRIORITY_R10 = [
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_banded",
     "knn_join_lsh_banded",
+    # (a') late-r10 changed paths: minhash_lsh_pairs gained
+    # minhash_auto_params/target_recall, so all six registry consumers
+    # lead the window (CHANGED prefix rule). Three were already staged
+    # in (b) and moved up; the other three displace the three
+    # youngest-green tail entries to r11.
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_native",
+    "dedup_clusters",
+    "dedup_survivor_docs",
+    "dedup_cluster_sizes",
+    "corpus_curate_end2end",
     # (b) mechanical pre-staging: oldest-latest-green-first
     "tpch_q18_large_orders",
     "tpch_q5_regional",
@@ -289,15 +300,12 @@ PRIORITY_R10 = [
     "cohort_retention",
     "event_transitions",
     "weighted_sample",
-    "dedup_minhash_lsh_native",
-    "dedup_survivor_docs",
     "dedup_simhash",
     "multimodal_embed",
     "multimodal_frame_sample",
     "streaming_sessionize",
     "streaming_window_counts",
     "streaming_stream_join",
-    "corpus_curate_end2end",
     "window_function_surface",
     "cdc_snapshot_diff",
     "cdc_merge_upsert",
@@ -317,9 +325,6 @@ PRIORITY_R10 = [
     "tpch_q4_priority_queue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_supply",
 ]
 
 # Displaced youngest-green tail (r10 changed paths took their slots);
@@ -329,6 +334,10 @@ _DISPLACED_TO_R11 = [
     "tpch_q16_supplier_cnt",
     "tpch_q20_promotion_supplier",
     "value_histogram",
+    # displaced by the late-r10 minhash changed paths
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_supply",
 ]
 
 assert len(PRIORITY_R10) == 50, f"PRIORITY_R10 must fill the window exactly: {len(PRIORITY_R10)}"
@@ -357,6 +366,17 @@ CHANGED_THIS_ROUND = [
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_banded",
     "knn_join_lsh_banded",
+    # minhash_lsh_pairs gained target_recall (minhash_auto_params — the
+    # Jaccard twin of _auto_bands); the default path is value-identical
+    # (the new branch is dead when target_recall=None) but the rotation
+    # rule counts ANY implementing-code change, so every entry routing
+    # through it re-earns its green this round:
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_native",
+    "dedup_clusters",
+    "dedup_survivor_docs",
+    "dedup_cluster_sizes",
+    "corpus_curate_end2end",
 ]
 
 # Frozen history: the r9 changed-path list, kept so the rotation tests can

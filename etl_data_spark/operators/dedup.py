@@ -23,6 +23,8 @@ on engine-private hash functions.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -191,6 +193,39 @@ def jaccard(a: str | F.Column, b: str | F.Column) -> F.Column:
     )
 
 
+def minhash_auto_params(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_hashes: int = 256,
+    max_rows_per_band: int = 8,
+) -> tuple[int, int]:
+    """(rows_per_band, bands) holding the MMDS S-curve recall floor at the
+    mining threshold — the Jaccard twin of `_auto_bands` on the cosine
+    side (SCALE.md §29: the recall law as code, not prose).
+
+    A pair with Jaccard s agrees on one minhash with probability s,
+    survives a band of r hashes with s^r, and survives ANY of b OR'd
+    bands with 1-(1-s^r)^b. Longer bands (bigger r) sharpen the S-curve
+    (fewer sub-threshold candidates to verify), but each unit of recall
+    then costs more bands; this picks the LARGEST r whose solved
+    b = ceil(log(1-R) / log(1-threshold^r)) fits the ``max_hashes``
+    signature budget (signature length = r*b is the per-doc state that
+    rides every shuffle). The fixed default (r=4, b=16) holds ~0.9995
+    recall at threshold 0.8 but sags to ~0.34 on Jaccard-0.4 pairs mined
+    at threshold 0.35 (test-pinned) — the low-threshold regime is
+    exactly where the solver earns its keep. If
+    even r=1 cannot hold the floor within budget, returns
+    (1, max_hashes): the best recall the budget buys — at 100 TB raise
+    the budget or lower the floor deliberately, not by accident."""
+    t = min(max(threshold, 1e-9), 1.0 - 1e-9)
+    recall = min(target_recall, 0.999999)
+    for r in range(max_rows_per_band, 0, -1):
+        b = math.ceil(math.log1p(-recall) / math.log1p(-(t**r)))
+        if r * b <= max_hashes:
+            return r, b
+    return 1, max_hashes
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -200,6 +235,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     hash_impl: str = "md5",
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
 
@@ -207,7 +243,16 @@ def minhash_lsh_pairs(
     shuffle-join keyed on band_key, dedupe of candidate pairs, then a join
     back to fetch the two shingle sets for exact verification. No stage
     touches all-pairs.
+
+    ``target_recall``: when set, ``num_hashes``/``bands`` are REPLACED by
+    ``minhash_auto_params(threshold, target_recall)`` — the S-curve
+    solved for the recall floor at the mining threshold. The fixed
+    default banding is tuned for threshold ~0.8; mining at a LOW
+    threshold with it silently sags (see ``minhash_auto_params``).
     """
+    if target_recall is not None:
+        rows_per_band, bands = minhash_auto_params(threshold, target_recall)
+        num_hashes = rows_per_band * bands
     rows_per_band = num_hashes // bands
     docs = _shingled_docs(df, id_col, text_col, shingle_n)
 

@@ -1324,6 +1324,58 @@ def test_kmeans_recenter_plan_is_scalar_partial_agg(spark):
     assert "collect_list" not in p
 
 
+def test_minhash_auto_params_hold_recall_floor(spark):
+    """minhash_auto_params (r10): the Jaccard twin of _auto_bands — the
+    MMDS S-curve 1-(1-s^r)^b solved for (r, b) at the mining threshold.
+    Solver unit-pins first, then end-to-end: 150 planted pairs at
+    Jaccard exactly 0.4 (30 unique words, partner keeps the first 18 ->
+    16 shared / 40 union shingles; no cross-doc token reuse, so planted
+    pairs are the ONLY qualifying pairs). At threshold 0.35 the fixed
+    (r=4, b=16) banding catches ~1-(1-0.4^4)^16 ~ 0.34 of them; the
+    solved (3, 69) holds ~0.99."""
+    from etl_data_spark.operators.dedup import minhash_auto_params
+
+    # the tuned-for-0.8 default regime: longer bands, few of them
+    assert minhash_auto_params(0.8, 0.9) == (8, 13)
+    # the low-threshold regime: shorter bands, many more of them
+    assert minhash_auto_params(0.35, 0.95) == (3, 69)
+    # every solve meets its own floor ON the S-curve (a tighter floor may
+    # switch to shorter bands to fit the budget, so band count itself is
+    # not monotone — the achieved recall is the invariant)
+    for floor in (0.9, 0.95, 0.99):
+        r_, b_ = minhash_auto_params(0.35, floor)
+        assert 1 - (1 - 0.35**r_) ** b_ >= floor, (floor, r_, b_)
+    # an impossible floor degrades to the budget, never busts it
+    r, b = minhash_auto_params(0.05, 0.99, max_hashes=64)
+    assert r * b <= 64
+
+    docs = []
+    for i in range(150):
+        base = [f"a{i}x{j}" for j in range(30)]
+        partner = base[:18] + [f"b{i}x{j}" for j in range(12)]
+        docs.append((i, " ".join(base)))
+        docs.append((i + 10_000, " ".join(partner)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    planted = {(i, i + 10_000) for i in range(150)}
+
+    def found(df_pairs) -> set:
+        return {(r["id_a"], r["id_b"]) for r in df_pairs.collect()}
+
+    fixed = found(
+        D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.35)
+    )
+    auto = found(
+        D.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.35, target_recall=0.95
+        )
+    )
+    # the verify stage keeps precision exact on both paths
+    assert fixed <= planted and auto <= planted
+    # fixed banding sags in this regime; the solved banding holds
+    assert len(auto) / len(planted) >= 0.9, len(auto)
+    assert len(fixed) < len(auto), (len(fixed), len(auto))
+
+
 def test_minhash_native_hash_same_output(spark):
     """The xxHash64 production path must produce the exact same verified
     pair set as the md5 oracle path — candidate generation differences are
