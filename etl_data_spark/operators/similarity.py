@@ -1367,8 +1367,18 @@ def knn_join_lsh_banded_at_rest(
         for r in qrows
         for b in range(bands)
     ]
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     lb = spark.createDataFrame(
-        probe_rows, "query_id long, band int, bucket long"
+        probe_rows,
+        StructType(
+            [
+                # whatever type the caller's id column carries
+                StructField("query_id", left.schema[left_id].dataType),
+                StructField("band", IntegerType()),
+                StructField("bucket", LongType()),
+            ]
+        ),
     )
     probes_by_band = {}
     for _, b, bucket in probe_rows:
