@@ -35,6 +35,11 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "etl_data_spark")
 ALLOWED = {
     ("operators/rank.py", "global_row_number"): 1,  # per-partition offsets
     ("operators/rank.py", "global_running_sum"): 1,  # per-partition offsets
+    # bounded-query-set serving contract (docstring: queries are collected
+    # to build the probe set, so |queries| is bounded by construction);
+    # both hints broadcast O(|queries|) frames: the collected (query,
+    # band, bucket) probe table and the query-vector frame
+    ("operators/similarity.py", "knn_join_lsh_banded_at_rest"): 2,
     ("queries.py", "q_latest_batch"): 1,  # 1-row max
     ("queries.py", "q_star_join"): 2,  # nation, region
     ("queries_analytics.py", "_bm25_scored"): 1,  # 1-row corpus stats
