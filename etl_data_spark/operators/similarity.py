@@ -970,6 +970,56 @@ def _centroids_jsonable(
     )
 
 
+def append_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    vec_col: str | None = None,
+) -> None:
+    """Incremental maintenance of a ``write_ivf_partitioned`` layout: new
+    vectors APPEND into their cell directories (dynamic-partition append —
+    untouched cells are never rewritten), the IVF twin of
+    ``append_ann_bucketed``.
+
+    ``centroids``/``vec_col`` default to the layout's ``_ann_meta.json``
+    sidecar — the quantizer the directories were physically built with —
+    and an explicit list that CONTRADICTS the sidecar raises: appending
+    vectors assigned under a different quantizer would corrupt every
+    probe of the layout forever after, silently. For a pre-sidecar
+    (legacy) layout both must be passed explicitly, and a successful
+    append stamps the sidecar."""
+    spark = df.sparkSession
+    meta = _read_layout_meta(spark, path)
+    explicit = (
+        _centroids_jsonable(centroids) if centroids is not None else None
+    )
+    resolved = _resolve_meta(
+        meta,
+        "ivf",
+        path,
+        "append_ivf_partitioned",
+        centroids=explicit,
+        vec_col=vec_col,
+    )
+    cents = [(int(c), list(v)) for c, v in resolved["centroids"]]
+    (
+        ivf_assign(df, cents, resolved["vec_col"])
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    if meta is None:
+        _write_layout_meta(
+            spark,
+            path,
+            {
+                "kind": "ivf",
+                "centroids": _centroids_jsonable(cents),
+                "vec_col": resolved["vec_col"],
+            },
+        )
+
+
 def ivf_topk_at_rest(
     spark,
     path: str,

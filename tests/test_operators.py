@@ -911,6 +911,21 @@ def test_ivf_layout_sidecar_self_describing(spark, tmp_path):
     with pytest.raises(ValueError, match="contradicts"):
         ivf_topk_at_rest(spark, path, qvec, wrong, k=5)
 
+    # incremental append resolves the quantizer from the sidecar (write
+    # half the corpus, append the rest blind -> identical to full write)
+    from etl_data_spark.operators.similarity import append_ivf_partitioned
+
+    incr_path = str(tmp_path / "ivf_incr")
+    write_ivf_partitioned(e.filter(F.col("vec_id") < 100), incr_path, cents)
+    append_ivf_partitioned(e.filter(F.col("vec_id") >= 100), incr_path)
+    incr = ivf_topk_at_rest(spark, incr_path, qvec, k=10, n_probe=3)
+    assert [tuple(r) for r in incr.collect()] == [
+        tuple(r) for r in fly.collect()
+    ]
+    # a contradicting quantizer on append fails loudly
+    with pytest.raises(ValueError, match="contradicts"):
+        append_ivf_partitioned(e.limit(5), incr_path, wrong)
+
 
 def test_banded_knn_at_rest_matches_on_the_fly(spark, tmp_path):
     """write_ann_banded + knn_join_lsh_banded_at_rest (r10): the at-rest
