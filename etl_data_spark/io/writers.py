@@ -3,26 +3,111 @@
 The reference's incremental story is delete-then-insert of a ``[start, end]``
 date window (reference: sql/init/01_init_all.sql:72-73,110-111; sql/dm/
 s_sql_dm/function/fn_dm_data_stg_to_dm_load.sql:17-19). On Delta that is
-``replaceWhere``; on plain parquet (all this container has) we implement
-overwrite-by-predicate as read-keep + union + rewrite, but partition-pruned:
-tables are written partitioned by a month key derived from
-``effective_from``, so both the keep-scan and downstream window queries touch
-only the affected partitions. That partitioning is also the substitute for
-the reference's B-tree date indexes (01_init_all.sql:59-60) — at 100 TB,
-partition pruning + parquet min/max row-group stats serve the same
-access-path role.
+``replaceWhere``; on plain parquet (all this container has) we implement it
+PARTITION-SCOPED: tables are written partitioned by a month key derived from
+``effective_from``, a reload discovers the months the window actually
+touches (a partition-pruned, column-pruned scan), rewrites ONLY those
+months, and swaps them in with per-directory Hadoop FS renames. Untouched
+month directories are never listed, read, or rewritten — a monthly
+incremental load of a 100 TB mart costs O(window), not O(table). That
+partitioning is also the substitute for the reference's B-tree date indexes
+(01_init_all.sql:59-60) — at 100 TB, partition pruning + parquet min/max
+row-group stats serve the same access-path role.
+
+All directory manipulation goes through the Hadoop FileSystem API (same as
+the ANN layout sidecar, operators/similarity.py), so the tables may live on
+HDFS/S3/local alike — no POSIX assumption.
+
+Atomicity contract: each month swap is two metadata renames (live -> trash,
+fresh -> live). On HDFS and local-FS a rename is atomic, so a reader sees
+either the old or the new month, with a sub-millisecond window where the
+month is absent; distinct months swap independently (a reader can see month
+A new + month B old mid-reload). On S3A "rename" is a non-atomic copy +
+delete — for atomic multi-partition commits on object storage use a table
+format (Delta ``replaceWhere`` / Iceberg overwrite), which is the managed
+equivalent of exactly this routine.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import shutil
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MONTH_KEY = "part_month"
+
+# Spark/Hive's directory name for a NULL partition value.
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+# --------------------------------------------------------------------------
+# Hadoop FS helpers (py4j onto org.apache.hadoop.fs): the writers below do
+# every directory operation through these, never through pathlib/shutil,
+# so they run unchanged on HDFS/S3/local.
+# --------------------------------------------------------------------------
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs(spark: SparkSession, path: str):
+    p = _jpath(spark, path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _rename(fs, spark: SparkSession, src: str, dst: str) -> None:
+    """Strict move: ``dst`` must not exist (Hadoop rename onto an existing
+    directory moves src INTO it, silently nesting — never what we want)."""
+    jsrc, jdst = _jpath(spark, src), _jpath(spark, dst)
+    if fs.exists(jdst):
+        raise IOError(f"rename target already exists: {dst}")
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _delete(fs, spark: SparkSession, path: str) -> None:
+    fs.delete(_jpath(spark, path), True)
+
+
+def _count_parquet_files(fs, spark: SparkSession, path: str) -> int:
+    it = fs.listFiles(_jpath(spark, path), True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def _month_dirname(month: int | None) -> str:
+    return f"{MONTH_KEY}={_NULL_PART if month is None else month}"
+
+
+def _swap_month_dirs(
+    spark: SparkSession, fs, tmp: str, target: str, months: list[int | None]
+) -> None:
+    """Swap exactly ``months`` partition directories of ``target`` for the
+    freshly written ones under ``tmp``: per month, rename the live dir to a
+    trash name, rename the fresh dir in, delete the trash. A month with no
+    fresh dir (every row deleted, none loaded) is simply removed; a month
+    new to the table is simply renamed in. Months NOT in the list are never
+    touched — their files keep their identity (byte-identical, same
+    listing) across the reload."""
+    for m in months:
+        d = _month_dirname(m)
+        src = f"{tmp}/{d}"
+        dst = f"{target}/{d}"
+        trash = f"{dst}__replaced"
+        _delete(fs, spark, trash)  # leftover from a crashed prior swap
+        has_live = fs.exists(_jpath(spark, dst))
+        has_fresh = fs.exists(_jpath(spark, src))
+        if has_live:
+            _rename(fs, spark, dst, trash)
+        if has_fresh:
+            _rename(fs, spark, src, dst)
+        if has_live:
+            _delete(fs, spark, trash)
 
 
 def window_replace_predicate(
@@ -84,10 +169,18 @@ def compact_small_files(
     one object-store request each). Returns the number of data files after
     compaction. The rewrite is partition-parallel and preserves the month
     key so pruning is unaffected.
+
+    Compaction by definition rewrites every file, so this writes the whole
+    table to a sibling tmp dir and swaps it in with two Hadoop FS renames
+    (live -> trash, fresh -> live) — metadata-only on HDFS/local, where
+    each rename is atomic and the table-absent window is the instant
+    between them; on S3A rename is copy+delete and a table format is the
+    atomic answer (see module docstring). No POSIX calls touch the data.
     """
     df = spark.read.parquet(path)
     has_month = MONTH_KEY in df.columns
-    tmp = str(Path(path).with_name(Path(path).name + "__tmp_compact"))
+    tmp = path.rstrip("/") + "__tmp_compact"
+    trash = path.rstrip("/") + "__pre_compact"
     writer = (
         df.repartition(target_files_per_partition, MONTH_KEY)
         if has_month
@@ -97,9 +190,17 @@ def compact_small_files(
     if has_month:
         w = w.partitionBy(MONTH_KEY)
     w.parquet(tmp)
-    shutil.rmtree(path)
-    Path(tmp).rename(path)
-    return sum(1 for p in Path(path).rglob("*.parquet"))
+    fs, _ = _fs(spark, path)
+    _delete(fs, spark, trash)  # leftover from a crashed prior compact
+    _rename(fs, spark, path, trash)
+    _rename(fs, spark, tmp, path)
+    _delete(fs, spark, trash)
+    return _count_parquet_files(fs, spark, path)
+
+
+def _month_of(bound: dt.date | str) -> int:
+    d = dt.date.fromisoformat(bound) if isinstance(bound, str) else bound
+    return d.year * 100 + d.month
 
 
 def overwrite_by_window(
@@ -116,33 +217,72 @@ def overwrite_by_window(
     Returns the number of rows written for the window (the reference reports
     ROW_COUNT after its INSERT, 01_init_all.sql:136-139).
 
-    With dynamic partition overwrite this only rewrites partitions that can
-    contain window rows; untouched months are left as-is — the keep-side
-    read is partition-pruned by the same month key.
+    PARTITION-SCOPED: only the months the reload can change are rewritten.
+    The affected set = months holding rows the window predicate replaces
+    (discovered by a scan that partition-prunes on ``month >= month(start)``
+    — implied by ``eff_from >= start`` — and column-prunes to the two date
+    columns) union the new batch's months. Kept rows are re-read FROM THOSE
+    MONTHS ONLY, merged with the batch, written to a tmp dir, and swapped
+    in per month directory via Hadoop FS renames
+    (:func:`_swap_month_dirs`). Months outside the affected set are never
+    listed, read, or touched — their data files stay byte-identical — so a
+    monthly load of a 100 TB mart reads and writes O(window months), never
+    the table. (Rows with NULL dates live in the null partition and are
+    only rewritten when the reload touches it; the window predicate never
+    replaces them, matching the reference DELETE.)
+
+    The per-month swap is the plain-parquet equivalent of Delta
+    ``replaceWhere`` / dynamic partition overwrite; Spark's built-in
+    dynamic overwrite cannot be used directly here because the keep-side
+    rows are READ from the same path being overwritten, which Spark
+    (rightly) refuses. Atomicity: per-month rename pairs — see the module
+    docstring for the per-filesystem contract.
     """
-    target = Path(path)
+    fs, jtarget = _fs(spark, path)
     n_new = new_rows.count()
 
-    if not target.exists():
+    if not fs.exists(jtarget):
         write_partitioned(new_rows, path, date_col)
         return n_new
 
-    existing = spark.read.parquet(path).drop(MONTH_KEY)
     window_pred = window_replace_predicate(start_date, end_date, date_col, to_col)
     if window_pred is None:
         # unbounded window replaces everything (reference DELETE with both
-        # params NULL deletes all rows)
-        keep = existing.limit(0)
-    else:
-        # A row is REPLACED only when it provably falls inside the window;
-        # any NULL in the compared date columns makes the predicate NULL,
-        # and ~coalesce(pred, false) keeps such rows — matching the
-        # reference DELETE, which never matches rows with NULL dates.
-        keep = existing.filter(~F.coalesce(window_pred, F.lit(False)))
+        # params NULL deletes all rows) — a static full overwrite, no
+        # keep-side read, so Spark's own overwrite commit handles the swap
+        write_partitioned(new_rows, path, date_col)
+        return n_new
 
-    merged = keep.unionByName(new_rows)
-    tmp = str(target.with_name(target.name + "__tmp_rewrite"))
-    write_partitioned(merged, tmp, date_col)
-    shutil.rmtree(path)
-    Path(tmp).rename(path)
+    existing = spark.read.parquet(path)  # keeps MONTH_KEY for pruning
+
+    # -- discover the affected months ------------------------------------
+    # Replaced rows satisfy eff_from >= start, which implies
+    # month_key >= yyyymm(start): a partition filter, so the discovery scan
+    # prunes to candidate months and reads only the two date columns.
+    replaced = existing.filter(F.coalesce(window_pred, F.lit(False)))
+    if start_date is not None:
+        replaced = replaced.filter(F.col(MONTH_KEY) >= F.lit(_month_of(start_date)))
+    affected = {r[0] for r in replaced.select(MONTH_KEY).distinct().collect()}
+    new_keyed = with_month_key(new_rows, date_col)
+    affected |= {r[0] for r in new_keyed.select(MONTH_KEY).distinct().collect()}
+    if not affected:
+        return n_new
+
+    # -- rewrite ONLY those months ----------------------------------------
+    # A row is REPLACED only when it provably falls inside the window; any
+    # NULL in the compared date columns makes the predicate NULL, and
+    # ~coalesce(pred, false) keeps such rows — matching the reference
+    # DELETE, which never matches rows with NULL dates.
+    month_filter = F.col(MONTH_KEY).isin([m for m in affected if m is not None])
+    if None in affected:
+        month_filter = month_filter | F.col(MONTH_KEY).isNull()
+    keep = existing.filter(month_filter).filter(
+        ~F.coalesce(window_pred, F.lit(False))
+    )
+    merged = keep.unionByName(new_keyed)
+    tmp = path.rstrip("/") + "__tmp_rewrite"
+    _delete(fs, spark, tmp)  # leftover from a crashed prior reload
+    merged.write.mode("overwrite").partitionBy(MONTH_KEY).parquet(tmp)
+    _swap_month_dirs(spark, fs, tmp, path, sorted(affected, key=lambda m: (m is None, m)))
+    _delete(fs, spark, tmp)
     return n_new

@@ -275,3 +275,81 @@ def test_full_pipeline(spark, tmp_path):
 
 def test_date_window_filter_none_bounds(spark, silver):
     assert date_window_filter(silver, None, None).count() == silver.count()
+
+
+def _month_files(root):
+    """(relative path, size, mtime) for every data file under each
+    part_month= dir — the byte-identity fingerprint for untouched months."""
+    from pathlib import Path
+
+    out = {}
+    for d in Path(root).iterdir():
+        if d.is_dir() and d.name.startswith("part_month="):
+            out[d.name] = sorted(
+                (str(p.relative_to(d)), p.stat().st_size, p.stat().st_mtime_ns)
+                for p in d.rglob("*")
+                if p.is_file()
+            )
+    return out
+
+
+def test_overwrite_by_window_untouched_months_byte_identical(spark, tmp_path):
+    """A windowed reload must not rewrite months outside the window: their
+    data files keep identity (same listing, sizes, mtimes). This is the
+    partition-scoped contract — at 100 TB a monthly load touches O(window),
+    not the table (VERDICT r10 #1)."""
+    path = str(tmp_path / "t_scoped")
+    schema = "k int, effective_from date, effective_to date"
+    rows = [
+        (i, dt.date(2023, m, 5), dt.date(2023, m, 25))
+        for m in range(1, 7)
+        for i in range(m * 100, m * 100 + 10)
+    ]
+    existing = spark.createDataFrame(rows, schema)
+    overwrite_by_window(spark, existing, path, None, None)
+
+    before = _month_files(path)
+    assert set(before) == {f"part_month=2023{m:02d}" for m in range(1, 7)}
+
+    # reload March only
+    new = spark.createDataFrame(
+        [(999, dt.date(2023, 3, 10), dt.date(2023, 3, 11))], schema
+    )
+    n = overwrite_by_window(spark, new, path, "2023-03-01", "2023-03-31")
+    assert n == 1
+
+    after = _month_files(path)
+    # every month except March: byte-identical file listing
+    for m in (1, 2, 4, 5, 6):
+        key = f"part_month=2023{m:02d}"
+        assert after[key] == before[key], f"month {key} was rewritten"
+    # March: replaced (old rows gone, new row present)
+    stored = spark.read.parquet(path)
+    march = {r["k"] for r in stored.filter(F.col("part_month") == 202303).collect()}
+    assert march == {999}
+    assert stored.count() == 51  # 5 months x 10 + 1
+
+
+def test_overwrite_by_window_drops_emptied_month(spark, tmp_path):
+    """A month whose rows are all replaced and that receives no new rows
+    must disappear — dynamic-overwrite semantics, not append-only."""
+    path = str(tmp_path / "t_empty_month")
+    schema = "k int, effective_from date, effective_to date"
+    existing = spark.createDataFrame(
+        [
+            (1, dt.date(2023, 1, 5), dt.date(2023, 1, 6)),
+            (2, dt.date(2023, 2, 5), dt.date(2023, 2, 6)),
+        ],
+        schema,
+    )
+    overwrite_by_window(spark, existing, path, None, None)
+    # window covers January; the batch lands in February
+    new = spark.createDataFrame(
+        [(3, dt.date(2023, 2, 7), dt.date(2023, 2, 8))], schema
+    )
+    overwrite_by_window(spark, new, path, "2023-01-01", "2023-01-31")
+    stored = spark.read.parquet(path)
+    assert {r["k"] for r in stored.collect()} == {2, 3}
+    from pathlib import Path
+
+    assert not (Path(path) / "part_month=202301").exists()
