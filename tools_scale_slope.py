@@ -274,7 +274,14 @@ def entries():
         path = os.path.join(_layout_root(sf_dir), "ivf")
         if not os.path.exists(os.path.join(path, "_ann_meta.json")):
             e = load_table(spark, sf_dir, "embeddings")
-            S.write_ivf_partitioned(e, path, S.sample_centroids(e, k=16))
+            # centroids=None: the slope must measure the AUTO-TRAINED
+            # quantizer (k = ceil(n/target)), i.e. the shrinking-probed-
+            # fraction regime write_ivf_partitioned defaults to — a fixed
+            # k would pin the probe at a constant fraction of the corpus
+            # and the slope row would measure the documented trap instead
+            S.write_ivf_partitioned(
+                e, path, centroids=None, target_cell_rows=1024
+            )
 
     def q_ivf_at_rest(spark, sf_dir):
         import etl_data_spark.operators.similarity as S
