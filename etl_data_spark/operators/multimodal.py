@@ -64,7 +64,7 @@ def _fake_decode(blob: bytes) -> dict[str, Any]:
 
 
 def sniff_media(blob: bytes | None) -> dict[str, Any]:
-    """REAL, dependency-free media-container decoder (PNG / GIF / WAV).
+    """REAL, dependency-free media-container decoder (PNG/GIF/JPEG/WAV).
 
     Parses actual file headers — no PIL/librosa needed:
 
@@ -72,6 +72,11 @@ def sniff_media(blob: bytes | None) -> dict[str, Any]:
       PNG spec §11.2.2);
     - GIF: GIF87a/GIF89a magic then the logical-screen descriptor
       (width/height, little-endian);
+    - JPEG: SOI (FFD8) then the marker stream walked segment-by-segment
+      (2-byte big-endian lengths, ITU-T T.81 §B.1) to the first frame
+      header SOFn (C0-CF minus DHT/JPG/DAC), whose body carries
+      height/width — covers baseline (SOF0) and progressive (SOF2)
+      alike, the dominant formats in any web image corpus;
     - WAV: RIFF/WAVE container walked chunk-by-chunk for ``fmt `` (audio
       format, channels, sample rate, bits/sample) and ``data`` (payload
       size); duration_ms = data_bytes * 1000 // byte_rate.
@@ -103,6 +108,35 @@ def sniff_media(blob: bytes | None) -> dict[str, Any]:
         elif blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
             w, h = struct.unpack("<HH", blob[6:10])
             meta.update(ok=True, media_type="image", format="gif", width=w, height=h)
+        elif blob[:2] == b"\xff\xd8":
+            off, w, h = 2, None, None
+            while off + 4 <= len(blob):
+                if blob[off] != 0xFF:
+                    break  # junk where a marker must sit -> truncated/dirty
+                marker = blob[off + 1]
+                if marker == 0xFF:  # fill byte before a marker (T.81 §B.1.1.2)
+                    off += 1
+                    continue
+                if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                    off += 2  # standalone markers: TEM/SOI/RSTn carry no segment
+                    continue
+                if marker in (0xD9, 0xDA):
+                    break  # EOI, or scan data before any SOF -> no dimensions
+                (size,) = struct.unpack(">H", blob[off + 2 : off + 4])
+                if size < 2:
+                    break
+                # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) = frame headers:
+                # [precision u8][height u16][width u16][components u8]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    body = blob[off + 4 : off + 2 + size]
+                    if len(body) >= 5:
+                        h, w = struct.unpack(">HH", body[1:5])
+                    break
+                off += 2 + size
+            if w and h:
+                meta.update(
+                    ok=True, media_type="image", format="jpeg", width=w, height=h
+                )
         elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             off, sr, byte_rate, data_size = 12, None, None, None
             while off + 8 <= len(blob):

@@ -491,6 +491,98 @@ def make_png(data: bytes) -> bytes:
     )
 
 
+def make_jpeg(data: bytes, progressive: bool = False) -> bytes:
+    """A structurally valid JPEG stream (ITU-T T.81 §B) whose frame header
+    carries dimensions derived from ``len(data)`` exactly like
+    :func:`make_png` (width = len % 64 + 1, height = ceil(len / width),
+    >= 1) — reconstructable from the length alone, keeping the decode
+    oracle SQL-expressible. ``data`` itself rides in COM (comment)
+    segments (65533-byte max each, so long documents span several), so
+    the marker walk must skip real payload-bearing segments to reach the
+    SOFn. ``progressive`` emits SOF2 instead of SOF0 — both are frame
+    headers, exercising the sniffer's full SOFn range."""
+    import struct
+
+    n = len(data)
+    width = n % 64 + 1
+    height = max(1, -(-n // width))
+    soi = b"\xff\xd8"
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    coms = b""
+    for i in range(0, n, 60000):
+        chunk = data[i : i + 60000]
+        coms += b"\xff\xfe" + struct.pack(">H", len(chunk) + 2) + chunk
+    sof = (
+        (b"\xff\xc2" if progressive else b"\xff\xc0")
+        + struct.pack(">H", 11)  # 1-component frame header
+        + b"\x08"  # 8-bit precision
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"  # component 1, 1x1 sampling, qtable 0
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return soi + app0 + coms + sof + sos + b"\x00" + b"\xff\xd9"
+
+
+def _jpeg_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc corpus -> real JPEG files: even doc_id -> progressive (SOF2),
+    odd -> baseline (SOF0); document text rides COM segments. Built
+    executor-side in Arrow batches, same shape as
+    :func:`_real_media_from_documents`."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            blobs = [
+                make_jpeg((t or "").encode("utf-8"), progressive=(did % 2 == 0))
+                for did, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"].to_numpy(), "blob": blobs})
+
+    return d.mapInPandas(build, schema="media_id long, blob binary")
+
+
+@register(
+    "multimodal_decode_jpeg",
+    # JPEG twin of multimodal_decode (r11, VERDICT r10 missing #1): real
+    # SOI/APP0/COM/SOFn marker streams parsed back by the dependency-free
+    # codec; width/height are the same pure length arithmetic as make_png,
+    # so the REAL marker walk (incl. skipping payload-bearing COM
+    # segments and reading progressive SOF2) is hash-verified end-to-end.
+    """
+    WITH src AS (
+      SELECT doc_id, length(COALESCE(text, '')) AS n FROM documents
+    )
+    SELECT doc_id AS media_id,
+           TRUE AS ok,
+           'image' AS media_type,
+           'jpeg' AS format,
+           CAST(n % 64 + 1 AS INT) AS width,
+           CAST(greatest(1, CAST(ceil(n / (n % 64 + 1.0)) AS BIGINT)) AS INT)
+             AS height
+    FROM src
+    """,
+    doc="REAL JPEG decode: documents wrapped in valid JPEG marker streams "
+    "(JFIF APP0, COM payload segments, baseline SOF0 / progressive SOF2) "
+    "and parsed back by sniff_media's marker walk via Arrow-batched "
+    "mapInPandas; dimensions hash-verified.",
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators import multimodal as MM
+
+    meta = MM.decode_media_meta(_jpeg_media_from_documents(spark, sf_dir))
+    return meta.select(
+        "media_id", "ok", "media_type", "format", "width", "height"
+    )
+
+
 def _real_media_from_documents(
     spark: SparkSession, sf_dir: str, parity: int | None = None
 ) -> DataFrame:
@@ -967,9 +1059,10 @@ def _duck_bucket(vec: str, seed: int = _ANN_SEED, planes: int = _ANN_PLANES) -> 
     return "(" + " + ".join(terms) + ")"
 
 
-@register(
-    "ann_lsh_topk",
-    f"""
+# Shared by ann_lsh_topk and its at-rest twin: the serving path is
+# row-identical to the on-the-fly path by construction (same planes, same
+# probes, same scoring/ordering — pytest-pinned), so one oracle covers both.
+_ANN_LSH_TOPK_SQL = f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     b AS (
       SELECT e.vec_id,
@@ -985,7 +1078,12 @@ def _duck_bucket(vec: str, seed: int = _ANN_SEED, planes: int = _ANN_PLANES) -> 
        OR bucket = xor(qbucket, 4) OR bucket = xor(qbucket, 8)
     ORDER BY cosine_sim DESC, vec_id
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    _ANN_LSH_TOPK_SQL,
     doc="LSH-bucketed approximate top-k (random-hyperplane buckets, "
     "probe + Hamming-1 adjacency); deterministic given the md5 planes, so "
     "the oracle replays the full algorithm including bucket assignment.",
@@ -997,9 +1095,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk(e, list(qvec), k=10, num_planes=_ANN_PLANES)
 
 
-@register(
-    "ann_ivf_topk",
-    f"""
+# Shared by ann_ivf_topk and its at-rest twin (same row-identity argument
+# as _ANN_LSH_TOPK_SQL).
+_ANN_IVF_TOPK_SQL = f"""
     WITH cents AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              embedding
@@ -1026,7 +1124,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.cell IN (SELECT cid FROM probes)
     ORDER BY cosine_sim DESC, a.vec_id
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    _ANN_IVF_TOPK_SQL,
     doc="IVF approximate top-k: coarse-quantize to centroid cells (seed = 8 "
     "lowest-id vectors), probe the 3 nearest cells; deterministic, so the "
     "oracle replays assignment + probe selection + scoring end-to-end.",
@@ -1220,6 +1323,87 @@ def q_knn_join_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_join_lsh_banded(
         left, e, k=3, dim=dim, bands=_BANDS, planes_per_band=_BAND_PLANES
     )
+
+
+# --------------------------------------------------------------------------
+# At-rest ANN serving paths as first-class entries (r11): each writes its
+# layout to a throwaway dir (the build is part of the query — the driver's
+# correctness gate covers write + sidecar + pruned probe end-to-end) and
+# probes it. Row-identical to the on-the-fly twins by construction
+# (pytest-pinned), so the twins' oracles verify them. The BENCH rows for
+# these names time the SERVING probe only (layout built untimed in group
+# setup, bench.run_at_rest_group) — the lifecycle split a real deployment
+# has: build once, probe forever.
+# --------------------------------------------------------------------------
+
+
+def _throwaway_layout_dir(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix) + "/layout"
+
+
+@register(
+    "ann_lsh_topk_at_rest",
+    _ANN_LSH_TOPK_SQL,
+    doc="ann_lsh_topk served from a write_ann_bucketed layout: the corpus "
+    "parquet-partitioned by bucket id, probes pruned at the file index "
+    "(PartitionFilters); parameters resolve from the _ann_meta.json "
+    "sidecar. Row-identical to ann_lsh_topk, hash-verified by its oracle.",
+)
+def q_ann_lsh_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    assert len(qvec) == _ANN_DIM, "oracle plane constants assume dim=64"
+    path = _throwaway_layout_dir("q_ann_lsh_at_rest_")
+    S.write_ann_bucketed(
+        e, path, dim=_ANN_DIM, num_planes=_ANN_PLANES, seed=_ANN_SEED
+    )
+    return S.ann_topk_at_rest(spark, path, qvec, k=10)
+
+
+@register(
+    "ann_ivf_topk_at_rest",
+    _ANN_IVF_TOPK_SQL,
+    doc="ann_ivf_topk served from a write_ivf_partitioned layout: probe "
+    "cells prune parquet partitions; the quantizer (and vec_col) resolve "
+    "from the sidecar. Row-identical to ann_ivf_topk, hash-verified by "
+    "its oracle.",
+)
+def q_ann_ivf_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    cents = S.sample_centroids(e, k=8)
+    path = _throwaway_layout_dir("q_ann_ivf_at_rest_")
+    S.write_ivf_partitioned(e, path, cents)
+    return S.ivf_topk_at_rest(spark, path, qvec, k=10, n_probe=3)
+
+
+@register(
+    "knn_join_banded_at_rest",
+    _knn_banded_oracle_sql(),
+    doc="knn_join_lsh_banded served from a write_ann_banded layout (one "
+    "replica per band, partitioned by (band, bucket)): the query set's "
+    "band codes become a single OR-of-(band, bucket) partition predicate, "
+    "so the corpus side is ONE pruned scan instead of bands full "
+    "re-evaluations. Row-identical to knn_join_lsh_banded, hash-verified "
+    "by its oracle.",
+)
+def q_knn_join_banded_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    assert dim == _ANN_DIM, "oracle plane constants assume dim=64"
+    path = _throwaway_layout_dir("q_knn_banded_at_rest_")
+    S.write_ann_banded(
+        e.select("vec_id", "embedding"),
+        path,
+        dim=dim,
+        bands=_BANDS,
+        planes_per_band=_BAND_PLANES,
+        seed=_ANN_SEED,
+    )
+    left = e.filter(F.col("vec_id") < 20)
+    return S.knn_join_lsh_banded_at_rest(spark, left, path, k=3)
 
 
 # --------------------------------------------------------------------------
