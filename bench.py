@@ -312,6 +312,62 @@ MEDIA_ANN = [
 ]
 
 
+def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
+    """At-rest ANN serving paths (r11, VERDICT r10 #5): the three probe
+    paths that were slope-suite-only — regressions now show in BENCH_rN,
+    not only in manually-run tools. Layouts are built UNTIMED in group
+    setup (same convention as tools_scale_slope's prepare hooks; layout
+    build cost has its own slope rows); only the serving probes are
+    timed. Sizing mirrors the slope suite (1024-row buckets/cells — the
+    file-health knob, SCALE.md §30)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_data_spark import get_spark, release_all
+    from etl_data_spark.operators import similarity as S
+    from etl_data_spark.queries import load_table
+
+    spark = get_spark(app_name="etl-data-spark-bench-at-rest")
+    root = tempfile.mkdtemp(prefix="bench_at_rest_")
+    try:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        dim = len(e.first()["embedding"])
+        qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+        lsh, ivf, banded = f"{root}/lsh", f"{root}/ivf", f"{root}/banded"
+        S.write_ann_bucketed(e, lsh, dim=dim, target_bucket_rows=1024)
+        S.write_ivf_partitioned(e, ivf, centroids=None, target_cell_rows=1024)
+        S.write_ann_banded(e, banded, dim=dim, bands=4, target_bucket_rows=1024)
+        left = e.filter(F.col("vec_id") < 20)
+        queries = {
+            "ann_lsh_topk_at_rest": lambda: S.ann_topk_at_rest(
+                spark, lsh, qvec, k=10
+            ),
+            "ann_ivf_topk_at_rest": lambda: S.ivf_topk_at_rest(
+                spark, ivf, qvec, k=10, n_probe=3
+            ),
+            "knn_join_banded_at_rest": lambda: S.knn_join_lsh_banded_at_rest(
+                spark, left, banded, k=3
+            ),
+        }
+        next(iter(queries.values()))().count()  # warm-up, untimed
+        best: dict[str, float] = {}
+        for _ in range(reps):
+            for name, fn in queries.items():
+                release_all()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                if name not in best or dt < best[name]:
+                    best[name] = dt
+        return {n: round(t, 4) for n, t in best.items()}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
 def run_pipeline_group(sf: float, reps: int) -> dict[str, float]:
     """Time the FULL reference pipeline as one measured unit (mirrors the
     reference's main.py:6-39): generate -> bronze -> cleanse (parquet,
@@ -377,6 +433,9 @@ def main() -> None:
     for gname, names in groups:
         if names:
             results[gname] = run_group(names, sf_dir, reps)
+    # at-rest ANN serving probes ride the media_ann group (r11): layouts
+    # built untimed in setup, probes timed in their own isolated session
+    results.setdefault("media_ann", {}).update(run_at_rest_group(sf_dir, reps))
     sf_num = float(sf) if sf.replace(".", "").isdigit() else 0.1
     results["pipeline"] = run_pipeline_group(sf_num, reps)
 
