@@ -8,10 +8,12 @@ The driver verifies a bounded prefix of the registry (observed: the first
 
 Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds. Rounds 1-7 completed the original burn-down (282
-of the then-283 entries); as of round 9 the cross-round union covers ALL
-284 oracle-backed entries of the current 285-entry registry
-(CORRECTNESS_r01-r09; the 285th, generator_profile, is rows-only by
-design). From round 8 on the window is a REGRESSION
+of the then-283 entries); as of round 10 the cross-round union covers ALL
+284 then-oracle-backed entries (CORRECTNESS_r01-r10). The registry now
+stands at 289 (288 oracle-backed + generator_profile, rows-only by
+design); the 4 entries born in round 11 (multimodal_decode_jpeg + the
+three at-rest ANN serving paths) are windowed their birth round, per
+policy. From round 8 on the window is a REGRESSION
 rotation (ROTATION.md): entries whose code paths changed in the prior or
 current round first, then oldest-driver-green-first, so the whole catalog
 re-earns a fresh row roughly every 5-6 rounds and no entry's record can
@@ -342,9 +344,73 @@ _DISPLACED_TO_R11 = [
 
 assert len(PRIORITY_R10) == 50, f"PRIORITY_R10 must fill the window exactly: {len(PRIORITY_R10)}"
 
+# Round-11 window: changed code paths first (ROTATION.md regression rule),
+# then strictly oldest-driver-green-first (the 43 fill slots all carry r4/r5
+# vintage rows — the oldest in the registry).
+PRIORITY_R11 = [
+    # -- changed/born this round (CHANGED_THIS_ROUND, must re-earn green) --
+    "multimodal_decode",
+    "multimodal_decode_jpeg",
+    "ann_lsh_topk_at_rest",
+    "ann_ivf_topk_at_rest",
+    "knn_join_banded_at_rest",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # -- oldest-driver-green-first fill (last green r4) --
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_supply",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promotion_supplier",
+    "value_histogram",
+    "moments_merge",
+    "star_build",
+    "streaming_dedup_keys",
+    "streaming_dq_counts",
+    "streaming_static_enrich",
+    # -- last green r5 --
+    "embedding_gram_matrix",
+    "passage_overlap",
+    "setsim_join_prefix",
+    "doc_chunking",
+    "streaming_late_data_drop",
+    "dedup_incremental_pairs",
+    "geometric_median",
+    "dedup_threshold_curve",
+    "collocation_pmi",
+    "bpe_pair_merge_counts",
+    "zipf_slope",
+    "shard_token_budget",
+    "source_kl_divergence",
+    "vocab_coverage",
+    "packing_efficiency",
+    "corpus_export_manifest",
+    "mixture_temperature_weights",
+    "hypertable_rollup",
+    "sliding_distinct_users",
+    "pit_scd2_join",
+    "accumulating_snapshot",
+    "late_arriving_dim",
+    "junk_dimension",
+    "drill_across",
+    "cdc_net_changes",
+    "triangle_count",
+    "lpa_communities",
+    "fuzzy_name_match",
+    "bfs_hops",
+    "chi_square_independence",
+    "welch_t_test",
+]
+assert len(PRIORITY_R11) == 50, f"PRIORITY_R11 must fill the window exactly: {len(PRIORITY_R11)}"
+assert set(_DISPLACED_TO_R11) <= set(PRIORITY_R11), (
+    "the r10 displacement promise must be honored: every entry bumped "
+    "from the r10 window re-enters in r11"
+)
+
 # The driver verifies the first 50 entries of queries()/oracle_sql();
 # PRIORITY pins that order. Round 8 on: the regression rotation.
-PRIORITY = PRIORITY_R10
+PRIORITY = PRIORITY_R11
 
 # Entries whose implementing code path changed during the CURRENT round.
 # ROTATION.md rule (written r8): a changed entry must re-earn a driver
@@ -354,6 +420,28 @@ PRIORITY = PRIORITY_R10
 # change lands on an un-windowed entry, swap out a youngest-green tail
 # entry in the same commit.
 CHANGED_THIS_ROUND = [
+    # r11: sniff_media gained the JPEG marker walk (multimodal_decode's
+    # codec — additive branch, but the rotation rule counts any
+    # implementing-code change); multimodal_decode_jpeg is BORN this
+    # round (new entries window their birth round); the three at-rest
+    # serving paths are newly registered AND their operators changed
+    # this round (ivf_topk_at_rest sidecar vec_col resolution,
+    # knn_join_lsh_banded_at_rest single-collect + empty-set contract,
+    # write_ann_banded reserved-column guard — ADVICE r10); the two
+    # on-the-fly twins' oracle SQL moved into shared constants
+    # (byte-identical strings, but the registration site changed):
+    "multimodal_decode",
+    "multimodal_decode_jpeg",
+    "ann_lsh_topk_at_rest",
+    "ann_ivf_topk_at_rest",
+    "knn_join_banded_at_rest",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+]
+
+# Frozen history: the r10 changed-path list, kept for the r9→r10 window
+# overlap audit (test_rotation.py), independent of the current round's.
+CHANGED_R10 = [
     # r10: the floor6 oracle mirrors brute_force_topk_vectorized's 0.0
     # degenerate contract (ADVICE r9 — oracle SQL change, so the green
     # row's comparison moved even though values match on clean corpora);

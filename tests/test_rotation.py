@@ -10,12 +10,14 @@ import os
 
 from etl_data_spark.catalog import (
     CHANGED_R9,
+    CHANGED_R10,
     CHANGED_THIS_ROUND,
     PRIORITY,
     PRIORITY_R7,
     PRIORITY_R8,
     PRIORITY_R9,
     PRIORITY_R10,
+    PRIORITY_R11,
     REGISTRY,
 )
 
@@ -47,9 +49,15 @@ def test_window_is_exactly_50_known_entries():
     assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
     assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50
     assert len(PRIORITY_R10) == 50 and len(set(PRIORITY_R10)) == 50
+    assert len(PRIORITY_R11) == 50 and len(set(PRIORITY_R11)) == 50
     unknown = [
         n
-        for n in PRIORITY + PRIORITY_R7 + PRIORITY_R8 + PRIORITY_R9 + PRIORITY_R10
+        for n in PRIORITY
+        + PRIORITY_R7
+        + PRIORITY_R8
+        + PRIORITY_R9
+        + PRIORITY_R10
+        + PRIORITY_R11
         if n not in REGISTRY
     ]
     assert not unknown, f"window references unregistered queries: {unknown}"
@@ -66,9 +74,14 @@ def test_window_is_exactly_50_known_entries():
         f"{sorted(overlap_89 - set(CHANGED_R9))}"
     )
     overlap_910 = set(PRIORITY_R9) & set(PRIORITY_R10)
-    assert overlap_910 <= set(CHANGED_THIS_ROUND), (
+    assert overlap_910 <= set(CHANGED_R10), (
+        f"unchanged entries repeated across the r9/r10 windows: "
+        f"{sorted(overlap_910 - set(CHANGED_R10))}"
+    )
+    overlap_1011 = set(PRIORITY_R10) & set(PRIORITY_R11)
+    assert overlap_1011 <= set(CHANGED_THIS_ROUND), (
         f"unchanged entries repeat across consecutive windows: "
-        f"{sorted(overlap_910 - set(CHANGED_THIS_ROUND))}"
+        f"{sorted(overlap_1011 - set(CHANGED_THIS_ROUND))}"
     )
 
 
@@ -76,9 +89,9 @@ def test_active_window_is_the_regression_rotation():
     """Round 8 on: the burn-down is complete, so the active window must be
     the regression rotation, opening with the current round's changed code
     paths (ROTATION.md)."""
-    assert PRIORITY is PRIORITY_R10
-    # r10 changed paths lead the window: the floor6 degenerate-contract
-    # oracle mirror + the _bounded_count/_auto_bands banded-family work
+    assert PRIORITY is PRIORITY_R11
+    # r11 changed paths lead the window: the JPEG codec + the at-rest ANN
+    # serving family (new entries + ADVICE-r10 operator hardening)
     assert PRIORITY[: len(CHANGED_THIS_ROUND)] == CHANGED_THIS_ROUND
 
 
