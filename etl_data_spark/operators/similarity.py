@@ -1339,21 +1339,8 @@ def write_ann_banded(
             n_rows if n_rows is not None else _bounded_count(df),
             target_bucket_rows,
         )
-    coded = df
-    code_cols = []
-    for band in range(bands):
-        col = f"_band_code_{band}"
-        coded = lsh_bucket_assign(
-            coded, dim, planes_per_band, seed + 7919 * band, vec_col, col
-        )
-        code_cols.append(col)
     (
-        coded.select(
-            *[c for c in df.columns],
-            F.posexplode(F.array(*[F.col(c) for c in code_cols])).alias(
-                "band", "bucket"
-            ),
-        )
+        _banded_exploded(df, dim, bands, planes_per_band, seed, vec_col)
         .write.mode("overwrite")
         .partitionBy("band", "bucket")
         .parquet(path)
@@ -1370,6 +1357,81 @@ def write_ann_banded(
             "id_col": id_col,
             "vec_col": vec_col,
         },
+    )
+
+
+def _banded_exploded(
+    df: DataFrame,
+    dim: int,
+    bands: int,
+    planes_per_band: int,
+    seed: int,
+    vec_col: str,
+) -> DataFrame:
+    """One narrow pass computing every band's bucket code, posexploded to
+    (band, bucket) rows — the single-scan replica construction shared by
+    write_ann_banded and append_ann_banded."""
+    coded = df
+    code_cols = []
+    for band in range(bands):
+        col = f"_band_code_{band}"
+        coded = lsh_bucket_assign(
+            coded, dim, planes_per_band, seed + 7919 * band, vec_col, col
+        )
+        code_cols.append(col)
+    return coded.select(
+        *[c for c in df.columns],
+        F.posexplode(F.array(*[F.col(c) for c in code_cols])).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def append_ann_banded(df: DataFrame, path: str) -> None:
+    """Incremental maintenance of a ``write_ann_banded`` layout: new
+    vectors APPEND into their (band, bucket) directories — one narrow
+    pass computes every band's code and the posexploded replicas
+    dynamic-partition-append, so untouched directories are never
+    rewritten and a growing corpus costs writes proportional to
+    bands × batch, not the index. The banded twin of
+    ``append_ann_bucketed`` / ``append_ivf_partitioned``.
+
+    All parameters resolve from the layout's ``_ann_meta.json`` sidecar
+    (the plane-sets the directories were physically built with — there
+    is no explicit-parameter form: a banded layout is only ever built by
+    ``write_ann_banded``, which always stamps the sidecar). The same
+    reserved-column guard as the write path applies. Accumulated append
+    files fold back to scan-sized ones with :func:`compact_layout`."""
+    meta = _read_layout_meta(df.sparkSession, path)
+    if meta is None or meta.get("kind") != "lsh_banded":
+        raise ValueError(
+            f"append_ann_banded: layout at {path!r} is "
+            f"kind={None if meta is None else meta.get('kind')!r}, not "
+            "'lsh_banded' — write it with write_ann_banded first."
+        )
+    clashes = [
+        c
+        for c in df.columns
+        if c in ("band", "bucket") or c.startswith("_band_code_")
+    ]
+    if clashes:
+        raise ValueError(
+            f"append_ann_banded: input columns {clashes} collide with the "
+            "layout's partition columns ('band', 'bucket') or its internal "
+            "'_band_code_*' scratch columns — rename them before appending."
+        )
+    (
+        _banded_exploded(
+            df,
+            meta["dim"],
+            meta["bands"],
+            meta["planes_per_band"],
+            meta["seed"],
+            meta["vec_col"],
+        )
+        .write.mode("append")
+        .partitionBy("band", "bucket")
+        .parquet(path)
     )
 
 
@@ -1723,3 +1785,61 @@ def _fs_of(spark, path: str):
     """Hadoop FileSystem for ``path`` (shared shape with io.writers._fs)."""
     p = spark._jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def compact_layout(
+    spark,
+    path: str,
+    target_files_per_partition: int = 1,
+) -> int:
+    """Compact an at-rest ANN layout's accumulated append files.
+
+    Every ``append_*`` batch adds at least one file per touched
+    cell/bucket directory; after months of appends a directory holds
+    hundreds of tiny files and the probed scan drowns in per-file
+    overhead (one task + one object-store request each — the same
+    failure mode ``io.writers.compact_small_files`` fixes for month
+    partitions, measured in SCALE.md §30's bucket-sizing lesson). This
+    rewrites the layout into ``target_files_per_partition`` files per
+    partition directory, preserving the partition columns (so pruning
+    is unaffected) AND the ``_ann_meta.json`` sidecar byte-for-byte
+    (same quantizer/planes — compaction moves bytes, never assignments;
+    probe results are identical before and after). The rewrite lands in
+    a sibling tmp dir and swaps in via Hadoop FS renames (atomicity
+    contract: io/writers.py module docstring). Returns the number of
+    data files after compaction.
+
+    For a SKEWED layout prefer :func:`retrain_ivf_layout` (IVF) or a
+    fresh auto-sized ``write_ann_bucketed`` (LSH) — compaction fixes
+    file counts, not assignment quality."""
+    from etl_data_spark.io.writers import (
+        _count_parquet_files,
+        _delete,
+        _rename,
+    )
+
+    meta = _read_layout_meta(spark, path)
+    if meta is None or meta.get("kind") not in _LAYOUT_PART_COLS:
+        raise ValueError(
+            f"compact_layout: {path!r} has no recognizable {_ANN_META_FILE} "
+            "sidecar — not an at-rest ANN layout (for month-partitioned "
+            "tables use io.writers.compact_small_files)."
+        )
+    part_cols = _LAYOUT_PART_COLS[meta["kind"]]
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__tmp_compact"
+    trash = path.rstrip("/") + "__pre_compact"
+    fs, _ = _fs_of(spark, path)
+    _delete(fs, spark, tmp)
+    (
+        df.repartition(target_files_per_partition, *[F.col(c) for c in part_cols])
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    _write_layout_meta(spark, tmp, meta)  # sidecar rides the swap unchanged
+    _delete(fs, spark, trash)
+    _rename(fs, spark, path, trash)
+    _rename(fs, spark, tmp, path)
+    _delete(fs, spark, trash)
+    return _count_parquet_files(fs, spark, path)

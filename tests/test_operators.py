@@ -1891,3 +1891,96 @@ def test_ivf_layout_lifecycle_skew_and_retrain(spark, tmp_path):
     # and the wrong layout kind is rejected
     with pytest.raises(ValueError, match="not\n?\\s*'ivf'|not 'ivf'"):
         retrain_ivf_layout(spark, str(tmp_path / "nope"))
+
+
+def test_compact_layout_preserves_probes_and_sidecar(spark, tmp_path):
+    """r11: append batches accumulate small files per bucket directory;
+    compact_layout rewrites to N files per partition while preserving the
+    sidecar byte-for-byte and the exact probe results (compaction moves
+    bytes, never assignments)."""
+    from pathlib import Path
+
+    from etl_data_spark.operators.similarity import (
+        _read_layout_meta,
+        ann_topk_at_rest,
+        append_ann_bucketed,
+        compact_layout,
+        write_ann_bucketed,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(e.first()["embedding"])
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "ann_compact")
+    write_ann_bucketed(e.filter(F.col("vec_id") < 100), path, dim=dim)
+    # five append batches -> at least 5 files in any touched bucket dir
+    for lo in range(100, 200, 20):
+        append_ann_bucketed(
+            e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20)), path
+        )
+    files_before = sum(1 for p in Path(path).rglob("*.parquet"))
+    meta_before = _read_layout_meta(spark, path)
+    probe_before = [tuple(r) for r in ann_topk_at_rest(spark, path, qvec, k=10).collect()]
+
+    n_after = compact_layout(spark, path, target_files_per_partition=1)
+    assert n_after < files_before
+    # one file per bucket directory
+    for d in Path(path).iterdir():
+        if d.is_dir() and d.name.startswith("bucket="):
+            assert sum(1 for p in d.rglob("*.parquet")) == 1, d
+    assert _read_layout_meta(spark, path) == meta_before
+    probe_after = [tuple(r) for r in ann_topk_at_rest(spark, path, qvec, k=10).collect()]
+    assert probe_after == probe_before
+
+    # not-a-layout dirs are rejected with a targeted error
+    with pytest.raises(ValueError, match="sidecar"):
+        compact_layout(spark, str(tmp_path / "not_a_layout"))
+
+
+def test_append_ann_banded_matches_single_write(spark, tmp_path):
+    """r11: the banded layout gains the append twin — write half, append
+    the rest in two batches, and the served kNN equals a layout written
+    in one go (same sidecar parameters, same directories)."""
+    from etl_data_spark.operators.similarity import (
+        append_ann_banded,
+        compact_layout,
+        knn_join_lsh_banded_at_rest,
+        write_ann_banded,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(e.first()["embedding"])
+    incr, full = str(tmp_path / "banded_incr"), str(tmp_path / "banded_full")
+    write_ann_banded(
+        e.filter(F.col("vec_id") < 80), incr, dim=dim, bands=4,
+        planes_per_band=4,
+    )
+    append_ann_banded(e.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 140)), incr)
+    append_ann_banded(e.filter(F.col("vec_id") >= 140), incr)
+    write_ann_banded(e, full, dim=dim, bands=4, planes_per_band=4)
+
+    left = e.filter(F.col("vec_id") < 20)
+    got = knn_join_lsh_banded_at_rest(spark, left, incr, k=3)
+    want = knn_join_lsh_banded_at_rest(spark, left, full, k=3)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+    # compaction folds the append files without changing results
+    compact_layout(spark, incr)
+    again = knn_join_lsh_banded_at_rest(spark, left, incr, k=3)
+    assert sorted(tuple(r) for r in again.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+    # appending to a non-banded dir / clashing columns fail fast
+    with pytest.raises(ValueError, match="lsh_banded"):
+        append_ann_banded(e, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="collide"):
+        append_ann_banded(e.withColumn("band", F.lit(1)), incr)
