@@ -88,6 +88,12 @@ PICK = [
     # single vector join-back stay visible
     "embedding_near_dup_lsh_banded",
     "knn_join_lsh_banded",
+    # round 11: the at-rest serving paths as registry entries — plan-audited
+    # so the (band,)bucket/cell PartitionFilters stay visible in the record
+    "ann_lsh_topk_at_rest",
+    "ann_ivf_topk_at_rest",
+    "knn_join_banded_at_rest",
+    "multimodal_decode_jpeg",
 ]
 
 
