@@ -84,6 +84,28 @@ def _month_dirname(month: int | None) -> str:
     return f"{MONTH_KEY}={_NULL_PART if month is None else month}"
 
 
+def _recover_swaps(spark: SparkSession, fs, target: str) -> None:
+    """Heal a crashed prior swap before touching the table: a month dir
+    left at its ``__replaced`` trash name whose live twin is MISSING marks
+    a crash between the two renames — restore it (the kept rows of that
+    month exist nowhere else); a trash whose live twin exists is the
+    post-rename-in leftover — delete it. Makes a retried reload correct
+    instead of silently dropping the crashed month's kept rows."""
+    jt = _jpath(spark, target)
+    if not fs.exists(jt):
+        return
+    for st in fs.listStatus(jt):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.endswith("__replaced")):
+            continue
+        trash = f"{target}/{name}"
+        live = f"{target}/{name[: -len('__replaced')]}"
+        if fs.exists(_jpath(spark, live)):
+            _delete(fs, spark, trash)
+        else:
+            _rename(fs, spark, trash, live)
+
+
 def _swap_month_dirs(
     spark: SparkSession, fs, tmp: str, target: str, months: list[int | None]
 ) -> None:
@@ -177,10 +199,15 @@ def compact_small_files(
     between them; on S3A rename is copy+delete and a table format is the
     atomic answer (see module docstring). No POSIX calls touch the data.
     """
-    df = spark.read.parquet(path)
-    has_month = MONTH_KEY in df.columns
+    fs, jpath = _fs(spark, path)
     tmp = path.rstrip("/") + "__tmp_compact"
     trash = path.rstrip("/") + "__pre_compact"
+    # heal a crash between the two swap renames: the table then lives
+    # only at the trash name — restore it before reading
+    if not fs.exists(jpath) and fs.exists(_jpath(spark, trash)):
+        _rename(fs, spark, trash, path)
+    df = spark.read.parquet(path)
+    has_month = MONTH_KEY in df.columns
     writer = (
         df.repartition(target_files_per_partition, MONTH_KEY)
         if has_month
@@ -190,7 +217,6 @@ def compact_small_files(
     if has_month:
         w = w.partitionBy(MONTH_KEY)
     w.parquet(tmp)
-    fs, _ = _fs(spark, path)
     _delete(fs, spark, trash)  # leftover from a crashed prior compact
     _rename(fs, spark, path, trash)
     _rename(fs, spark, tmp, path)
@@ -253,6 +279,7 @@ def overwrite_by_window(
         write_partitioned(new_rows, path, date_col)
         return n_new
 
+    _recover_swaps(spark, fs, path)  # heal any crashed prior reload first
     existing = spark.read.parquet(path)  # keeps MONTH_KEY for pruning
 
     # -- discover the affected months ------------------------------------

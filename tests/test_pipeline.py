@@ -353,3 +353,69 @@ def test_overwrite_by_window_drops_emptied_month(spark, tmp_path):
     from pathlib import Path
 
     assert not (Path(path) / "part_month=202301").exists()
+
+
+def test_overwrite_by_window_recovers_crashed_swap(spark, tmp_path):
+    """r11 crash-safety: a reload killed between the two swap renames
+    leaves a month only at its __replaced trash name; the next reload
+    must RESTORE it before discovery (its kept rows exist nowhere else),
+    and must clean up a post-rename-in trash leftover without touching
+    the live month."""
+    from pathlib import Path
+
+    path = str(tmp_path / "t_crash")
+    schema = "k int, effective_from date, effective_to date"
+    existing = spark.createDataFrame(
+        [
+            (1, dt.date(2023, 1, 5), dt.date(2023, 1, 6)),
+            (2, dt.date(2023, 2, 5), dt.date(2023, 2, 6)),
+            (3, dt.date(2023, 3, 5), dt.date(2023, 3, 6)),
+        ],
+        schema,
+    )
+    overwrite_by_window(spark, existing, path, None, None)
+
+    # crash case A: month 2023-02 renamed out, never renamed back in
+    feb = Path(path) / "part_month=202302"
+    feb.rename(Path(path) / "part_month=202302__replaced")
+    # crash case B: month 2023-03 swapped in, trash not yet deleted
+    import shutil
+
+    shutil.copytree(
+        Path(path) / "part_month=202303",
+        Path(path) / "part_month=202303__replaced",
+    )
+
+    new = spark.createDataFrame(
+        [(10, dt.date(2023, 1, 7), dt.date(2023, 1, 8))], schema
+    )
+    overwrite_by_window(spark, new, path, "2023-01-01", "2023-01-31")
+
+    kept = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert kept == {2, 3, 10}  # Feb restored, Mar intact, Jan replaced
+    assert not (Path(path) / "part_month=202302__replaced").exists()
+    assert not (Path(path) / "part_month=202303__replaced").exists()
+
+
+def test_compact_small_files_recovers_crashed_swap(spark, tmp_path):
+    """r11 crash-safety: a compact killed between its two renames leaves
+    the whole table only at the __pre_compact trash name; the next
+    compact must restore it before reading."""
+    from pathlib import Path
+
+    from etl_data_spark.io.writers import compact_small_files
+
+    path = str(tmp_path / "t_compact_crash")
+    schema = "k int, effective_from date, effective_to date"
+    df = spark.createDataFrame(
+        [(i, dt.date(2023, 1 + i % 3, 5), dt.date(2023, 1 + i % 3, 6)) for i in range(30)],
+        schema,
+    )
+    overwrite_by_window(spark, df, path, None, None)
+    n = spark.read.parquet(path).count()
+
+    Path(path).rename(Path(path + "__pre_compact"))  # crash mid-swap
+    n_files = compact_small_files(spark, path)
+    assert n_files >= 1
+    assert spark.read.parquet(path).count() == n
+    assert not Path(path + "__pre_compact").exists()
