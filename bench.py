@@ -309,6 +309,7 @@ MEDIA_ANN = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "multimodal_decode_jpeg",  # r11: JPEG marker-walk decode (born r11)
 ]
 
 
