@@ -10,9 +10,9 @@ Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds. Rounds 1-7 completed the original burn-down (282
 of the then-283 entries); as of round 10 the cross-round union covers ALL
 284 then-oracle-backed entries (CORRECTNESS_r01-r10). The registry now
-stands at 289 (288 oracle-backed + generator_profile, rows-only by
-design); the 4 entries born in round 11 (multimodal_decode_jpeg + the
-three at-rest ANN serving paths) are windowed their birth round, per
+stands at 290 (289 oracle-backed + generator_profile, rows-only by
+design); the 5 entries born in round 11 (multimodal_decode_jpeg, the three
+at-rest ANN serving paths, and decontaminate_ngram) are windowed their birth round, per
 policy. From round 8 on the window is a REGRESSION
 rotation (ROTATION.md): entries whose code paths changed in the prior or
 current round first, then oldest-driver-green-first, so the whole catalog
@@ -356,6 +356,7 @@ PRIORITY_R11 = [
     "knn_join_banded_at_rest",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "decontaminate_ngram",
     # -- oldest-driver-green-first fill (last green r4) --
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
@@ -400,7 +401,6 @@ PRIORITY_R11 = [
     "fuzzy_name_match",
     "bfs_hops",
     "chi_square_independence",
-    "welch_t_test",
 ]
 assert len(PRIORITY_R11) == 50, f"PRIORITY_R11 must fill the window exactly: {len(PRIORITY_R11)}"
 assert set(_DISPLACED_TO_R11) <= set(PRIORITY_R11), (
@@ -437,6 +437,9 @@ CHANGED_THIS_ROUND = [
     "knn_join_banded_at_rest",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # born late-r11: exact n-gram benchmark decontamination (the
+    # GPT-3-style pass complementing split_leakage's Jaccard lens)
+    "decontaminate_ngram",
 ]
 
 # Frozen history: the r10 changed-path list, kept for the r9→r10 window

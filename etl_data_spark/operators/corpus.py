@@ -235,6 +235,45 @@ def pack_sequences(
 # --------------------------------------------------------------------------
 
 
+def decontaminate_ngram(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by EXACT n-gram containment (the GPT-3
+    appendix-C / PaLM-style pass): flag corpus documents sharing any word
+    n-gram with an evaluation set. Complements ``split_leakage``'s
+    near-duplicate (shingle-Jaccard) lens with the exact-substring lens a
+    training pipeline runs against held-out benchmarks before training.
+
+    Returns ``(id_col, n_contaminated_grams)`` for contaminated documents
+    only (every contaminated-gram OCCURRENCE counts) — the drop list the
+    curation pipeline anti-joins against.
+
+    Scale shape: the EVAL side is bounded by construction (benchmarks are
+    thousands of documents, not corpora), so its distinct n-gram set
+    BROADCASTS; the corpus side is a narrow n-gram explode (let-bound
+    token array, ``_ngram_array``) feeding a broadcast hash join — the
+    corpus text is never shuffled. The one aggregation shuffles only
+    (doc, count) partials for documents with >= 1 hit; at realistic
+    13-gram hit rates that input is drop-list-sized, not corpus-sized.
+    """
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(_ngram_array(text_col, n)).alias("gram"),
+    )
+    eval_grams = eval_df.select(
+        F.explode(_ngram_array(text_col, n)).alias("gram")
+    ).distinct()
+    return (
+        grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
 def length_decile_stats(df: DataFrame, lang_col: str = "lang") -> DataFrame:
     """Per-language NTILE(10) over token length, aggregated to decile stats.
 

@@ -461,6 +461,41 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    g AS (SELECT doc_id, unnest({_DUCK_NGRAMS[3]}) AS gram FROM tok),
+    b AS (SELECT doc_id, gram, {_duck_bucket("doc_id")} AS bucket FROM g)
+    SELECT b.doc_id AS train_id, COUNT(*) AS n_contaminated_grams
+    FROM b
+    JOIN (SELECT DISTINCT gram FROM b WHERE bucket >= 950) e USING (gram)
+    WHERE b.bucket < 900
+    GROUP BY train_id
+    ORDER BY train_id
+    """,
+    doc="Benchmark decontamination (exact n-gram containment, GPT-3 "
+    "appendix-C style): train-split documents sharing any exact trigram "
+    "with the held-out test split, with per-doc contaminated-gram "
+    "occurrence counts. Eval-side distinct grams broadcast; the corpus "
+    "side is a narrow explode + broadcast join, never a text shuffle — "
+    "the exact-substring complement of split_leakage's Jaccard lens.",
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = C.split_bucket("doc_id")
+    train = d.filter(bucket < 900)
+    test = d.filter(bucket >= 950)
+    return (
+        C.decontaminate_ngram(train, test, n=3)
+        .select(F.col("doc_id").alias("train_id"), "n_contaminated_grams")
+        .orderBy("train_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline (round 3)
 # --------------------------------------------------------------------------
