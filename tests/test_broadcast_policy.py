@@ -40,6 +40,12 @@ ALLOWED = {
     # both hints broadcast O(|queries|) frames: the collected (query,
     # band, bucket) probe table and the query-vector frame
     ("operators/similarity.py", "knn_join_lsh_banded_at_rest"): 2,
+    # the EVAL side of benchmark decontamination is bounded by
+    # construction (held-out benchmarks are thousands of documents, not
+    # corpora — docstring contract); the hint broadcasts its distinct
+    # n-gram set so the corpus-side explode joins map-only, never
+    # shuffling corpus text
+    ("operators/corpus.py", "decontaminate_ngram"): 1,
     ("queries.py", "q_latest_batch"): 1,  # 1-row max
     ("queries.py", "q_star_join"): 2,  # nation, region
     ("queries_analytics.py", "_bm25_scored"): 1,  # 1-row corpus stats
