@@ -310,6 +310,8 @@ MEDIA_ANN = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "multimodal_decode_jpeg",  # r11: JPEG marker-walk decode (born r11)
+    "ann_pq_rerank_topk",  # r11: PQ ADC + exact rerank (born r11)
+    "ann_ivfpq_rerank_at_rest",  # r11: composed IVF-PQ layout (born r11)
 ]
 
 

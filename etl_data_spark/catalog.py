@@ -10,10 +10,10 @@ Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds. Rounds 1-7 completed the original burn-down (282
 of the then-283 entries); as of round 10 the cross-round union covers ALL
 284 then-oracle-backed entries (CORRECTNESS_r01-r10). The registry now
-stands at 290 (289 oracle-backed + generator_profile, rows-only by
-design); the 5 entries born in round 11 (multimodal_decode_jpeg, the three
-at-rest ANN serving paths, and decontaminate_ngram) are windowed their birth round, per
-policy. From round 8 on the window is a REGRESSION
+stands at 293 (292 oracle-backed + generator_profile, rows-only by
+design); the 8 entries born in round 11 (multimodal_decode_jpeg, the three
+at-rest ANN serving paths, decontaminate_ngram, and the PQ family) are
+windowed their birth round, per policy. From round 8 on the window is a REGRESSION
 rotation (ROTATION.md): entries whose code paths changed in the prior or
 current round first, then oldest-driver-green-first, so the whole catalog
 re-earns a fresh row roughly every 5-6 rounds and no entry's record can
@@ -357,6 +357,9 @@ PRIORITY_R11 = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "decontaminate_ngram",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_rerank_at_rest",
     # -- oldest-driver-green-first fill (last green r4) --
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
@@ -398,9 +401,6 @@ PRIORITY_R11 = [
     "cdc_net_changes",
     "triangle_count",
     "lpa_communities",
-    "fuzzy_name_match",
-    "bfs_hops",
-    "chi_square_independence",
 ]
 assert len(PRIORITY_R11) == 50, f"PRIORITY_R11 must fill the window exactly: {len(PRIORITY_R11)}"
 assert set(_DISPLACED_TO_R11) <= set(PRIORITY_R11), (
@@ -440,6 +440,11 @@ CHANGED_THIS_ROUND = [
     # born late-r11: exact n-gram benchmark decontamination (the
     # GPT-3-style pass complementing split_leakage's Jaccard lens)
     "decontaminate_ngram",
+    # born late-r11: the product-quantization family (operators/pq.py) —
+    # ADC over code arrays, exact rerank, and the composed IVF-PQ layout
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_rerank_at_rest",
 ]
 
 # Frozen history: the r10 changed-path list, kept for the r9→r10 window

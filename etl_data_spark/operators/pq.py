@@ -1,0 +1,334 @@
+"""Product quantization: ADC-scored ANN over code arrays, not vectors.
+
+The missing storage axis of the ANN family (similarity.py): the LSH/IVF
+layouts prune WHICH rows a probe reads, PQ shrinks WHAT each row costs —
+an m-byte code array replaces the d-float vector (dim 64 float32 = 256
+bytes -> m=4 ints), and queries score codes via a driver-built lookup
+table (ADC, asymmetric distance computation) without ever touching a
+vector. Composed with the IVF layout (``write_ivf_pq``) this is the
+IVF-PQ index every production vector store ships (FAISS IndexIVFPQ,
+Jegou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011): partition-pruned probe × code-only scan.
+
+Design for 100 TB:
+- TRAINING is sample-based (industry practice — FAISS trains on a slice):
+  a bounded, deterministic driver-side sample (lowest-id rows) fits k
+  centroids per subspace with seeded Lloyd; nothing data-scaled runs on
+  the driver.
+- ENCODE is a narrow Column-only map: per subspace, argmin over k literal
+  centroids (codebooks baked into the plan) — no shuffle, no UDF, whole-
+  stage codegen.
+- SCORING reads (id, code) only — parquet column pruning never touches
+  the vector column — and evaluates ``sum_s LUT[s][code_s]`` as literal
+  array lookups; top-k is a TakeOrderedAndProject.
+- Everything is DETERMINISTIC given the codebooks (first-k init, fixed
+  iterations, first-match argmin ties), so a SQL oracle replays encode +
+  ADC end-to-end with the codebooks as literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Fit per-subspace codebooks on a bounded deterministic sample.
+
+    Returns ``codebooks[s][c] = centroid (d/m floats)`` for ``m``
+    subspaces x ``k`` codes. The sample is the ``sample_rows`` lowest-id
+    vectors (bounded driver collect — the same determinism contract as
+    ``similarity.sample_centroids``); init is the first ``k`` subvectors,
+    refined with ``iters`` L2 Lloyd passes (empty cells keep their
+    previous centroid). No RNG anywhere, so retraining on the same data
+    reproduces the same codebooks bit-for-bit.
+    """
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    )
+    mat = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
+    sub = d // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        block = mat[:, s * sub : (s + 1) * sub]
+        cents = block[:k].copy()
+        for _ in range(iters):
+            # assign: argmin squared L2, first-match ties
+            d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = block[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _sq_l2(a, b) -> "F.Column":
+    """Squared L2 between two array columns (zip_with + left-to-right
+    aggregate — the evaluation order the DuckDB oracle mirrors)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Quantize ``vec_col`` into an ``array<int>`` of per-subspace code
+    ids — a narrow Column-only map (codebooks are plan literals; argmin
+    via array_position of array_min, first match, so ties break to the
+    lowest code id in both engines). The vector column is untouched;
+    drop it after encoding to realize the storage win."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        subvec = F.slice(F.col(vec_col), s * sub + 1, sub)
+        dists = F.array(
+            *[
+                _sq_l2(subvec, F.array(*[F.lit(float(x)) for x in cent]))
+                for cent in book
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Driver-side ADC lookup table: ``lut[s][c]`` = squared L2 between
+    the query's s-th subvector and codebook entry c — m*k floats, built
+    once per query in pure Python (exact double arithmetic, matching the
+    engine-side training floats)."""
+    sub = len(codebooks[0][0])
+    lut = []
+    for s, book in enumerate(codebooks):
+        q = query_vec[s * sub : (s + 1) * sub]
+        lut.append(
+            [
+                float(sum((qi - ci) * (qi - ci) for qi, ci in zip(q, cent)))
+                for cent in book
+            ]
+        )
+    return lut
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes: score = sum over
+    subspaces of ``LUT[s][code_s]`` — literal array lookups over the
+    (id, code) columns ONLY (the scan never reads vectors; with the code
+    column stored beside the ids, a 100 TB float corpus serves from the
+    ~3% of bytes its codes occupy). Ascending distance, id tiebreak;
+    distances rounded to 6dp at the emit boundary (one rounding rule
+    shared with the SQL oracle)."""
+    lut = pq_adc_lut(query_vec, codebooks)
+    score = None
+    for s, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in row]),
+            F.element_at(F.col(code_col), s + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(score, 6).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    codes: DataFrame,
+    vectors: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ with exact rerank — the production recipe (FAISS's refine
+    stage): ADC over the code column shortlists ``shortlist`` candidates
+    (corpus scan reads codes only), then ONLY those rows' vectors are
+    fetched (broadcast semi of shortlist ids — k-row frame by
+    construction) and scored exactly. Recall approaches exact search
+    while the corpus-sized read stays code-sized: at 100 TB of float
+    vectors the scan costs ~m bytes/row + ``shortlist`` full vectors.
+    Returns (id, l2_dist) ascending with id tiebreak, rounded 6dp."""
+    short = pq_topk(
+        codes, query_vec, codebooks, k=shortlist, id_col=id_col,
+        code_col=code_col,
+    ).select(id_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        vectors.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.round(_sq_l2(F.col(vec_col), q), 6).alias("l2_dist"),
+        )
+        .orderBy(F.asc("l2_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ at rest: the composed index (FAISS IndexIVFPQ + refine)
+# --------------------------------------------------------------------------
+
+
+def write_ivf_pq(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cell_rows: int = 4096,
+    n_rows: int | None = None,
+    refine_iters: int = 1,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_sample_rows: int = 2048,
+    pq_iters: int = 5,
+    keep_vectors: bool = True,
+) -> None:
+    """Materialize the IVF-PQ layout: cell-partitioned parquet rows of
+    ``(id, pq_code[, vector])``. Both quantizers train at write time when
+    not supplied — the coarse one auto-sized like ``write_ivf_partitioned``
+    (k = ceil(n/target), distributed Lloyd), the product one on a bounded
+    deterministic sample (:func:`train_pq`). Probes then cost a
+    partition-PRUNED scan of ~m-byte code rows: the two reductions
+    compose — WHICH rows (IVF pruning) x WHAT each row costs (PQ codes).
+    ``keep_vectors=True`` (default) stores the vector column beside the
+    codes so probes can exact-rerank their shortlist; parquet column
+    pruning keeps code-only probes from ever reading it. Parameters
+    persist in the ``_ann_meta.json`` sidecar (kind ``ivf_pq``)."""
+    from etl_data_spark.operators.similarity import (
+        _bounded_count,
+        _centroids_jsonable,
+        _write_layout_meta,
+        ivf_assign,
+        kmeans_refine,
+        sample_centroids,
+    )
+
+    if centroids is None:
+        n = n_rows if n_rows is not None else _bounded_count(df)
+        import math
+
+        k_cells = max(1, math.ceil(n / target_cell_rows))
+        centroids = sample_centroids(df, k_cells, id_col, vec_col)
+        if refine_iters > 0:
+            centroids = kmeans_refine(df, centroids, refine_iters, vec_col)
+    if codebooks is None:
+        codebooks = train_pq(
+            df, m=pq_m, k=pq_k, sample_rows=pq_sample_rows, iters=pq_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cols = [id_col, "pq_code", "cell"] + ([vec_col] if keep_vectors else [])
+    (
+        pq_encode(ivf_assign(df, centroids, vec_col), codebooks, vec_col)
+        .select(*cols)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    _write_layout_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "ivf_pq",
+            "centroids": _centroids_jsonable(centroids),
+            "codebooks": codebooks,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "has_vectors": bool(keep_vectors),
+        },
+    )
+
+
+def ivfpq_topk_at_rest(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Serve top-k from a ``write_ivf_pq`` layout: the probe cells become
+    a PartitionFilter (scan reads ~n_probe/k_cells of the DIRECTORIES)
+    and the ADC score reads only the (id, code) COLUMNS of those rows —
+    the composed I/O story. With ``shortlist`` set (layout written
+    ``keep_vectors=True``), the ADC shortlist is exact-reranked against
+    the stored vectors of the SAME pruned scan (broadcast shortlist ids,
+    map-only) and the result carries exact ``l2_dist``; without it the
+    result carries ``adc_dist``. All parameters resolve from the
+    sidecar."""
+    from etl_data_spark.operators.similarity import (
+        _read_layout_meta,
+        ivf_probes,
+    )
+
+    meta = _read_layout_meta(spark, path)
+    if meta is None or meta.get("kind") != "ivf_pq":
+        raise ValueError(
+            f"ivfpq_topk_at_rest: layout at {path!r} is "
+            f"kind={None if meta is None else meta.get('kind')!r}, not "
+            "'ivf_pq' — write it with write_ivf_pq first."
+        )
+    cents = [(int(c), list(v)) for c, v in meta["centroids"]]
+    books = meta["codebooks"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    probes = ivf_probes(query_vec, cents, n_probe)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if shortlist is None:
+        return pq_topk(
+            scan.select(id_col, "pq_code"), query_vec, books, k=k,
+            id_col=id_col,
+        )
+    if not meta.get("has_vectors"):
+        raise ValueError(
+            "ivfpq_topk_at_rest: shortlist rerank needs a layout written "
+            "with keep_vectors=True — this one stores codes only."
+        )
+    return pq_topk_rerank(
+        scan.select(id_col, "pq_code"),
+        scan.select(id_col, vec_col),
+        query_vec,
+        books,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -46,6 +46,10 @@ ALLOWED = {
     # n-gram set so the corpus-side explode joins map-only, never
     # shuffling corpus text
     ("operators/corpus.py", "decontaminate_ngram"): 1,
+    # the rerank shortlist is LIMIT `shortlist` rows by construction
+    # (ADC top-N ids, a ~100-row frame) — broadcasting it makes the
+    # vector fetch a map-only semi over the corpus
+    ("operators/pq.py", "pq_topk_rerank"): 1,
     ("queries.py", "q_latest_batch"): 1,  # 1-row max
     ("queries.py", "q_star_join"): 2,  # nation, region
     ("queries_analytics.py", "_bm25_scored"): 1,  # 1-row corpus stats

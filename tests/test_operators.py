@@ -1984,3 +1984,138 @@ def test_append_ann_banded_matches_single_write(spark, tmp_path):
         append_ann_banded(e, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="collide"):
         append_ann_banded(e.withColumn("band", F.lit(1)), incr)
+
+
+def test_pq_train_encode_rerank(spark):
+    """r11 PQ family: deterministic training (no RNG — bit-identical
+    retrain), Column-only encode (codes in [0, k), lowest-code ties),
+    ADC top-k over codes only, and exact rerank recovering recall."""
+    import etl_data_spark.operators.pq as PQ
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    books = PQ.train_pq(e, m=8, k=16, sample_rows=256, iters=3)
+    again = PQ.train_pq(e, m=8, k=16, sample_rows=256, iters=3)
+    assert books == again  # bit-identical retrain
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    codes = PQ.pq_encode(e, books).select("vec_id", "pq_code")
+    row = codes.first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_code"])
+
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    adc = PQ.pq_topk(codes, qvec, books, k=10)
+    assert adc.columns == ["vec_id", "adc_dist"] and adc.count() == 10
+    # the query's own row quantizes to distance <= everything else's
+    # reconstruction error ballpark — assert it makes the ADC shortlist
+    short = {r["vec_id"] for r in PQ.pq_topk(codes, qvec, books, k=100).collect()}
+    assert 0 in short
+
+    # rerank: recall@10 vs exact L2 must clear a floor ADC-only cannot
+    exact = {
+        r["vec_id"]
+        for r in e.select(
+            "vec_id",
+            PQ._sq_l2(
+                F.col("embedding"), F.array(*[F.lit(float(v)) for v in qvec])
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in PQ.pq_topk_rerank(
+            codes, e, qvec, books, k=10, shortlist=100
+        ).collect()
+    }
+    assert len(got & exact) >= 7, (got, exact)
+    # rank-1 self-retrieval: the query vector itself wins exact rerank
+    top1 = PQ.pq_topk_rerank(codes, e, qvec, books, k=1, shortlist=100).first()
+    assert top1["vec_id"] == 0 and top1["l2_dist"] == 0.0
+
+    # dimension guard
+    with pytest.raises(ValueError, match="divisible"):
+        PQ.train_pq(e, m=7, k=4, sample_rows=16)
+
+    # the ADC scan over MATERIALIZED codes reads only (id, code): no
+    # vector column anywhere in the plan — that is the storage win
+    import tempfile
+
+    code_path = tempfile.mkdtemp(prefix="pq_codes_") + "/codes"
+    PQ.pq_encode(e, books).select("vec_id", "pq_code").write.parquet(code_path)
+    at_rest = spark.read.parquet(code_path)
+    plan = (
+        PQ.pq_topk(at_rest, qvec, books, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "embedding" not in plan
+    assert "pq_code" in plan
+
+
+def test_ivfpq_at_rest(spark, tmp_path):
+    """r11 IVF-PQ layout: cell-partitioned (id, code, vector) rows; the
+    probe is partition-pruned AND code-only (column pruning keeps the
+    stored vectors unread), matches the on-the-fly composition
+    row-for-row, and the rerank path serves exact distances from the
+    same pruned scan."""
+    import etl_data_spark.operators.pq as PQ
+    from etl_data_spark.operators.similarity import (
+        _read_layout_meta,
+        ivf_assign,
+        ivf_probes,
+        sample_centroids,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    cents = sample_centroids(e, k=8)
+    books = PQ.train_pq(e, m=8, k=16, sample_rows=256, iters=3)
+    path = str(tmp_path / "ivfpq")
+    PQ.write_ivf_pq(e, path, centroids=cents, codebooks=books)
+    meta = _read_layout_meta(spark, path)
+    assert meta["kind"] == "ivf_pq" and meta["has_vectors"]
+
+    # row-identity with the on-the-fly composition (assign -> probe
+    # filter -> encode -> ADC)
+    fly_src = PQ.pq_encode(ivf_assign(e, cents), books).filter(
+        F.col("cell").isin(ivf_probes(qvec, cents, 3))
+    )
+    fly = PQ.pq_topk(fly_src.select("vec_id", "pq_code"), qvec, books, k=10)
+    at_rest = PQ.ivfpq_topk_at_rest(spark, path, qvec, k=10, n_probe=3)
+    assert [tuple(r) for r in at_rest.collect()] == [
+        tuple(r) for r in fly.collect()
+    ]
+
+    # probe cells prune at the scan, and the code-only probe never reads
+    # the stored vector column
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert all(re.search(rf"\b{c}\b", pf) for c in ivf_probes(qvec, cents, 3))
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "embedding" not in scan_line
+
+    # rerank path: exact distances; the query's own vector wins at 0
+    rr = PQ.ivfpq_topk_at_rest(spark, path, qvec, k=5, n_probe=3, shortlist=50)
+    top = rr.first()
+    assert top["vec_id"] == 0 and top["l2_dist"] == 0.0
+
+    # codes-only layout refuses rerank, loudly
+    lean = str(tmp_path / "ivfpq_lean")
+    PQ.write_ivf_pq(e, lean, centroids=cents, codebooks=books, keep_vectors=False)
+    assert PQ.ivfpq_topk_at_rest(spark, lean, qvec, k=5, n_probe=3).count() == 5
+    with pytest.raises(ValueError, match="keep_vectors"):
+        PQ.ivfpq_topk_at_rest(spark, lean, qvec, k=5, shortlist=50)
+    # and the wrong reader kind is rejected
+    with pytest.raises(ValueError, match="ivf_pq"):
+        PQ.ivfpq_topk_at_rest(spark, str(tmp_path / "nope"), qvec)

@@ -94,6 +94,8 @@ PICK = [
     "ann_ivf_topk_at_rest",
     "knn_join_banded_at_rest",
     "multimodal_decode_jpeg",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_rerank_at_rest",
 ]
 
 
