@@ -332,3 +332,41 @@ def ivfpq_topk_at_rest(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def append_ivf_pq(df: DataFrame, path: str) -> None:
+    """Incremental maintenance of a ``write_ivf_pq`` layout: new vectors
+    coarse-assign and PQ-encode under the layout's OWN quantizers (both
+    resolve from the sidecar — there is no explicit-parameter form, the
+    layout is always sidecar-stamped) and dynamic-partition-append into
+    their cell directories. Untouched cells are never rewritten; a
+    growing corpus costs writes proportional to the batch. The composed
+    twin of ``append_ivf_partitioned`` / ``append_ann_bucketed``; fold
+    accumulated append files with ``similarity.compact_layout`` (which
+    understands the ``cell`` partition column), and under drift rewrite
+    with ``write_ivf_pq`` (both quantizers retrain at the current
+    corpus — the IVF-PQ analogue of ``retrain_ivf_layout``)."""
+    from etl_data_spark.operators.similarity import (
+        _read_layout_meta,
+        ivf_assign,
+    )
+
+    meta = _read_layout_meta(df.sparkSession, path)
+    if meta is None or meta.get("kind") != "ivf_pq":
+        raise ValueError(
+            f"append_ivf_pq: layout at {path!r} is "
+            f"kind={None if meta is None else meta.get('kind')!r}, not "
+            "'ivf_pq' — write it with write_ivf_pq first."
+        )
+    cents = [(int(c), list(v)) for c, v in meta["centroids"]]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cols = [id_col, "pq_code", "cell"] + (
+        [vec_col] if meta.get("has_vectors") else []
+    )
+    (
+        pq_encode(ivf_assign(df, cents, vec_col), meta["codebooks"], vec_col)
+        .select(*cols)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )

@@ -1672,7 +1672,12 @@ def brute_force_topk_vectorized(
 # the fresh-write probe behavior without a driver-side byte ever moving.
 # --------------------------------------------------------------------------
 
-_LAYOUT_PART_COLS = {"ivf": ["cell"], "lsh": ["bucket"], "lsh_banded": ["band", "bucket"]}
+_LAYOUT_PART_COLS = {
+    "ivf": ["cell"],
+    "ivf_pq": ["cell"],
+    "lsh": ["bucket"],
+    "lsh_banded": ["band", "bucket"],
+}
 
 
 def layout_stats(spark, path: str) -> DataFrame:

@@ -2119,3 +2119,41 @@ def test_ivfpq_at_rest(spark, tmp_path):
     # and the wrong reader kind is rejected
     with pytest.raises(ValueError, match="ivf_pq"):
         PQ.ivfpq_topk_at_rest(spark, str(tmp_path / "nope"), qvec)
+
+
+def test_append_ivf_pq_matches_single_write(spark, tmp_path):
+    """r11: the composed layout gains its append twin — write half,
+    append the rest, and the served rerank top-k equals a layout written
+    in one go (the sidecar's frozen quantizers make assignment and
+    codes batch-independent); compact_layout understands the cell key."""
+    import etl_data_spark.operators.pq as PQ
+    from etl_data_spark.operators.similarity import (
+        compact_layout,
+        sample_centroids,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    cents = sample_centroids(e, k=8)
+    books = PQ.train_pq(e, m=8, k=16, sample_rows=256, iters=3)
+    incr, full = str(tmp_path / "ivfpq_incr"), str(tmp_path / "ivfpq_full")
+    PQ.write_ivf_pq(
+        e.filter(F.col("vec_id") < 100), incr, centroids=cents, codebooks=books
+    )
+    PQ.append_ivf_pq(e.filter(F.col("vec_id") >= 100), incr)
+    PQ.write_ivf_pq(e, full, centroids=cents, codebooks=books)
+
+    got = PQ.ivfpq_topk_at_rest(spark, incr, qvec, k=10, n_probe=3, shortlist=50)
+    want = PQ.ivfpq_topk_at_rest(spark, full, qvec, k=10, n_probe=3, shortlist=50)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # the generic layout compactor handles the ivf_pq cell key too
+    compact_layout(spark, incr)
+    again = PQ.ivfpq_topk_at_rest(spark, incr, qvec, k=10, n_probe=3, shortlist=50)
+    assert [tuple(r) for r in again.collect()] == [tuple(r) for r in want.collect()]
+
+    with pytest.raises(ValueError, match="ivf_pq"):
+        PQ.append_ivf_pq(e, str(tmp_path / "nope"))
