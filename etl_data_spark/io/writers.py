@@ -34,6 +34,7 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 MONTH_KEY = "part_month"
 
@@ -84,13 +85,28 @@ def _month_dirname(month: int | None) -> str:
     return f"{MONTH_KEY}={_NULL_PART if month is None else month}"
 
 
+def _month_trash_name(month_dirname: str) -> str:
+    """Trash name for a mid-swap month dir: DOT-prefixed so Spark's file
+    index treats it as hidden — a reader that lists the table between a
+    crash and the next reload's :func:`_recover_swaps` must never discover
+    the trash as a partition (it would double-count the month's rows AND
+    flip the inferred partition type to string). Kept INSIDE the table
+    root so the swap renames stay same-directory metadata ops. A dot, not
+    an underscore: Spark exempts underscore names containing ``=`` from
+    hidden filtering (it parses them as a conflicting partition column),
+    while dot names are always hidden."""
+    return f".{month_dirname}__replaced"
+
+
 def _recover_swaps(spark: SparkSession, fs, target: str) -> None:
     """Heal a crashed prior swap before touching the table: a month dir
-    left at its ``__replaced`` trash name whose live twin is MISSING marks
-    a crash between the two renames — restore it (the kept rows of that
-    month exist nowhere else); a trash whose live twin exists is the
+    left at its trash name whose live twin is MISSING marks a crash
+    between the two renames — restore it (the kept rows of that month
+    exist nowhere else); a trash whose live twin exists is the
     post-rename-in leftover — delete it. Makes a retried reload correct
-    instead of silently dropping the crashed month's kept rows."""
+    instead of silently dropping the crashed month's kept rows. Also
+    heals pre-r12 trash names (bare ``part_month=N__replaced``, no dot
+    prefix) left by an older build."""
     jt = _jpath(spark, target)
     if not fs.exists(jt):
         return
@@ -99,7 +115,8 @@ def _recover_swaps(spark: SparkSession, fs, target: str) -> None:
         if not (st.isDirectory() and name.endswith("__replaced")):
             continue
         trash = f"{target}/{name}"
-        live = f"{target}/{name[: -len('__replaced')]}"
+        stem = name[: -len("__replaced")]
+        live = f"{target}/{stem[1:] if stem.startswith('.') else stem}"
         if fs.exists(_jpath(spark, live)):
             _delete(fs, spark, trash)
         else:
@@ -120,7 +137,7 @@ def _swap_month_dirs(
         d = _month_dirname(m)
         src = f"{tmp}/{d}"
         dst = f"{target}/{d}"
-        trash = f"{dst}__replaced"
+        trash = f"{target}/{_month_trash_name(d)}"
         _delete(fs, spark, trash)  # leftover from a crashed prior swap
         has_live = fs.exists(_jpath(spark, dst))
         has_fresh = fs.exists(_jpath(spark, src))
@@ -265,51 +282,81 @@ def overwrite_by_window(
     docstring for the per-filesystem contract.
     """
     fs, jtarget = _fs(spark, path)
-    n_new = new_rows.count()
-
-    if not fs.exists(jtarget):
-        write_partitioned(new_rows, path, date_col)
-        return n_new
-
-    window_pred = window_replace_predicate(start_date, end_date, date_col, to_col)
-    if window_pred is None:
-        # unbounded window replaces everything (reference DELETE with both
-        # params NULL deletes all rows) — a static full overwrite, no
-        # keep-side read, so Spark's own overwrite commit handles the swap
-        write_partitioned(new_rows, path, date_col)
-        return n_new
-
-    _recover_swaps(spark, fs, path)  # heal any crashed prior reload first
-    existing = spark.read.parquet(path)  # keeps MONTH_KEY for pruning
-
-    # -- discover the affected months ------------------------------------
-    # Replaced rows satisfy eff_from >= start, which implies
-    # month_key >= yyyymm(start): a partition filter, so the discovery scan
-    # prunes to candidate months and reads only the two date columns.
-    replaced = existing.filter(F.coalesce(window_pred, F.lit(False)))
-    if start_date is not None:
-        replaced = replaced.filter(F.col(MONTH_KEY) >= F.lit(_month_of(start_date)))
-    affected = {r[0] for r in replaced.select(MONTH_KEY).distinct().collect()}
-    new_keyed = with_month_key(new_rows, date_col)
-    affected |= {r[0] for r in new_keyed.select(MONTH_KEY).distinct().collect()}
-    if not affected:
-        return n_new
-
-    # -- rewrite ONLY those months ----------------------------------------
-    # A row is REPLACED only when it provably falls inside the window; any
-    # NULL in the compared date columns makes the predicate NULL, and
-    # ~coalesce(pred, false) keeps such rows — matching the reference
-    # DELETE, which never matches rows with NULL dates.
-    month_filter = F.col(MONTH_KEY).isin([m for m in affected if m is not None])
-    if None in affected:
-        month_filter = month_filter | F.col(MONTH_KEY).isNull()
-    keep = existing.filter(month_filter).filter(
-        ~F.coalesce(window_pred, F.lit(False))
+    # The batch plan is referenced up to three times (count, distinct
+    # months, write) — persist it so a heavy upstream plan runs ONCE, not
+    # per reference (r11 verdict nit #2). MEMORY_AND_DISK: a huge batch
+    # spills instead of OOMing; released before returning.
+    new_keyed = with_month_key(new_rows, date_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    merged = keep.unionByName(new_keyed)
-    tmp = path.rstrip("/") + "__tmp_rewrite"
-    _delete(fs, spark, tmp)  # leftover from a crashed prior reload
-    merged.write.mode("overwrite").partitionBy(MONTH_KEY).parquet(tmp)
-    _swap_month_dirs(spark, fs, tmp, path, sorted(affected, key=lambda m: (m is None, m)))
-    _delete(fs, spark, tmp)
-    return n_new
+    try:
+        n_new = new_keyed.count()  # materializes the cache
+
+        window_pred = window_replace_predicate(
+            start_date, end_date, date_col, to_col
+        )
+        if not fs.exists(jtarget) or window_pred is None:
+            # fresh table, or an unbounded window that replaces everything
+            # (reference DELETE with both params NULL deletes all rows) —
+            # a static full overwrite, no keep-side read, so Spark's own
+            # overwrite commit handles the swap
+            new_keyed.write.mode("overwrite").partitionBy(MONTH_KEY).parquet(
+                path
+            )
+            return n_new
+
+        _recover_swaps(spark, fs, path)  # heal any crashed prior reload first
+        existing = spark.read.parquet(path)  # keeps MONTH_KEY for pruning
+
+        # -- discover the affected months --------------------------------
+        # Replaced rows satisfy eff_from >= start, which implies
+        # month_key >= yyyymm(start); symmetrically eff_to <= end implies
+        # eff_from <= end (mart invariant: effective_from <= effective_to
+        # holds post-cleansing) hence month_key <= yyyymm(end). Both are
+        # partition filters, so the discovery scan prunes to candidate
+        # months and reads only the two date columns — an end-only window
+        # prunes too (r11 verdict nit #1).
+        replaced = existing.filter(F.coalesce(window_pred, F.lit(False)))
+        if start_date is not None:
+            replaced = replaced.filter(
+                F.col(MONTH_KEY) >= F.lit(_month_of(start_date))
+            )
+        if end_date is not None:
+            # keep the NULL month partition: eff_to <= end can match a row
+            # with NULL eff_from (the end-only predicate never tests
+            # eff_from), and such rows live in the null partition
+            replaced = replaced.filter(
+                (F.col(MONTH_KEY) <= F.lit(_month_of(end_date)))
+                | F.col(MONTH_KEY).isNull()
+            )
+        affected = {r[0] for r in replaced.select(MONTH_KEY).distinct().collect()}
+        affected |= {
+            r[0] for r in new_keyed.select(MONTH_KEY).distinct().collect()
+        }
+        if not affected:
+            return n_new
+
+        # -- rewrite ONLY those months ------------------------------------
+        # A row is REPLACED only when it provably falls inside the window;
+        # any NULL in the compared date columns makes the predicate NULL,
+        # and ~coalesce(pred, false) keeps such rows — matching the
+        # reference DELETE, which never matches rows with NULL dates.
+        month_filter = F.col(MONTH_KEY).isin(
+            [m for m in affected if m is not None]
+        )
+        if None in affected:
+            month_filter = month_filter | F.col(MONTH_KEY).isNull()
+        keep = existing.filter(month_filter).filter(
+            ~F.coalesce(window_pred, F.lit(False))
+        )
+        merged = keep.unionByName(new_keyed)
+        tmp = path.rstrip("/") + "__tmp_rewrite"
+        _delete(fs, spark, tmp)  # leftover from a crashed prior reload
+        merged.write.mode("overwrite").partitionBy(MONTH_KEY).parquet(tmp)
+        _swap_month_dirs(
+            spark, fs, tmp, path, sorted(affected, key=lambda m: (m is None, m))
+        )
+        _delete(fs, spark, tmp)
+        return n_new
+    finally:
+        new_keyed.unpersist()

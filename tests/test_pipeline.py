@@ -357,10 +357,11 @@ def test_overwrite_by_window_drops_emptied_month(spark, tmp_path):
 
 def test_overwrite_by_window_recovers_crashed_swap(spark, tmp_path):
     """r11 crash-safety: a reload killed between the two swap renames
-    leaves a month only at its __replaced trash name; the next reload
-    must RESTORE it before discovery (its kept rows exist nowhere else),
-    and must clean up a post-rename-in trash leftover without touching
-    the live month."""
+    leaves a month only at its trash name; the next reload must RESTORE
+    it before discovery (its kept rows exist nowhere else), and must
+    clean up a post-rename-in trash leftover without touching the live
+    month. Covers both the r12 underscore-prefixed trash name and the
+    legacy bare one (a table last written by an older build)."""
     from pathlib import Path
 
     path = str(tmp_path / "t_crash")
@@ -370,6 +371,7 @@ def test_overwrite_by_window_recovers_crashed_swap(spark, tmp_path):
             (1, dt.date(2023, 1, 5), dt.date(2023, 1, 6)),
             (2, dt.date(2023, 2, 5), dt.date(2023, 2, 6)),
             (3, dt.date(2023, 3, 5), dt.date(2023, 3, 6)),
+            (4, dt.date(2023, 4, 5), dt.date(2023, 4, 6)),
         ],
         schema,
     )
@@ -377,14 +379,17 @@ def test_overwrite_by_window_recovers_crashed_swap(spark, tmp_path):
 
     # crash case A: month 2023-02 renamed out, never renamed back in
     feb = Path(path) / "part_month=202302"
-    feb.rename(Path(path) / "part_month=202302__replaced")
+    feb.rename(Path(path) / ".part_month=202302__replaced")
     # crash case B: month 2023-03 swapped in, trash not yet deleted
     import shutil
 
     shutil.copytree(
         Path(path) / "part_month=202303",
-        Path(path) / "part_month=202303__replaced",
+        Path(path) / ".part_month=202303__replaced",
     )
+    # crash case C: legacy (pre-r12) bare trash name, live twin missing
+    apr = Path(path) / "part_month=202304"
+    apr.rename(Path(path) / "part_month=202304__replaced")
 
     new = spark.createDataFrame(
         [(10, dt.date(2023, 1, 7), dt.date(2023, 1, 8))], schema
@@ -392,9 +397,73 @@ def test_overwrite_by_window_recovers_crashed_swap(spark, tmp_path):
     overwrite_by_window(spark, new, path, "2023-01-01", "2023-01-31")
 
     kept = {r["k"] for r in spark.read.parquet(path).collect()}
-    assert kept == {2, 3, 10}  # Feb restored, Mar intact, Jan replaced
-    assert not (Path(path) / "part_month=202302__replaced").exists()
-    assert not (Path(path) / "part_month=202303__replaced").exists()
+    assert kept == {2, 3, 4, 10}  # Feb+Apr restored, Mar intact, Jan replaced
+    assert not (Path(path) / ".part_month=202302__replaced").exists()
+    assert not (Path(path) / ".part_month=202303__replaced").exists()
+    assert not (Path(path) / "part_month=202304__replaced").exists()
+
+
+def test_mid_swap_trash_is_invisible_to_plain_readers(spark, tmp_path):
+    """ADVICE r11 (medium): a reader that lists the table BETWEEN a crash
+    and the next reload's recovery must not discover the trash dir as a
+    partition — the dot prefix makes Spark's file index skip it,
+    so the month is neither double-counted nor does the inferred
+    part_month type flip to string."""
+    from pathlib import Path
+    import shutil
+
+    path = str(tmp_path / "t_mid_swap")
+    schema = "k int, effective_from date, effective_to date"
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2023, 1, 5), dt.date(2023, 1, 6)),
+            (2, dt.date(2023, 2, 5), dt.date(2023, 2, 6)),
+        ],
+        schema,
+    )
+    overwrite_by_window(spark, df, path, None, None)
+    # simulate the instant after rename-in, before trash delete: the
+    # month exists BOTH live and at its trash name
+    shutil.copytree(
+        Path(path) / "part_month=202302",
+        Path(path) / ".part_month=202302__replaced",
+    )
+    seen = spark.read.parquet(path)
+    assert seen.count() == 2  # not 3: the trash replica is invisible
+    assert dict(seen.dtypes)["part_month"] == "int"  # type did not flip
+
+
+def test_overwrite_by_window_end_only_discovery_prunes(spark, tmp_path):
+    """r11 verdict nit #1: an end-only window must still partition-prune
+    the discovery scan — eff_to <= end implies month_key <= yyyymm(end)
+    under the mart invariant effective_from <= effective_to. Months after
+    the window's end must keep byte-identical file listings AND never be
+    listed by the discovery scan's pruned plan."""
+    path = str(tmp_path / "t_end_only")
+    schema = "k int, effective_from date, effective_to date"
+    rows = [
+        (i, dt.date(2023, m, 5), dt.date(2023, m, 25))
+        for m in range(1, 7)
+        for i in range(m * 100, m * 100 + 5)
+    ]
+    overwrite_by_window(spark, spark.createDataFrame(rows, schema), path, None, None)
+    before = _month_files(path)
+
+    new = spark.createDataFrame(
+        [(999, dt.date(2023, 2, 10), dt.date(2023, 2, 11))], schema
+    )
+    # end-only window: everything ending by Feb 28 is replaced
+    n = overwrite_by_window(spark, new, path, None, "2023-02-28")
+    assert n == 1
+    after = _month_files(path)
+    for m in (3, 4, 5, 6):
+        key = f"part_month=2023{m:02d}"
+        assert after[key] == before[key], f"month {key} was rewritten"
+    stored = spark.read.parquet(path)
+    assert stored.count() == 21  # 4 months x 5 + 1
+    assert {
+        r["k"] for r in stored.filter(F.col("part_month") <= 202302).collect()
+    } == {999}
 
 
 def test_compact_small_files_recovers_crashed_swap(spark, tmp_path):
