@@ -57,6 +57,14 @@ def train_pq(
         df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
     )
     mat = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    return _fit_codebooks(mat, m, k, iters)
+
+
+def _fit_codebooks(mat, m: int, k: int, iters: int) -> list[list[list[float]]]:
+    """Per-subspace seeded Lloyd over a driver-side sample matrix — the
+    shared trainer for raw (:func:`train_pq`) and residual
+    (:func:`train_pq_residual`) spaces. First-k init, first-match argmin
+    ties, empty cells keep their previous centroid; no RNG."""
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
@@ -75,6 +83,69 @@ def train_pq(
                     cents[c] = members.mean(axis=0)
         books.append([[float(x) for x in c] for c in cents])
     return books
+
+
+def train_pq_residual(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 4,
+    k: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Fit codebooks on coarse-quantization RESIDUALS ``x −
+    centroid(cell(x))`` — the space IVF-PQ actually encodes (FAISS
+    IndexIVFPQ, Jegou et al. §IV): residuals concentrate near zero with
+    far less variance than raw vectors, so the same k codes cover them
+    much more tightly. Assignment comes from the DISTRIBUTED
+    ``ivf_assign`` (the exact rule the encode path uses); only the
+    bounded sample is collected and subtracted driver-side."""
+    import numpy as np
+
+    from etl_data_spark.operators.similarity import ivf_assign
+
+    cmap = {int(c): np.asarray(v, dtype=np.float64) for c, v in centroids}
+    rows = (
+        ivf_assign(df, centroids, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .select(vec_col, "cell")
+        .collect()
+    )
+    mat = np.asarray(
+        [np.asarray(list(r[0]), dtype=np.float64) - cmap[r[1]] for r in rows]
+    )
+    return _fit_codebooks(mat, m, k, iters)
+
+
+def _centroid_map_expr(
+    centroids: list[tuple[int, list[float]]],
+) -> "F.Column":
+    """``map<cell, centroid array>`` as one plan literal — the coarse
+    quantizer for residual arithmetic (one lookup per row, no join)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c, _ in centroids]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in v])
+                for _, v in centroids
+            ]
+        ),
+    )
+
+
+def residual_expr(
+    vec_col: str, centroids: list[tuple[int, list[float]]], cell_col: str = "cell"
+) -> "F.Column":
+    """``x − centroid(cell)`` as a Column (zip_with over the literal
+    centroid map) — narrow, codegen'd, no shuffle."""
+    return F.zip_with(
+        F.col(vec_col),
+        F.element_at(_centroid_map_expr(centroids), F.col(cell_col)),
+        lambda x, y: x.cast("double") - y,
+    )
 
 
 def _sq_l2(a, b) -> "F.Column":
@@ -149,14 +220,7 @@ def pq_topk(
     ~3% of bytes its codes occupy). Ascending distance, id tiebreak;
     distances rounded to 6dp at the emit boundary (one rounding rule
     shared with the SQL oracle)."""
-    lut = pq_adc_lut(query_vec, codebooks)
-    score = None
-    for s, row in enumerate(lut):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in row]),
-            F.element_at(F.col(code_col), s + 1) + 1,
-        )
-        score = term if score is None else score + term
+    score = _adc_score_expr(pq_adc_lut(query_vec, codebooks), code_col)
     return (
         df.select(
             F.col(id_col),
@@ -165,6 +229,22 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _adc_score_expr(
+    lut: list[list[float]], code_col: str = "pq_code"
+) -> "F.Column":
+    """``sum_s LUT[s][code_s]`` as literal array lookups over the code
+    column — the shared ADC kernel (global LUT for raw encodings,
+    per-probed-cell LUTs for residual ones)."""
+    score = None
+    for s, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in row]),
+            F.element_at(F.col(code_col), s + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return score
 
 
 def pq_topk_rerank(
@@ -222,26 +302,42 @@ def write_ivf_pq(
     pq_sample_rows: int = 2048,
     pq_iters: int = 5,
     keep_vectors: bool = True,
+    residual: bool = True,
 ) -> None:
     """Materialize the IVF-PQ layout: cell-partitioned parquet rows of
     ``(id, pq_code[, vector])``. Both quantizers train at write time when
     not supplied — the coarse one auto-sized like ``write_ivf_partitioned``
     (k = ceil(n/target), distributed Lloyd), the product one on a bounded
-    deterministic sample (:func:`train_pq`). Probes then cost a
-    partition-PRUNED scan of ~m-byte code rows: the two reductions
-    compose — WHICH rows (IVF pruning) x WHAT each row costs (PQ codes).
-    ``keep_vectors=True`` (default) stores the vector column beside the
-    codes so probes can exact-rerank their shortlist; parquet column
-    pruning keeps code-only probes from ever reading it. Parameters
-    persist in the ``_ann_meta.json`` sidecar (kind ``ivf_pq``)."""
+    deterministic sample (:func:`train_pq` / :func:`train_pq_residual`).
+    Probes then cost a partition-PRUNED scan of ~m-byte code rows: the
+    two reductions compose — WHICH rows (IVF pruning) x WHAT each row
+    costs (PQ codes). ``keep_vectors=True`` (default) stores the vector
+    column beside the codes so probes can exact-rerank their shortlist;
+    parquet column pruning keeps code-only probes from ever reading it.
+    Parameters persist in the ``_ann_meta.json`` sidecar (kind
+    ``ivf_pq``).
+
+    ``residual=True`` (default, r12): PQ-encode the RESIDUAL
+    ``x − centroid(cell)`` instead of the raw vector — the canonical
+    IndexIVFPQ construction (Jegou et al. §IV): residuals concentrate
+    near zero, so the same code budget quantizes them far more tightly
+    and ADC-only recall rises at equal m/k (measured in SCALE.md's r12
+    addendum). Probes derive their per-cell LUT from
+    ``query − centroid(cell)``; determinism is unchanged (centroids and
+    codebooks stay plan literals). ``residual=False`` reproduces the r11
+    raw-encoding layout; the sidecar records which one the directories
+    physically are."""
     from etl_data_spark.operators.similarity import (
         _bounded_count,
         _centroids_jsonable,
+        _guard_reserved_cols,
         _write_layout_meta,
         ivf_assign,
         kmeans_refine,
         sample_centroids,
     )
+
+    _guard_reserved_cols(df, "write_ivf_pq", ("cell", "pq_code"))
 
     if centroids is None:
         n = n_rows if n_rows is not None else _bounded_count(df)
@@ -252,14 +348,17 @@ def write_ivf_pq(
         if refine_iters > 0:
             centroids = kmeans_refine(df, centroids, refine_iters, vec_col)
     if codebooks is None:
-        codebooks = train_pq(
+        trainer = train_pq_residual if residual else train_pq
+        kwargs = {"centroids": centroids} if residual else {}
+        codebooks = trainer(
             df, m=pq_m, k=pq_k, sample_rows=pq_sample_rows, iters=pq_iters,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, **kwargs,
         )
     cols = [id_col, "pq_code", "cell"] + ([vec_col] if keep_vectors else [])
+    assigned = ivf_assign(df, centroids, vec_col)
+    encoded = _encode_for_layout(assigned, centroids, codebooks, vec_col, residual)
     (
-        pq_encode(ivf_assign(df, centroids, vec_col), codebooks, vec_col)
-        .select(*cols)
+        encoded.select(*cols)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -274,7 +373,30 @@ def write_ivf_pq(
             "vec_col": vec_col,
             "id_col": id_col,
             "has_vectors": bool(keep_vectors),
+            "encoding": "residual" if residual else "raw",
         },
+    )
+
+
+def _encode_for_layout(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    residual: bool,
+) -> DataFrame:
+    """PQ-encode an ``ivf_assign``ed frame in the layout's encoding
+    space: residual layouts encode ``x − centroid(cell)`` (one literal
+    map lookup + zip_with, still a narrow codegen'd map), raw layouts
+    the vector itself."""
+    if not residual:
+        return pq_encode(assigned, codebooks, vec_col)
+    return (
+        assigned.withColumn(
+            "_resid", residual_expr(vec_col, centroids, "cell")
+        )
+        .transform(lambda d: pq_encode(d, codebooks, "_resid"))
+        .drop("_resid")
     )
 
 
@@ -294,7 +416,10 @@ def ivfpq_topk_at_rest(
     the stored vectors of the SAME pruned scan (broadcast shortlist ids,
     map-only) and the result carries exact ``l2_dist``; without it the
     result carries ``adc_dist``. All parameters resolve from the
-    sidecar."""
+    sidecar, INCLUDING the encoding space: a residual layout scores each
+    probed cell against its own LUT built from ``query −
+    centroid(cell)`` (n_probe tiny literal tables chained in one CASE —
+    the scan stays code-only either way)."""
     from etl_data_spark.operators.similarity import (
         _read_layout_meta,
         ivf_probes,
@@ -310,27 +435,55 @@ def ivfpq_topk_at_rest(
     cents = [(int(c), list(v)) for c, v in meta["centroids"]]
     books = meta["codebooks"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    res = meta.get("encoding", "raw") == "residual"
     probes = ivf_probes(query_vec, cents, n_probe)
     scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
-    if shortlist is None:
+
+    if res:
+        cmap = dict(cents)
+        score = None
+        for c in probes:
+            qres = [q - x for q, x in zip(query_vec, cmap[c])]
+            cell_score = _adc_score_expr(pq_adc_lut(qres, books))
+            score = (
+                F.when(F.col("cell") == c, cell_score)
+                if score is None
+                else score.when(F.col("cell") == c, cell_score)
+            )
+        adc = (
+            scan.select(
+                F.col(id_col), F.round(score, 6).alias("adc_dist")
+            )
+            .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        )
+        if shortlist is None:
+            return adc.limit(k)
+        short = adc.limit(shortlist).select(id_col)
+    elif shortlist is None:
         return pq_topk(
             scan.select(id_col, "pq_code"), query_vec, books, k=k,
             id_col=id_col,
         )
+    else:
+        short = pq_topk(
+            scan.select(id_col, "pq_code"), query_vec, books,
+            k=shortlist, id_col=id_col,
+        ).select(id_col)
     if not meta.get("has_vectors"):
         raise ValueError(
             "ivfpq_topk_at_rest: shortlist rerank needs a layout written "
             "with keep_vectors=True — this one stores codes only."
         )
-    return pq_topk_rerank(
-        scan.select(id_col, "pq_code"),
-        scan.select(id_col, vec_col),
-        query_vec,
-        books,
-        k=k,
-        shortlist=shortlist,
-        id_col=id_col,
-        vec_col=vec_col,
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        scan.select(id_col, vec_col)
+        .join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.round(_sq_l2(F.col(vec_col), q), 6).alias("l2_dist"),
+        )
+        .orderBy(F.asc("l2_dist"), F.asc(id_col))
+        .limit(k)
     )
 
 
@@ -347,10 +500,12 @@ def append_ivf_pq(df: DataFrame, path: str) -> None:
     with ``write_ivf_pq`` (both quantizers retrain at the current
     corpus — the IVF-PQ analogue of ``retrain_ivf_layout``)."""
     from etl_data_spark.operators.similarity import (
+        _guard_reserved_cols,
         _read_layout_meta,
         ivf_assign,
     )
 
+    _guard_reserved_cols(df, "append_ivf_pq", ("cell", "pq_code"))
     meta = _read_layout_meta(df.sparkSession, path)
     if meta is None or meta.get("kind") != "ivf_pq":
         raise ValueError(
@@ -363,9 +518,15 @@ def append_ivf_pq(df: DataFrame, path: str) -> None:
     cols = [id_col, "pq_code", "cell"] + (
         [vec_col] if meta.get("has_vectors") else []
     )
+    encoded = _encode_for_layout(
+        ivf_assign(df, cents, vec_col),
+        cents,
+        meta["codebooks"],
+        vec_col,
+        meta.get("encoding", "raw") == "residual",
+    )
     (
-        pq_encode(ivf_assign(df, cents, vec_col), meta["codebooks"], vec_col)
-        .select(*cols)
+        encoded.select(*cols)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(path)

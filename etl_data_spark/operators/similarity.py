@@ -905,6 +905,20 @@ def _resolve_meta(
     return resolved
 
 
+def _guard_reserved_cols(df: DataFrame, op: str, reserved: tuple[str, ...]) -> None:
+    """Fail fast when an input column collides with a layout-internal
+    column the writer is about to assign with ``withColumn`` — the
+    silent alternative drops user data into the layout (ADVICE r11; the
+    same contract ``write_ann_banded`` enforces for band/bucket)."""
+    clashes = [c for c in df.columns if c in reserved]
+    if clashes:
+        raise ValueError(
+            f"{op}: input columns {clashes} collide with the layout's "
+            f"internal columns {list(reserved)} — the writer would "
+            "silently overwrite them. Rename them before writing."
+        )
+
+
 def write_ivf_partitioned(
     df: DataFrame,
     path: str,
@@ -935,6 +949,7 @@ def write_ivf_partitioned(
     shrinking fraction, the same law `_auto_planes` applies to the LSH
     twin. Pass ``n_rows`` from catalog statistics at scale to skip the
     bounded count probe."""
+    _guard_reserved_cols(df, "write_ivf_partitioned", ("cell",))
     if centroids is None:
         n = n_rows if n_rows is not None else _bounded_count(df)
         k_cells = max(1, math.ceil(n / target_cell_rows))
@@ -988,6 +1003,7 @@ def append_ivf_partitioned(
     probe of the layout forever after, silently. For a pre-sidecar
     (legacy) layout both must be passed explicitly, and a successful
     append stamps the sidecar."""
+    _guard_reserved_cols(df, "append_ivf_partitioned", ("cell",))
     spark = df.sparkSession
     meta = _read_layout_meta(spark, path)
     explicit = (
@@ -1677,6 +1693,10 @@ _LAYOUT_PART_COLS = {
     "ivf_pq": ["cell"],
     "lsh": ["bucket"],
     "lsh_banded": ["band", "bucket"],
+    # the text-dedup layout (operators/dedup.py write_minhash_bands):
+    # band table partitioned by band ordinal; shingle table unpartitioned
+    "minhash_bands": ["band_idx"],
+    "minhash_shingles": [],
 }
 
 
@@ -1694,12 +1714,19 @@ def layout_stats(spark, path: str) -> DataFrame:
             "sidecar — not an at-rest ANN layout (or pre-r10; rewrite it)."
         )
     part_cols = _LAYOUT_PART_COLS[meta["kind"]]
-    return (
-        spark.read.parquet(path)
-        .groupBy(*part_cols)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy(*part_cols)
-    )
+    try:
+        scan = spark.read.parquet(path)
+    except Exception:
+        # a layout written from an empty frame has a sidecar but no
+        # parquet files — zero partitions, not a crash (ADVICE r11)
+        schema = (
+            ", ".join(f"{c} int" for c in part_cols) + ", n_rows bigint"
+            if part_cols
+            else "n_rows bigint"
+        )
+        return spark.createDataFrame([], schema)
+    out = scan.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    return out.orderBy(*part_cols) if part_cols else out
 
 
 def layout_skew_report(spark, path: str) -> dict:
@@ -1711,10 +1738,24 @@ def layout_skew_report(spark, path: str) -> dict:
     footer-only scan, so it can run after every append batch."""
     rows = layout_stats(spark, path).select("n_rows").collect()
     counts = [r["n_rows"] for r in rows]
+    kind = _read_layout_meta(spark, path)["kind"]
+    if not counts:
+        # an empty layout (unbounded delete, empty write) is a
+        # degenerate-but-valid state: report it, don't crash on min()/
+        # max()/divide-by-zero (ADVICE r11)
+        return {
+            "kind": kind,
+            "n_partitions": 0,
+            "n_rows": 0,
+            "min_rows": None,
+            "max_rows": None,
+            "mean_rows": None,
+            "skew": None,
+        }
     total = sum(counts)
     mean = total / len(counts)
     return {
-        "kind": _read_layout_meta(spark, path)["kind"],
+        "kind": kind,
         "n_partitions": len(counts),
         "n_rows": total,
         "min_rows": min(counts),
@@ -1747,6 +1788,9 @@ def retrain_ivf_layout(
     appends. Returns ``{"k_cells", "version", "n_rows"}``."""
     from etl_data_spark.io.writers import _delete, _rename
 
+    tmp = path.rstrip("/") + "__retrain"
+    trash = path.rstrip("/") + "__pre_retrain"
+    _heal_crashed_swap(spark, path, trash)  # crashed prior retrain
     meta = _read_layout_meta(spark, path)
     if meta is None or meta.get("kind") != "ivf":
         raise ValueError(
@@ -1758,8 +1802,6 @@ def retrain_ivf_layout(
     vec_col = meta["vec_col"]
     corpus = spark.read.parquet(path).drop("cell")
     n = _bounded_count(corpus)
-    tmp = path.rstrip("/") + "__retrain"
-    trash = path.rstrip("/") + "__pre_retrain"
     fs, _ = _fs_of(spark, path)
     _delete(fs, spark, tmp)
     write_ivf_partitioned(
@@ -1790,6 +1832,23 @@ def _fs_of(spark, path: str):
     """Hadoop FileSystem for ``path`` (shared shape with io.writers._fs)."""
     p = spark._jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _heal_crashed_swap(spark, path: str, trash: str) -> None:
+    """Crash healing for the two-rename layout swaps (compact/retrain):
+    a crash BETWEEN the renames leaves the layout only at its trash
+    sibling — restore it before reading instead of raising 'no
+    recognizable sidecar' (ADVICE r11; mirrors
+    ``io.writers.compact_small_files``). A trash whose live twin exists
+    is a post-swap leftover and is left for the caller's own
+    ``_delete(trash)`` to clear."""
+    from etl_data_spark.io.writers import _rename
+
+    fs, jp = _fs_of(spark, path)
+    if not fs.exists(jp) and fs.exists(
+        spark._jvm.org.apache.hadoop.fs.Path(trash)
+    ):
+        _rename(fs, spark, trash, path)
 
 
 def compact_layout(
@@ -1823,6 +1882,9 @@ def compact_layout(
         _rename,
     )
 
+    tmp = path.rstrip("/") + "__tmp_compact"
+    trash = path.rstrip("/") + "__pre_compact"
+    _heal_crashed_swap(spark, path, trash)  # crashed prior compact
     meta = _read_layout_meta(spark, path)
     if meta is None or meta.get("kind") not in _LAYOUT_PART_COLS:
         raise ValueError(
@@ -1832,19 +1894,115 @@ def compact_layout(
         )
     part_cols = _LAYOUT_PART_COLS[meta["kind"]]
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__tmp_compact"
-    trash = path.rstrip("/") + "__pre_compact"
     fs, _ = _fs_of(spark, path)
     _delete(fs, spark, tmp)
-    (
-        df.repartition(target_files_per_partition, *[F.col(c) for c in part_cols])
-        .write.mode("overwrite")
-        .partitionBy(*part_cols)
-        .parquet(tmp)
-    )
+    if part_cols:
+        writer = df.repartition(
+            target_files_per_partition, *[F.col(c) for c in part_cols]
+        ).write.mode("overwrite").partitionBy(*part_cols)
+    else:  # unpartitioned layout table (e.g. minhash_shingles)
+        writer = df.coalesce(target_files_per_partition).write.mode(
+            "overwrite"
+        )
+    writer.parquet(tmp)
     _write_layout_meta(spark, tmp, meta)  # sidecar rides the swap unchanged
     _delete(fs, spark, trash)
     _rename(fs, spark, path, trash)
     _rename(fs, spark, tmp, path)
     _delete(fs, spark, trash)
     return _count_parquet_files(fs, spark, path)
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then prune within cells)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_rows: int = 1024,
+    n_rows: int | None = None,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Semantic-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings (``ivf_assign``,
+    auto-sized k like ``write_ivf_partitioned`` when ``centroids`` is
+    None), then compare pairs ONLY within a cell — the cells bound the
+    pair space exactly like LSH bands do, so cost is sum over cells of
+    (rows-per-cell choose 2), never all-pairs. The standard cheap
+    corpus-wide semantic dedup in LLM data curation: near-identical
+    meaning lands in the same cell at any corpus size because both
+    members quantize to the same nearest centroid.
+
+    Approximation contract (same as SemDeDup): a qualifying pair whose
+    members straddle a cell boundary is missed — recall is bought with
+    more Lloyd refinement or coarser cells, verification is exact
+    cosine. Returns (id_a, id_b, cosine_sim) with id_a < id_b, 6dp.
+
+    Plan shape: one narrow assignment map (centroids are plan
+    literals), one equi-join keyed by the tiny cell id, exact cosine on
+    co-celled pairs. The assigned projection is persisted — the
+    self-join evaluates both sides."""
+    if centroids is None:
+        n = n_rows if n_rows is not None else _bounded_count(df)
+        k_cells = max(1, math.ceil(n / target_cell_rows))
+        centroids = sample_centroids(df, k_cells, id_col, vec_col)
+        if refine_iters > 0:
+            centroids = kmeans_refine(df, centroids, refine_iters, vec_col)
+    from pyspark.storagelevel import StorageLevel
+
+    from etl_data_spark.caching import pin
+
+    assigned = pin(
+        ivf_assign(df, centroids, vec_col).select(id_col, vec_col, "cell"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_rows: int = 1024,
+    n_rows: int | None = None,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """End-to-end semantic dedup: SemDeDup pairs -> connected components
+    (diameter-independent star contraction, operators/dedup.py) -> keep
+    the min-id member of every semantic cluster. Returns the surviving
+    rows of ``df`` — the composition a curation pipeline drops in after
+    exact and shingle dedup (each lens catches duplicates the others
+    miss: byte-identical, boilerplate-edited, and paraphrased)."""
+    from etl_data_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    pairs = semantic_dedup_pairs(
+        df, centroids, threshold, id_col, vec_col, target_cell_rows,
+        n_rows, refine_iters,
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    return dedup_survivors(df, clusters, id_col)

@@ -231,3 +231,77 @@ def test_keyness_g2_nonnegative_and_overused(spark):
     for r in rows:
         assert r.g2 >= 0.0  # G2 is a log-likelihood ratio
         assert r.tf_in_lang > 0
+
+
+def test_bpe_train_known_answer(spark):
+    """Classic Sennrich corpus: the first merges must be es(9), est(9),
+    lo(7), low(7) — the textbook trajectory (ties lexicographic)."""
+    from etl_data_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(
+        [("low " * 5,), ("lower " * 2,), ("newest " * 6,), ("widest " * 3,)],
+        "text string",
+    )
+    got = [
+        (r["merged"], r["n_occurrences"])
+        for r in train_bpe(df, 4).collect()
+    ]
+    assert got == [("es", 9), ("est", 9), ("lo", 7), ("low", 7)]
+
+
+def test_bpe_greedy_and_boundary_semantics(spark):
+    """The replace-based re-segmentation must be exact greedy BPE:
+    overlapping occurrences merge left-to-right non-overlapping, and a
+    pair never matches the TAIL of a longer symbol."""
+    from etl_data_spark.operators.bpe import (
+        initial_segmentation,
+        merge_pair,
+        _symbols,
+    )
+
+    df = spark.createDataFrame([("aaa",), ("baab",)], "w string").select(
+        "w", initial_segmentation("w").alias("seg")
+    )
+    merged = merge_pair(df, "a", "a").select(
+        "w", _symbols("seg").alias("syms")
+    )
+    out = {r["w"]: list(r["syms"]) for r in merged.collect()}
+    assert out["aaa"] == ["aa", "a"]  # greedy, not [a, aa] nor [aa, aa]
+    assert out["baab"] == ["b", "aa", "b"]
+
+    # boundary anchoring: after merging to symbol "ba", pair (a, b) must
+    # NOT match the 'a' inside "ba"
+    df2 = spark.createDataFrame([("bab",)], "w string").select(
+        "w", initial_segmentation("w").alias("seg")
+    )
+    step1 = merge_pair(df2, "b", "a")
+    step2 = merge_pair(step1, "a", "b").select(_symbols("seg").alias("syms"))
+    assert list(step2.first()["syms"]) == ["ba", "b"]
+
+
+def test_bpe_vocabulary_exhaustion_stops_early(spark):
+    """A corpus whose words fully merge before n_merges must stop, not
+    loop on an empty argmax."""
+    from etl_data_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame([("ab ab ab",)], "text string")
+    got = train_bpe(df, 10)
+    assert got.count() == 1  # only (a, b) exists; then nothing is adjacent
+    assert got.first()["merged"] == "ab"
+
+
+def test_bpe_segment_with_merges_roundtrip(spark):
+    """The APPLY side: tokenizing with the trained merges reproduces the
+    training segmentation (concatenation of tokens == the word)."""
+    from etl_data_spark.operators.bpe import segment_with_merges, train_bpe
+
+    df = spark.createDataFrame(
+        [("low lower newest",), ("widest low newest",)], "text string"
+    )
+    merges = [
+        (r["left"], r["right"]) for r in train_bpe(df, 5).collect()
+    ]
+    seg = segment_with_merges(df, merges)
+    for r in seg.collect():
+        rebuilt = "".join(r["bpe_tokens"])
+        assert rebuilt == r["text"].replace(" ", "")

@@ -263,6 +263,15 @@ def test_sniff_media_jpeg():
     big = M.sniff_media(make_jpeg(b"z" * 70000))
     assert big["ok"] and big["width"] == 70000 % 64 + 1
 
+    # u16 overflow guard (ADVICE r11): a 64-multiple length > 65535 lands
+    # on width 1, whose raw height would overflow the SOF u16 field —
+    # width must widen so height fits and the payload still fits the frame
+    n = 65536 * 2  # width0=1, height0=131072 > 65535
+    wide = M.sniff_media(make_jpeg(b"w" * n))
+    assert wide["ok"]
+    assert wide["height"] <= 65535 and wide["width"] <= 65535
+    assert wide["width"] * wide["height"] >= n
+
     # hand-built stream with fill bytes + a DQT segment before SOF0
     dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
     sof = (
@@ -2084,16 +2093,41 @@ def test_ivfpq_at_rest(spark, tmp_path):
     PQ.write_ivf_pq(e, path, centroids=cents, codebooks=books)
     meta = _read_layout_meta(spark, path)
     assert meta["kind"] == "ivf_pq" and meta["has_vectors"]
+    assert meta["encoding"] == "residual"  # r12 default: Jegou SIV
 
-    # row-identity with the on-the-fly composition (assign -> probe
-    # filter -> encode -> ADC)
-    fly_src = PQ.pq_encode(ivf_assign(e, cents), books).filter(
-        F.col("cell").isin(ivf_probes(qvec, cents, 3))
-    )
-    fly = PQ.pq_topk(fly_src.select("vec_id", "pq_code"), qvec, books, k=10)
+    # row-identity with the on-the-fly RESIDUAL composition (assign ->
+    # probe filter -> residual encode -> per-cell ADC)
+    probe_cells = ivf_probes(qvec, cents, 3)
+    fly_src = PQ._encode_for_layout(
+        ivf_assign(e, cents), cents, books, "embedding", residual=True
+    ).filter(F.col("cell").isin(probe_cells))
+    cmap = dict(cents)
+    fly_rows = []
+    for r in fly_src.select("vec_id", "cell", "pq_code").collect():
+        qres = [q - x for q, x in zip(qvec, cmap[r["cell"]])]
+        lut = PQ.pq_adc_lut(qres, books)
+        d = sum(lut[s][c] for s, c in enumerate(r["pq_code"]))
+        fly_rows.append((r["vec_id"], round(d, 6)))
+    fly_rows.sort(key=lambda t: (t[1], t[0]))
     at_rest = PQ.ivfpq_topk_at_rest(spark, path, qvec, k=10, n_probe=3)
-    assert [tuple(r) for r in at_rest.collect()] == [
-        tuple(r) for r in fly.collect()
+    assert [tuple(r) for r in at_rest.collect()] == fly_rows[:10]
+
+    # residual=False reproduces the r11 raw layout (back-compat branch:
+    # global LUT, raw codes) — row-identical to the raw composition
+    raw_path = str(tmp_path / "ivfpq_raw")
+    PQ.write_ivf_pq(
+        e, raw_path, centroids=cents, codebooks=books, residual=False
+    )
+    assert _read_layout_meta(spark, raw_path)["encoding"] == "raw"
+    raw_fly_src = PQ.pq_encode(ivf_assign(e, cents), books).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    raw_fly = PQ.pq_topk(
+        raw_fly_src.select("vec_id", "pq_code"), qvec, books, k=10
+    )
+    raw_at_rest = PQ.ivfpq_topk_at_rest(spark, raw_path, qvec, k=10, n_probe=3)
+    assert [tuple(r) for r in raw_at_rest.collect()] == [
+        tuple(r) for r in raw_fly.collect()
     ]
 
     # probe cells prune at the scan, and the code-only probe never reads
@@ -2157,3 +2191,197 @@ def test_append_ivf_pq_matches_single_write(spark, tmp_path):
 
     with pytest.raises(ValueError, match="ivf_pq"):
         PQ.append_ivf_pq(e, str(tmp_path / "nope"))
+
+
+def test_layout_swap_crash_healing(spark, tmp_path):
+    """ADVICE r11: a crash between compact_layout/retrain_ivf_layout's two
+    swap renames leaves the layout only at its trash sibling; the next
+    invocation must restore it and proceed, not raise 'no recognizable
+    sidecar'."""
+    from pathlib import Path
+
+    from etl_data_spark.operators.similarity import (
+        compact_layout,
+        ivf_topk_at_rest,
+        retrain_ivf_layout,
+        sample_centroids,
+        write_ivf_partitioned,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "heal")
+    write_ivf_partitioned(e, path, sample_centroids(e, k=8))
+    want = [tuple(r) for r in ivf_topk_at_rest(spark, path, qvec, k=5).collect()]
+
+    # crash mid-compact: live renamed out, fresh never renamed in
+    Path(path).rename(Path(path + "__pre_compact"))
+    compact_layout(spark, path)
+    got = [tuple(r) for r in ivf_topk_at_rest(spark, path, qvec, k=5).collect()]
+    assert got == want
+
+    # crash mid-retrain: same shape, the retrain trash name
+    Path(path).rename(Path(path + "__pre_retrain"))
+    info = retrain_ivf_layout(spark, path, target_cell_rows=64)
+    assert info["n_rows"] == e.count()
+    assert Path(path).exists()
+
+
+def test_layout_skew_report_empty_layout(spark, tmp_path):
+    """ADVICE r11: an empty layout yields a degenerate-but-informative
+    report, not ValueError/ZeroDivisionError."""
+    from etl_data_spark.operators.similarity import (
+        layout_skew_report,
+        write_ivf_partitioned,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = [(0, list(e.first()["embedding"]))]
+    path = str(tmp_path / "empty_layout")
+    write_ivf_partitioned(e.filter(F.col("vec_id") < 0), path, cents)
+    rep = layout_skew_report(spark, path)
+    assert rep["n_partitions"] == 0 and rep["n_rows"] == 0
+    assert rep["skew"] is None and rep["min_rows"] is None
+
+
+def test_ivf_and_pq_writers_reject_reserved_columns(spark, tmp_path):
+    """ADVICE r11: write_ivf_partitioned/append_ivf_partitioned must fail
+    fast on a pre-existing 'cell' column, and write_ivf_pq/append_ivf_pq
+    on 'cell'/'pq_code' — the same contract write_ann_banded enforces —
+    instead of silently overwriting user data into the layout."""
+    from etl_data_spark.operators import pq as PQ
+    from etl_data_spark.operators.similarity import (
+        append_ivf_partitioned,
+        sample_centroids,
+        write_ivf_partitioned,
+    )
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = sample_centroids(e, k=4)
+    books = PQ.train_pq(e, m=8, k=16, sample_rows=64, iters=0)
+    ok_ivf = str(tmp_path / "ok_ivf")
+    ok_pq = str(tmp_path / "ok_pq")
+    write_ivf_partitioned(e.filter(F.col("vec_id") < 50), ok_ivf, cents)
+    PQ.write_ivf_pq(
+        e.filter(F.col("vec_id") < 50), ok_pq, centroids=cents, codebooks=books
+    )
+
+    bad_cell = e.withColumn("cell", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        write_ivf_partitioned(bad_cell, str(tmp_path / "x1"), cents)
+    with pytest.raises(ValueError, match="collide"):
+        append_ivf_partitioned(bad_cell, ok_ivf)
+    for clash in ("cell", "pq_code"):
+        bad = e.withColumn(clash, F.lit(1))
+        with pytest.raises(ValueError, match="collide"):
+            PQ.write_ivf_pq(
+                bad, str(tmp_path / f"x_{clash}"), centroids=cents,
+                codebooks=books,
+            )
+        with pytest.raises(ValueError, match="collide"):
+            PQ.append_ivf_pq(bad, ok_pq)
+
+
+def test_minhash_bands_at_rest_matches_on_the_fly(spark, tmp_path):
+    """r12 (VERDICT r11 #1): the persisted band layout serves incremental
+    dedup row-identically to minhash_lsh_pairs_incremental — the delta is
+    the ONLY thing signed; base signatures come from the layout."""
+    from etl_data_spark.operators import dedup as D
+    from etl_data_spark.queries import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    delta = d.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "bands")
+    D.write_minhash_bands(base, path, shingle_n=3, num_hashes=64, bands=16)
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.dedup_incremental_at_rest(delta, path, threshold=0.8).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_lsh_pairs_incremental(
+            d, delta_pred=F.col("doc_id") >= 400, threshold=0.8
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_minhash_bands_append_then_probe_next_batch(spark, tmp_path):
+    """The production loop: probe batch 1, append it, probe batch 2 —
+    batch 2's pairs against base AND batch 1 must match the on-the-fly
+    answer over the grown corpus."""
+    from etl_data_spark.operators import dedup as D
+    from etl_data_spark.queries import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "bands_grow")
+    D.write_minhash_bands(d.filter(F.col("doc_id") < 300), path)
+    D.append_minhash_bands(
+        d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), path
+    )
+    delta2 = d.filter(F.col("doc_id") >= 400)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.dedup_incremental_at_rest(delta2, path).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_lsh_pairs_incremental(
+            d, delta_pred=F.col("doc_id") >= 400
+        ).collect()
+    }
+    assert got == want
+
+    # compaction moves bytes, never assignments: identical probe after
+    n_files = D.compact_minhash_bands(spark, path)
+    assert n_files >= 1
+    again = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.dedup_incremental_at_rest(delta2, path).collect()
+    }
+    assert again == want
+
+
+def test_minhash_bands_sidecar_contract(spark, tmp_path):
+    """Sidecar guards: probing/appending a non-layout raises; the sidecar
+    records the hash family so a probe never silently signs under a
+    different one."""
+    from etl_data_spark.operators import dedup as D
+    from etl_data_spark.operators.similarity import _read_layout_meta
+    from etl_data_spark.queries import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "bands_meta")
+    D.write_minhash_bands(
+        d.filter(F.col("doc_id") < 100), path, num_hashes=32, bands=8,
+        hash_impl="native",
+    )
+    meta = _read_layout_meta(spark, path + "/bands")
+    assert meta["kind"] == "minhash_bands"
+    assert (meta["num_hashes"], meta["bands"], meta["hash_impl"]) == (32, 8, "native")
+
+    with pytest.raises(ValueError, match="minhash_bands"):
+        D.dedup_incremental_at_rest(d, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="minhash_bands"):
+        D.append_minhash_bands(d, str(tmp_path / "nope"))
+
+    # auto-params flow through to the sidecar
+    path2 = str(tmp_path / "bands_auto")
+    D.write_minhash_bands(
+        d.filter(F.col("doc_id") < 100), path2, target_recall=0.9,
+        threshold=0.35,
+    )
+    meta2 = _read_layout_meta(spark, path2 + "/bands")
+    r, b = D.minhash_auto_params(0.35, 0.9)
+    assert (meta2["num_hashes"], meta2["bands"]) == (r * b, b)
