@@ -312,6 +312,8 @@ MEDIA_ANN = [
     "multimodal_decode_jpeg",  # r11: JPEG marker-walk decode (born r11)
     "ann_pq_rerank_topk",  # r11: PQ ADC + exact rerank (born r11)
     "ann_ivfpq_rerank_at_rest",  # r11: composed IVF-PQ layout (born r11)
+    "semantic_dedup_survivors",  # r12: SemDeDup pairs -> components (born r12)
+    "bpe_train_merges",  # r12: iterative BPE merge loop (born r12)
 ]
 
 
@@ -329,6 +331,7 @@ def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from etl_data_spark import get_spark, release_all
+    from etl_data_spark.operators import dedup as D
     from etl_data_spark.operators import similarity as S
     from etl_data_spark.queries import load_table
 
@@ -343,6 +346,13 @@ def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
         S.write_ivf_partitioned(e, ivf, centroids=None, target_cell_rows=1024)
         S.write_ann_banded(e, banded, dim=dim, bands=4, target_bucket_rows=1024)
         left = e.filter(F.col("vec_id") < 20)
+        # r12: the text-dedup twin — band table + shingles persisted
+        # untimed, the per-batch probe timed (the quantity that must
+        # track |delta|, not |corpus|)
+        d = load_table(spark, sf_dir, "documents")
+        bands_path = f"{root}/minhash_bands"
+        D.write_minhash_bands(d.filter(F.col("doc_id") < 400), bands_path)
+        delta = d.filter(F.col("doc_id") >= 400)
         queries = {
             "ann_lsh_topk_at_rest": lambda: S.ann_topk_at_rest(
                 spark, lsh, qvec, k=10
@@ -352,6 +362,9 @@ def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
             ),
             "knn_join_banded_at_rest": lambda: S.knn_join_lsh_banded_at_rest(
                 spark, left, banded, k=3
+            ),
+            "dedup_incremental_at_rest": lambda: D.dedup_incremental_at_rest(
+                delta, bands_path, threshold=0.8
             ),
         }
         next(iter(queries.values()))().count()  # warm-up, untimed

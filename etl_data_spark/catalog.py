@@ -408,9 +408,66 @@ assert set(_DISPLACED_TO_R11) <= set(PRIORITY_R11), (
     "from the r10 window re-enters in r11"
 )
 
+PRIORITY_R12 = [
+    # -- changed/born this round (CHANGED_THIS_ROUND, must re-earn green) --
+    "dedup_incremental_at_rest",
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivors",
+    "bpe_train_merges",
+    "multimodal_decode_jpeg",
+    "ann_ivfpq_rerank_at_rest",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivf_topk_at_rest",
+    # -- oldest-driver-green-first fill (last green r5) --
+    "association_rules",
+    "bfs_hops",
+    "chi_square_independence",
+    "dq_expectations",
+    "drift_psi",
+    "entity_resolution",
+    "fuzzy_name_match",
+    "ks_two_sample",
+    "mann_whitney_u",
+    "personalized_pagerank",
+    "roc_auc",
+    "survival_km",
+    "tpch_q12_ship_mode",
+    "welch_t_test",
+    # -- last green r6 (alphabetical within vintage) --
+    "ab_test_lift",
+    "attribution_first_touch",
+    "attribution_linear",
+    "audience_overlap",
+    "bag_set_ops",
+    "benford_deviation",
+    "calendar_dim",
+    "calibration_bins",
+    "char_entropy",
+    "cohort_ltv",
+    "contrastive_negatives",
+    "cusum_changepoint",
+    "document_profile",
+    "embedding_drift",
+    "equidepth_histogram",
+    "event_entropy",
+    "ewma_level",
+    "feature_hashing",
+    "forecast_backtest",
+    "funnel_strict_sequence",
+    "graph_clustering_coeff",
+    "impute_group_median",
+    "interpolate_linear",
+    "item_item_cosine",
+    "k_anonymity",
+    "keyness_terms",
+    "lag_features",
+]
+assert len(PRIORITY_R12) == 50, f"PRIORITY_R12 must fill the window exactly: {len(PRIORITY_R12)}"
+
 # The driver verifies the first 50 entries of queries()/oracle_sql();
 # PRIORITY pins that order. Round 8 on: the regression rotation.
-PRIORITY = PRIORITY_R11
+PRIORITY = PRIORITY_R12
 
 # Entries whose implementing code path changed during the CURRENT round.
 # ROTATION.md rule (written r8): a changed entry must re-earn a driver
@@ -420,6 +477,31 @@ PRIORITY = PRIORITY_R11
 # change lands on an un-windowed entry, swap out a youngest-green tail
 # entry in the same commit.
 CHANGED_THIS_ROUND = [
+    # r12 BORN: the at-rest text-dedup layout (write_minhash_bands probe,
+    # VERDICT r11 #1), the SemDeDup family (VERDICT r11 #3), and the
+    # iterative BPE trainer (VERDICT r11 #4):
+    "dedup_incremental_at_rest",
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivors",
+    "bpe_train_merges",
+    # r12 changed paths: make_jpeg clamps SOF dims to u16 (ADVICE r11 —
+    # query AND oracle arithmetic moved); IVF-PQ now encodes RESIDUALS
+    # (VERDICT r11 #2 — write/probe/append + oracle all moved); the PQ
+    # trainer/scorer internals were refactored for the residual path
+    # (_fit_codebooks/_adc_score_expr — value-identical defaults, but the
+    # rotation rule counts any implementing-code change); the plain IVF
+    # writers gained the reserved-column guard (ADVICE r11), which is in
+    # ann_ivf_topk_at_rest's write path:
+    "multimodal_decode_jpeg",
+    "ann_ivfpq_rerank_at_rest",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivf_topk_at_rest",
+]
+
+# Frozen history: the r11 changed-path list, kept for the r10→r11 window
+# overlap audit (test_rotation.py), independent of the current round's.
+CHANGED_R11 = [
     # r11: sniff_media gained the JPEG marker walk (multimodal_decode's
     # codec — additive branch, but the rotation rule counts any
     # implementing-code change); multimodal_decode_jpeg is BORN this

@@ -500,11 +500,21 @@ def make_jpeg(data: bytes, progressive: bool = False) -> bytes:
     segments (65533-byte max each, so long documents span several), so
     the marker walk must skip real payload-bearing segments to reach the
     SOFn. ``progressive`` emits SOF2 instead of SOF0 — both are frame
-    headers, exercising the sniffer's full SOFn range."""
+    headers, exercising the sniffer's full SOFn range.
+
+    SOF dimensions are u16 fields (T.81 B.2.2) — unlike the PNG twin's
+    u32 — so the raw PNG arithmetic can overflow height for a long text
+    whose length lands on a tiny width (e.g. any 64-multiple length
+    > 65535 gives width 1, ADVICE r11). The width is therefore WIDENED by
+    ceil(height/65535) so height always fits; the decode oracle mirrors
+    the same closed form. (Width itself stays < 2^16 for any text under
+    ~4 GiB — far past any document here.)"""
     import struct
 
     n = len(data)
     width = n % 64 + 1
+    height = max(1, -(-n // width))
+    width *= -(-height // 65535)
     height = max(1, -(-n // width))
     soi = b"\xff\xd8"
     app0 = (
@@ -556,18 +566,29 @@ def _jpeg_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec; width/height are the same pure length arithmetic as make_png,
     # so the REAL marker walk (incl. skipping payload-bearing COM
     # segments and reading progressive SOF2) is hash-verified end-to-end.
+    # width is widened by ceil(height0/65535) so the SOF u16 height field
+    # never overflows — the same closed form as make_jpeg (ADVICE r11)
     """
     WITH src AS (
-      SELECT doc_id, length(COALESCE(text, '')) AS n FROM documents
+      SELECT doc_id, length(COALESCE(text, '')) AS n,
+             length(COALESCE(text, '')) % 64 + 1 AS w0
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n,
+             w0 * CAST(ceil(
+               greatest(1, CAST(ceil(n / (w0 * 1.0)) AS BIGINT)) / 65535.0
+             ) AS BIGINT) AS w
+      FROM src
     )
     SELECT doc_id AS media_id,
            TRUE AS ok,
            'image' AS media_type,
            'jpeg' AS format,
-           CAST(n % 64 + 1 AS INT) AS width,
-           CAST(greatest(1, CAST(ceil(n / (n % 64 + 1.0)) AS BIGINT)) AS INT)
+           CAST(w AS INT) AS width,
+           CAST(greatest(1, CAST(ceil(n / (w * 1.0)) AS BIGINT)) AS INT)
              AS height
-    FROM src
+    FROM dims
     """,
     doc="REAL JPEG decode: documents wrapped in valid JPEG marker streams "
     "(JFIF APP0, COM payload segments, baseline SOF0 / progressive SOF2) "
@@ -1544,6 +1565,107 @@ def q_ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared CTE: seeded coarse assignment (the sample_centroids trick — the
+# oracle replays ivf_assign's cosine-argmax with lowest-cid ties) + the
+# within-cell semantic pair space. SemDeDup's whole trick is that the pair
+# space IS the cell equi-join, so the oracle mirrors exactly that.
+_SEMDEDUP_PAIRS_CTE = """
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             embedding
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos_ce} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    sem_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({cos_ab}, 6) AS cosine_sim
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+"""
+
+
+def _semdedup_cte() -> str:
+    return _SEMDEDUP_PAIRS_CTE.format(
+        cos_ce=_duck_cos("c.embedding", "e.embedding"),
+        cos_ab=_duck_cos("a.embedding", "b.embedding"),
+    )
+
+
+_SEMDEDUP_T = 0.4  # the corpus' near-dup band (exhaustive max cosine ~0.51)
+
+
+@register(
+    "semantic_dedup_pairs",
+    _semdedup_cte()
+    + f"""
+    SELECT id_a, id_b, cosine_sim FROM sem_pairs
+    WHERE cosine_sim >= {_SEMDEDUP_T}
+    """,
+    doc="Semantic-duplicate pairs, SemDeDup-style (Abbas et al. "
+    "arXiv:2303.09540; r12, VERDICT r11 missing #3): coarse-cluster the "
+    "embeddings (seeded ivf_assign so the oracle replays assignment), "
+    "then exact cosine ONLY within a cell — the cell equi-join bounds "
+    "the pair space like LSH bands do (15.5k co-celled pairs vs 125k "
+    "all-pairs on this corpus), the cheap corpus-wide semantic dedup "
+    "pass standard in LLM data curation.",
+)
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = S.sample_centroids(e, k=8)
+    return S.semantic_dedup_pairs(e, cents, threshold=_SEMDEDUP_T)
+
+
+@register(
+    "semantic_dedup_survivors",
+    _semdedup_cte().replace("WITH cents", "WITH RECURSIVE cents")
+    + f"""
+    , base AS (
+      SELECT id_a, id_b FROM sem_pairs WHERE cosine_sim >= {_SEMDEDUP_T}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM base
+      UNION
+      SELECT id_b, id_a FROM base
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    losers AS (
+      SELECT s AS vec_id FROM reach GROUP BY s
+      HAVING LEAST(MIN(d), s) <> s
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+    doc="End-to-end semantic dedup: SemDeDup pairs -> connected "
+    "components (star contraction) -> keep the min-id member per "
+    "semantic cluster; the composition a curation pipeline runs after "
+    "exact and shingle dedup (paraphrase-level duplicates the lexical "
+    "lenses miss). Oracle = recursive transitive closure over the "
+    "within-cell pair truth.",
+)
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.sample_centroids(
+        e.select("vec_id", "embedding"), k=8
+    )
+    return S.semantic_dedup(
+        e, cents, threshold=_SEMDEDUP_T
+    ).select("vec_id", "label")
+
+
 @register(
     "ann_ivfpq_rerank_at_rest",
     f"""
@@ -1568,7 +1690,7 @@ def q_ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     ),
     probed AS (
-      SELECT vec_id, embedding FROM assigned
+      SELECT vec_id, embedding, cell FROM assigned
       WHERE cell IN (SELECT cid FROM probes)
     ),
     pqcents AS (
@@ -1577,21 +1699,40 @@ def q_ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
     ),
     subs AS (SELECT CAST(unnest(range(0, {_PQ_M})) AS INT) AS s),
+    -- r12: RESIDUAL encoding (Jegou §IV) — codes quantize x - centroid(cell)
+    resid AS (
+      SELECT p.vec_id, p.cell,
+             list_transform(range(1, {_ANN_DIM} + 1), i ->
+               CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) -
+               CAST(cc.embedding[CAST(i AS INT)] AS DOUBLE)) AS rv
+      FROM probed p JOIN cents cc ON cc.cid = p.cell
+    ),
+    -- ... and each probed cell's ADC LUT derives from query - centroid(cell)
+    qresid AS (
+      SELECT c.cid AS cell,
+             list_transform(range(1, {_ANN_DIM} + 1), i ->
+               CAST(q.qv[CAST(i AS INT)] AS DOUBLE) -
+               CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)) AS qrv
+      FROM cents c, q WHERE c.cid IN (SELECT cid FROM probes)
+    ),
     pq_assign AS (
       SELECT vec_id, s, cid,
              ROW_NUMBER() OVER (
                PARTITION BY vec_id, s
-               ORDER BY {_duck_pq_sub_l2("e.embedding", "c.embedding", "s")} ASC,
+               ORDER BY {_duck_pq_sub_l2("e.rv", "c.embedding", "s")} ASC,
                         cid ASC
              ) AS rn
-      FROM probed e CROSS JOIN subs CROSS JOIN pqcents c
+      FROM resid e CROSS JOIN subs CROSS JOIN pqcents c
     ),
     pq_scored AS (
       SELECT a.vec_id,
              ROUND(list_sum(
-               list({_duck_pq_sub_l2("q.qv", "c.embedding", "a.s")}
+               list({_duck_pq_sub_l2("qr.qrv", "c.embedding", "a.s")}
                     ORDER BY a.s)), 6) AS adc_dist
-      FROM pq_assign a JOIN pqcents c ON c.cid = a.cid, q
+      FROM pq_assign a
+      JOIN pqcents c ON c.cid = a.cid
+      JOIN resid r2 ON r2.vec_id = a.vec_id
+      JOIN qresid qr ON qr.cell = r2.cell
       WHERE a.rn = 1
       GROUP BY a.vec_id
     ),
@@ -1612,8 +1753,13 @@ def q_ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IVF probe cells prune parquet PARTITIONS, the ADC pass reads only "
     "the (id, code) COLUMNS of the probed rows, and the 50-candidate "
     "shortlist exact-reranks against the vectors stored in the same "
-    "pruned scan. The oracle replays coarse assignment, probe "
-    "selection, PQ encode, ADC, shortlist, and rerank end-to-end.",
+    "pruned scan. r12: codes quantize the RESIDUAL x - centroid(cell) "
+    "(Jegou et al. SIV — the canonical IndexIVFPQ construction; "
+    "measured ADC-only recall@10 rises at equal m/k, SCALE.md r12 "
+    "addendum), with each probed cell's LUT derived from query - "
+    "centroid(cell). The oracle replays coarse assignment, probe "
+    "selection, residual PQ encode, per-cell ADC, shortlist, and "
+    "rerank end-to-end.",
 )
 def q_ann_ivfpq_rerank_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_spark.operators import pq as PQ
@@ -2545,6 +2691,41 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=64,
         bands=16,
         threshold=0.8,
+    )
+
+
+@register(
+    "dedup_incremental_at_rest",
+    # Same ground truth as dedup_incremental_pairs (identical expression,
+    # built fresh so the twin's registration site stays untouched): the
+    # at-rest probe is row-identical to the on-the-fly path by
+    # construction (pytest-pinned), so the exhaustive delta-restricted
+    # pair list verifies it too.
+    "SELECT * FROM ("
+    + _SQL_PAIR_JACCARD.format(shingles=_SQL_SHINGLES, threshold=0.8)
+    + f") WHERE id_a >= {_DELTA_FROM} OR id_b >= {_DELTA_FROM}",
+    doc="Incremental near-dup detection served from a write_minhash_bands "
+    "layout (r12, VERDICT r11 #1): the base corpus' band table and "
+    "shingle sets are PERSISTED (sidecar-described, band_idx-partitioned), "
+    f"so the batch (doc_id >= {_DELTA_FROM}) is the only thing shingled "
+    "and signed — per-ingest cost tracks |delta| + one narrow band-table "
+    "scan, never corpus text bytes, closing the on-the-fly twin's "
+    "documented recompute-the-corpus-per-batch gap. The query builds the "
+    "layout in a throwaway dir (write + sidecar + probe covered "
+    "end-to-end); the BENCH row times the probe only.",
+)
+def q_dedup_incremental_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    path = _throwaway_layout_dir("q_dedup_bands_at_rest_")
+    D.write_minhash_bands(
+        d.filter(F.col("doc_id") < _DELTA_FROM),
+        path,
+        shingle_n=3,
+        num_hashes=64,
+        bands=16,
+    )
+    return D.dedup_incremental_at_rest(
+        d.filter(F.col("doc_id") >= _DELTA_FROM), path, threshold=0.8
     )
 
 

@@ -11,6 +11,7 @@ import os
 from etl_data_spark.catalog import (
     CHANGED_R9,
     CHANGED_R10,
+    CHANGED_R11,
     CHANGED_THIS_ROUND,
     PRIORITY,
     PRIORITY_R7,
@@ -18,6 +19,7 @@ from etl_data_spark.catalog import (
     PRIORITY_R9,
     PRIORITY_R10,
     PRIORITY_R11,
+    PRIORITY_R12,
     REGISTRY,
 )
 
@@ -50,6 +52,7 @@ def test_window_is_exactly_50_known_entries():
     assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50
     assert len(PRIORITY_R10) == 50 and len(set(PRIORITY_R10)) == 50
     assert len(PRIORITY_R11) == 50 and len(set(PRIORITY_R11)) == 50
+    assert len(PRIORITY_R12) == 50 and len(set(PRIORITY_R12)) == 50
     unknown = [
         n
         for n in PRIORITY
@@ -58,6 +61,7 @@ def test_window_is_exactly_50_known_entries():
         + PRIORITY_R9
         + PRIORITY_R10
         + PRIORITY_R11
+        + PRIORITY_R12
         if n not in REGISTRY
     ]
     assert not unknown, f"window references unregistered queries: {unknown}"
@@ -79,9 +83,14 @@ def test_window_is_exactly_50_known_entries():
         f"{sorted(overlap_910 - set(CHANGED_R10))}"
     )
     overlap_1011 = set(PRIORITY_R10) & set(PRIORITY_R11)
-    assert overlap_1011 <= set(CHANGED_THIS_ROUND), (
+    assert overlap_1011 <= set(CHANGED_R11), (
+        f"unchanged entries repeated across the r10/r11 windows: "
+        f"{sorted(overlap_1011 - set(CHANGED_R11))}"
+    )
+    overlap_1112 = set(PRIORITY_R11) & set(PRIORITY_R12)
+    assert overlap_1112 <= set(CHANGED_THIS_ROUND), (
         f"unchanged entries repeat across consecutive windows: "
-        f"{sorted(overlap_1011 - set(CHANGED_THIS_ROUND))}"
+        f"{sorted(overlap_1112 - set(CHANGED_THIS_ROUND))}"
     )
 
 
@@ -89,9 +98,10 @@ def test_active_window_is_the_regression_rotation():
     """Round 8 on: the burn-down is complete, so the active window must be
     the regression rotation, opening with the current round's changed code
     paths (ROTATION.md)."""
-    assert PRIORITY is PRIORITY_R11
-    # r11 changed paths lead the window: the JPEG codec + the at-rest ANN
-    # serving family (new entries + ADVICE-r10 operator hardening)
+    assert PRIORITY is PRIORITY_R12
+    # r12 changed paths lead the window: the at-rest dedup layout, the
+    # SemDeDup family, the BPE trainer, the residual IVF-PQ rework, and
+    # the ADVICE-r11 hardening
     assert PRIORITY[: len(CHANGED_THIS_ROUND)] == CHANGED_THIS_ROUND
 
 
