@@ -314,6 +314,7 @@ MEDIA_ANN = [
     "ann_ivfpq_rerank_at_rest",  # r11: composed IVF-PQ layout (born r11)
     "semantic_dedup_survivors",  # r12: SemDeDup pairs -> components (born r12)
     "bpe_train_merges",  # r12: iterative BPE merge loop (born r12)
+    "bpe_segment_corpus",  # r12: tokenizer apply side (born late-r12)
 ]
 
 
@@ -365,6 +366,9 @@ def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
             ),
             "dedup_incremental_at_rest": lambda: D.dedup_incremental_at_rest(
                 delta, bands_path, threshold=0.8
+            ),
+            "semantic_dedup_at_rest": lambda: S.semantic_dedup_pairs_at_rest(
+                spark, ivf, threshold=0.4
             ),
         }
         next(iter(queries.values()))().count()  # warm-up, untimed

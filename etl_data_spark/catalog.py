@@ -10,10 +10,11 @@ Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds. Rounds 1-7 completed the original burn-down (282
 of the then-283 entries); as of round 10 the cross-round union covers ALL
 284 then-oracle-backed entries (CORRECTNESS_r01-r10). The registry now
-stands at 293 (292 oracle-backed + generator_profile, rows-only by
-design); the 8 entries born in round 11 (multimodal_decode_jpeg, the three
-at-rest ANN serving paths, decontaminate_ngram, and the PQ family) are
-windowed their birth round, per policy. From round 8 on the window is a REGRESSION
+stands at 299 (298 oracle-backed + generator_profile, rows-only by
+design); entries born in a round (r11: multimodal_decode_jpeg, the three
+at-rest ANN serving paths, decontaminate_ngram, the PQ family; r12: the
+at-rest dedup probe, the SemDeDup trio, the BPE pair) are windowed their
+birth round, per policy. From round 8 on the window is a REGRESSION
 rotation (ROTATION.md): entries whose code paths changed in the prior or
 current round first, then oldest-driver-green-first, so the whole catalog
 re-earns a fresh row roughly every 5-6 rounds and no entry's record can
@@ -419,6 +420,8 @@ PRIORITY_R12 = [
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "ann_ivf_topk_at_rest",
+    "semantic_dedup_at_rest",
+    "bpe_segment_corpus",
     # -- oldest-driver-green-first fill (last green r5) --
     "association_rules",
     "bfs_hops",
@@ -460,8 +463,6 @@ PRIORITY_R12 = [
     "interpolate_linear",
     "item_item_cosine",
     "k_anonymity",
-    "keyness_terms",
-    "lag_features",
 ]
 assert len(PRIORITY_R12) == 50, f"PRIORITY_R12 must fill the window exactly: {len(PRIORITY_R12)}"
 
@@ -497,6 +498,12 @@ CHANGED_THIS_ROUND = [
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "ann_ivf_topk_at_rest",
+    # late-r12 BORN: the at-rest SemDeDup probe (the IVF layout doubles
+    # as the semantic-dedup index) and the BPE apply-side tokenizer;
+    # they displaced the two youngest-green tail fills (keyness_terms,
+    # lag_features — r6-green, re-queued for r13):
+    "semantic_dedup_at_rest",
+    "bpe_segment_corpus",
 ]
 
 # Frozen history: the r11 changed-path list, kept for the r10→r11 window

@@ -2006,3 +2006,45 @@ def semantic_dedup(
     )
     clusters = connected_components(pairs, "id_a", "id_b")
     return dedup_survivors(df, clusters, id_col)
+
+
+def semantic_dedup_pairs_at_rest(
+    spark,
+    path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`semantic_dedup_pairs` served from a
+    ``write_ivf_partitioned`` layout: the cells ARE the parquet
+    partitions, so the pair space costs a per-cell self-join of the
+    stored rows — assignment is never recomputed, and the shuffle keys
+    on the cell id the directories already encode. Row-identical to the
+    on-the-fly path with the layout's centroids by construction (same
+    cells, same exact cosine verify). The layout the retrain/compact
+    lifecycle already maintains for ANN serving doubles as the semantic
+    dedup index — one artifact, two consumers."""
+    meta = _read_layout_meta(spark, path)
+    if meta is None or meta.get("kind") != "ivf":
+        raise ValueError(
+            f"semantic_dedup_pairs_at_rest: layout at {path!r} is "
+            f"kind={None if meta is None else meta.get('kind')!r}, not "
+            "'ivf' — write it with write_ivf_partitioned first."
+        )
+    vec_col = meta["vec_col"]
+    scan = spark.read.parquet(path).select(id_col, vec_col, "cell")
+    a = scan.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = scan.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

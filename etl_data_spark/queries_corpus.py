@@ -1588,8 +1588,8 @@ def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 6
 
 
-def _duck_bpe_unrolled(n_merges: int) -> str:
-    """Unrolled merge-loop oracle (the geometric_median trajectory
+def _duck_bpe_ctes(n_merges: int) -> str:
+    """Unrolled merge-loop CTE chain (the geometric_median trajectory
     trick): per iteration, pair counts from the current segmentation,
     a 1-row argmax (count DESC, pair lexicographic ASC), and a
     boundary-anchored ``replace`` re-segmentation — DuckDB's replace is
@@ -1643,12 +1643,16 @@ def _duck_bpe_unrolled(n_merges: int) -> str:
       FROM best_{i}
     )"""
         )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _duck_bpe_unrolled(n_merges: int) -> str:
+    """Merge-table oracle: the CTE chain's per-iteration argmax rows."""
     union = "\n      UNION ALL\n      ".join(
         f"SELECT * FROM merge_{i}" for i in range(1, n_merges + 1)
     )
     return (
-        "WITH "
-        + ",\n    ".join(ctes)
+        _duck_bpe_ctes(n_merges)
         + f"""
     SELECT CAST(merge_rank AS INT) AS merge_rank, "left", "right", merged,
            n_occurrences
@@ -1675,3 +1679,69 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return train_bpe(d, _BPE_MERGES)
+
+
+@register(
+    "bpe_segment_corpus",
+    # the APPLY side's ground truth rides the SAME unrolled chain: seg_N
+    # IS the vocabulary segmented by the first N merges, so the oracle
+    # joins each document's words to it and explodes tokens in (word
+    # position, within-word position) order.
+    _duck_bpe_ctes(_BPE_MERGES)
+    + f"""
+    , tok AS (
+      SELECT w,
+             list_filter(string_split(seg, chr(31) || chr(31)),
+                         x -> x != '') AS toks
+      FROM seg_{_BPE_MERGES}
+    ),
+    doc_words AS (
+      SELECT doc_id, u['w'] AS w, u['p'] AS wpos
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(ws) + 1),
+                 i -> {{'w': ws[CAST(i AS INT)], 'p': i}})) AS u
+        FROM (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents WHERE length(trim(text)) > 0
+        )
+      )
+    ),
+    doc_toks AS (
+      SELECT doc_id, wpos, v['t'] AS token, v['p'] AS tpos
+      FROM (
+        SELECT d.doc_id, d.wpos,
+               unnest(list_transform(
+                 range(1, len(t.toks) + 1),
+                 i -> {{'t': t.toks[CAST(i AS INT)], 'p': i}})) AS v
+        FROM doc_words d JOIN tok t USING (w)
+      )
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY wpos, tpos) AS INT) AS pos,
+           token
+    FROM doc_toks
+    """,
+    doc=f"BPE tokenization of the corpus with the {_BPE_MERGES} trained "
+    "merges — the APPLY side of the tokenizer (segment_with_merges): "
+    "per word, the rank-ordered merges as chained built-in replaces "
+    "(narrow maps, distributed over the corpus, no UDF), flattened to "
+    "(doc_id, pos, token). Oracle = the training chain's final "
+    "segmentation joined back to each document's words.",
+)
+def q_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.bpe import segment_with_merges, train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(d, _BPE_MERGES).collect()
+    ]
+    seg = segment_with_merges(
+        d.filter(F.length(F.trim("text")) > 0), merges
+    )
+    return seg.select(
+        "doc_id", F.posexplode("bpe_tokens").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")

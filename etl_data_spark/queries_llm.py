@@ -1667,6 +1667,32 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_at_rest",
+    # identical ground truth to semantic_dedup_pairs (fresh copy of the
+    # same expression — the twin's registration site stays untouched):
+    # the at-rest probe reads the SAME cells the on-the-fly path assigns,
+    # so the exhaustive within-cell truth verifies both.
+    _semdedup_cte()
+    + f"""
+    SELECT id_a, id_b, cosine_sim FROM sem_pairs
+    WHERE cosine_sim >= {_SEMDEDUP_T}
+    """,
+    doc="SemDeDup pairs served from a write_ivf_partitioned layout: the "
+    "cells ARE the parquet partitions, so the pair space is a per-cell "
+    "self-join of stored rows — assignment never recomputes, and the "
+    "ANN layout the retrain/compact lifecycle already maintains doubles "
+    "as the semantic-dedup index. Row-identical to "
+    "semantic_dedup_pairs, hash-verified by the same oracle.",
+)
+def q_semantic_dedup_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = S.sample_centroids(e, k=8)
+    path = _throwaway_layout_dir("q_semdedup_at_rest_")
+    S.write_ivf_partitioned(e, path, cents)
+    return S.semantic_dedup_pairs_at_rest(spark, path, threshold=_SEMDEDUP_T)
+
+
+@register(
     "ann_ivfpq_rerank_at_rest",
     f"""
     WITH cents AS (
