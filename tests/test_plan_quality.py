@@ -427,3 +427,44 @@ def test_holt_linear_fold_evaluated_once(spark):
         .toString()
     )
     assert opt.count("aggregate(") == 1
+
+
+def test_dedup_at_rest_probe_signs_only_the_delta(spark, tmp_path):
+    """r12 (VERDICT r11 #1 done-criterion, plan form): the at-rest
+    incremental dedup probe must never re-shingle the base corpus — in
+    the physical plan, every scan of the documents table carries the
+    delta pushdown, the band table is read from the layout (narrow
+    (doc_id, band) columns), and the banded delta side is the broadcast
+    build of the index join (the stored band table streams map-only)."""
+    from etl_data_spark.operators import dedup as D
+    from etl_data_spark.queries import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "bands_plan")
+    D.write_minhash_bands(d.filter(F.col("doc_id") < 400), path)
+    probe = D.dedup_incremental_at_rest(d.filter(F.col("doc_id") >= 400), path)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents" in ln
+    ]
+    assert doc_scans, "expected at least one documents scan (the delta)"
+    for ln in doc_scans:
+        assert ">= 400" in ln, f"corpus text scanned WITHOUT the delta pushdown: {ln[:200]}"
+
+    # plan rendering truncates paths, so identify the band-table scan by
+    # its column signature (band_idx is the layout's partition column)
+    band_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "band_idx" in ln
+    ]
+    assert band_scans, "the probe must read the persisted band table"
+    for ln in band_scans:
+        assert "text" not in ln, "the band table scan must be narrow (no text)"
+
+    # the index join streams the stored band table against a broadcast
+    # banded delta (no sort-merge shuffle of the index)
+    assert "BroadcastHashJoin [band#" in plan.replace("\n", " ") or (
+        "BroadcastHashJoin" in plan and "band" in plan
+    )
