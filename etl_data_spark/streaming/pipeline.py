@@ -193,3 +193,114 @@ def stream_to_partitioned_table(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    layout_path: str,
+    survivors_path: str,
+    threshold: float = 0.8,
+) -> None:
+    """One microbatch of the dedup-gated ingest (the foreachBatch body of
+    :func:`stream_dedup_ingest`, module-level so replay semantics are
+    directly testable):
+
+    1. marker gate: a batch whose commit marker exists is skipped whole —
+       the standard foreachBatch idempotence recipe (Structured Streaming
+       replays a batch after a crash mid-batch);
+    2. probe: ``dedup_incremental_at_rest`` signs ONLY the batch against
+       the persisted band table — pairs against the corpus AND within
+       the batch;
+    3. gate: a batch doc duplicating a corpus doc is dropped (the corpus
+       member landed first); within-batch duplicate groups keep min-id;
+    4. land: survivors OVERWRITE their per-batch directory
+       (``batch={id}`` — idempotent under replay), then fold into the
+       band layout (``append_minhash_bands``), then the marker commits.
+
+    Crash-window honesty: a crash BETWEEN the band append and the marker
+    replays the band append — duplicate index rows for that batch's
+    survivors. Duplicates cannot create false pairs (candidates are
+    ``distinct`` and verification is exact) but do duplicate verify-side
+    rows for those docs; a post-crash ``compact_minhash_bands`` rewrite
+    of a manually-deduped frame restores exactness. For transactional
+    exactly-once use a table format for the band table.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.io.writers import _fs, _jpath
+    from etl_data_spark.operators.dedup import (
+        append_minhash_bands,
+        dedup_incremental_at_rest,
+    )
+
+    spark = batch_df.sparkSession
+    marker = f"{layout_path}/_ingest_markers/batch-{batch_id}"
+    fs, jm = _fs(spark, marker)
+    if fs.exists(jm):
+        return
+    if not batch_df.take(1):
+        return
+    pairs = dedup_incremental_at_rest(batch_df, layout_path, threshold)
+    batch_ids = batch_df.select(F.col("doc_id"))
+    # Pairs are (id_a < id_b) normalized, so: an id_b that is a batch doc
+    # always loses (its partner is either corpus or a smaller batch id);
+    # an id_a that is a batch doc loses only when the partner id_b is
+    # OUTSIDE the batch (a corpus doc).
+    losers = (
+        pairs.join(
+            batch_ids.select(F.col("doc_id").alias("id_b")), "id_b"
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .union(
+            pairs.join(
+                batch_ids.select(F.col("doc_id").alias("id_a")), "id_a"
+            )
+            .join(
+                batch_ids.select(F.col("doc_id").alias("id_b")),
+                "id_b",
+                "left_anti",
+            )
+            .select(F.col("id_a").alias("doc_id"))
+        )
+        .distinct()
+    )
+    survivors = batch_df.join(losers, "doc_id", "left_anti")
+    survivors.persist()
+    try:
+        if survivors.take(1):
+            survivors.write.mode("overwrite").parquet(
+                f"{survivors_path}/batch={batch_id}"
+            )
+            append_minhash_bands(survivors, layout_path)
+    finally:
+        survivors.unpersist()
+    out = fs.create(jm, True)
+    out.close()
+
+
+def stream_dedup_ingest(
+    docs_stream: DataFrame,
+    layout_path: str,
+    survivors_path: str,
+    threshold: float = 0.8,
+    checkpoint: str | None = None,
+):
+    """Continuous near-dup-gated ingest — the production loop the at-rest
+    MinHash layout exists for (operators/dedup.py, r12): per microbatch,
+    probe the persisted band table (signing only the batch), gate out
+    duplicates, land survivors idempotently, and fold them into the
+    layout so the NEXT batch probes against them. Per-batch cost tracks
+    the batch; the layout amortizes the corpus. Semantics per batch:
+    :func:`dedup_ingest_batch`.
+    """
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch_df, batch_id, layout_path, survivors_path, threshold
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

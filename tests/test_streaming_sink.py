@@ -191,3 +191,94 @@ def test_iterative_operator_in_foreachbatch_survives_restart(
     finally:
         sc._jsc.setCheckpointDir(None)
         assert sc.getCheckpointDir() is None
+
+
+def test_stream_dedup_ingest_gates_batches_against_the_layout(spark, tmp_path):
+    """r12: the continuous dedup-gated ingest loop over the at-rest
+    MinHash layout — batch docs duplicating the corpus are dropped,
+    within-batch dup groups keep min-id, survivors fold into the layout
+    so the NEXT microbatch probes against them, and a replayed batch is
+    a no-op (the commit-marker gate)."""
+    from pathlib import Path
+
+    from etl_data_spark.operators.dedup import write_minhash_bands
+    from etl_data_spark.queries import load_table
+    from etl_data_spark.streaming.pipeline import (
+        dedup_ingest_batch,
+        stream_dedup_ingest,
+    )
+
+    sf_docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = sf_docs.filter(F.col("doc_id") < 300)
+    layout = str(tmp_path / "layout")
+    write_minhash_bands(base, layout)
+
+    # batch 1: one exact copy of a corpus doc (id 9000), one fresh doc
+    # (id 9001), and a within-batch dup pair (9002 < 9003, same text)
+    corpus_text = base.filter(F.col("doc_id") == 7).first()["text"]
+    fresh1 = "a genuinely novel document about spark partitioning " * 3
+    dup_text = "two copies of this text arrive in the same batch " * 3
+    b1 = spark.createDataFrame(
+        [(9000, corpus_text), (9001, fresh1), (9002, dup_text), (9003, dup_text)],
+        "doc_id long, text string",
+    )
+    # batch 2: a copy of batch 1's SURVIVOR (must be dropped — proves the
+    # layout grew), plus one fresh doc
+    b2 = spark.createDataFrame(
+        [(9100, dup_text), (9101, "another entirely fresh document " * 4)],
+        "doc_id long, text string",
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    survivors_path = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_stream():
+        return stream_dedup_ingest(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*"),
+            layout,
+            survivors_path,
+            checkpoint=ckpt,
+        )
+
+    q = start_stream()
+    q.processAllAvailable()
+    q.stop()
+    got1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(survivors_path + "/batch=*").collect()
+    }
+    assert got1 == {9001, 9002}  # 9000 dup-of-corpus, 9003 loses to 9002
+
+    # batch 2 probes against the GROWN layout (9002's bands now in it)
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    q = start_stream()
+    q.processAllAvailable()
+    q.stop()
+    got2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(survivors_path + "/batch=*").collect()
+    }
+    assert got2 == {9001, 9002, 9101}  # 9100 loses to the landed 9002
+
+    # replay idempotence: re-running a committed batch id is a no-op —
+    # the marker gates it (file counts in layout + survivors unchanged)
+    def listing():
+        return sorted(
+            (str(p), p.stat().st_size)
+            for d in (Path(layout), Path(survivors_path))
+            for p in d.rglob("*.parquet")
+        )
+
+    before = listing()
+    # dedup_ingest_batch is the exact foreachBatch body; batch ids 0 and
+    # 1 committed above
+    dedup_ingest_batch(b1, 0, layout, survivors_path)
+    dedup_ingest_batch(b2, 1, layout, survivors_path)
+    assert listing() == before
