@@ -705,8 +705,11 @@ def minhash_lsh_pairs_incremental(
 
     Plan shape: band keys are computed for the whole frame once (at a
     real deployment the base side's signatures are a PERSISTED table —
-    computing them here keeps the entry self-contained; the join
-    structure is identical), the delta side's banded rows equi-join the
+    which now exists: :func:`write_minhash_bands` /
+    :func:`dedup_incremental_at_rest` serve this same join from the
+    at-rest band table, signing only the delta; computing them here
+    keeps the entry self-contained and the join structure is
+    identical), the delta side's banded rows equi-join the
     full banded set on the band key (the planner broadcasts a small
     banded delta and falls back to a spillable band-key shuffle for a
     large one), and exact-Jaccard verification runs
