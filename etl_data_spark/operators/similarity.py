@@ -1957,24 +1957,38 @@ def semantic_dedup_pairs(
 
     from etl_data_spark.caching import pin
 
+    # norms are computed ONCE per row in the persisted projection and
+    # carried through the join — an inline cosine() would re-fold both
+    # norms per PAIR (3 interpreted folds/pair instead of 1; measured 17s
+    # -> a third of it on the sf0.1 bench row). try_divide + nanvl keep
+    # cosine()'s exact arithmetic and degenerate contract bit-for-bit
+    # (same expressions, evaluated earlier).
     assigned = pin(
-        ivf_assign(df, centroids, vec_col).select(id_col, vec_col, "cell"),
+        ivf_assign(df, centroids, vec_col)
+        .select(id_col, vec_col, "cell")
+        .withColumn("_n", norm(F.col(vec_col))),
         StorageLevel.MEMORY_AND_DISK,
     )
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"),
+        "cell",
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"),
+        "cell",
+    )
+    sim = F.nanvl(
+        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        F.lit(None).cast("double"),
     )
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -2031,20 +2045,31 @@ def semantic_dedup_pairs_at_rest(
             "'ivf' — write it with write_ivf_partitioned first."
         )
     vec_col = meta["vec_col"]
-    scan = spark.read.parquet(path).select(id_col, vec_col, "cell")
+    # same once-per-row norm discipline as semantic_dedup_pairs
+    scan = (
+        spark.read.parquet(path)
+        .select(id_col, vec_col, "cell")
+        .withColumn("_n", norm(F.col(vec_col)))
+    )
     a = scan.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"),
+        "cell",
     )
     b = scan.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"),
+        "cell",
+    )
+    sim = F.nanvl(
+        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        F.lit(None).cast("double"),
     )
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
