@@ -96,6 +96,13 @@ PICK = [
     "multimodal_decode_jpeg",
     "ann_pq_adc_topk",
     "ann_ivfpq_rerank_at_rest",
+    # round 12: the at-rest dedup probe (delta-only signing + broadcast
+    # banded delta visible), SemDeDup's cell-bounded pair join, and the
+    # BPE loop's vocab-sized per-iteration aggregation
+    "dedup_incremental_at_rest",
+    "semantic_dedup_pairs",
+    "semantic_dedup_at_rest",
+    "bpe_train_merges",
 ]
 
 
