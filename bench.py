@@ -354,6 +354,16 @@ def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
         bands_path = f"{root}/minhash_bands"
         D.write_minhash_bands(d.filter(F.col("doc_id") < 400), bands_path)
         delta = d.filter(F.col("doc_id") >= 400)
+        # r12: the SERVING-ONLY IVF-PQ row the r11 note asked for — the
+        # registry entry ann_ivfpq_rerank_at_rest stays self-contained
+        # (train+build+serve, so the correctness gate covers the whole
+        # path) and is build-dominated; this bench-only row isolates the
+        # probe against a prebuilt layout (residual encoding, auto
+        # quantizers), the number a serving deployment actually pays.
+        from etl_data_spark.operators import pq as PQ
+
+        ivfpq = f"{root}/ivfpq"
+        PQ.write_ivf_pq(e, ivfpq, target_cell_rows=1024)
         queries = {
             "ann_lsh_topk_at_rest": lambda: S.ann_topk_at_rest(
                 spark, lsh, qvec, k=10
@@ -369,6 +379,9 @@ def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
             ),
             "semantic_dedup_at_rest": lambda: S.semantic_dedup_pairs_at_rest(
                 spark, ivf, threshold=0.4
+            ),
+            "ann_ivfpq_serving_probe": lambda: PQ.ivfpq_topk_at_rest(
+                spark, ivfpq, qvec, k=10, n_probe=3, shortlist=50
             ),
         }
         next(iter(queries.values()))().count()  # warm-up, untimed
