@@ -422,6 +422,7 @@ PRIORITY_R12 = [
     "ann_ivf_topk_at_rest",
     "semantic_dedup_at_rest",
     "bpe_segment_corpus",
+    "dedup_clusters_incremental",
     # -- oldest-driver-green-first fill (last green r5) --
     "association_rules",
     "bfs_hops",
@@ -462,7 +463,6 @@ PRIORITY_R12 = [
     "impute_group_median",
     "interpolate_linear",
     "item_item_cosine",
-    "k_anonymity",
 ]
 assert len(PRIORITY_R12) == 50, f"PRIORITY_R12 must fill the window exactly: {len(PRIORITY_R12)}"
 
@@ -504,6 +504,10 @@ CHANGED_THIS_ROUND = [
     # lag_features — r6-green, re-queued for r13):
     "semantic_dedup_at_rest",
     "bpe_segment_corpus",
+    # late-r12 BORN: cluster-table maintenance (old labels as star edges
+    # + batch pairs -> contraction; companion of the at-rest dedup
+    # probe); displaced k_anonymity (r6-green, re-queued for r13):
+    "dedup_clusters_incremental",
 ]
 
 # Frozen history: the r11 changed-path list, kept for the r10→r11 window

@@ -993,3 +993,43 @@ def compact_minhash_bands(spark, path: str, target_files_per_partition: int = 1)
     n = compact_layout(spark, f"{path}/bands", target_files_per_partition)
     n += compact_layout(spark, f"{path}/shingles", target_files_per_partition)
     return n
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Fold a batch's near-dup pairs into an EXISTING (doc_id,
+    cluster_id) assignment — the cluster-table maintenance step of a
+    continuous dedup pipeline (the companion of
+    :func:`dedup_incremental_at_rest`: per ingest, probe pairs involving
+    the batch, then update the cluster table with exactly those pairs).
+
+    An existing cluster is already a star (every member labeled with the
+    component's min id), so its full historical pair graph is redundant:
+    the member->root edges preserve its connectivity AND its min — the
+    contraction therefore runs on |labels| + |batch pairs| edges, never
+    the accumulated pair history. Output is the updated label table:
+    identical to recomputing :func:`connected_components` over (all
+    historical pairs ∪ batch pairs), because star edges are
+    connectivity- and min-preserving (the old root IS the old min, and
+    it rides the star edges into any newly merged component).
+    """
+    star_edges = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    batch_edges = new_pairs.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+    )
+    merged = connected_components(
+        star_edges.unionByName(batch_edges), "id_a", "id_b", max_iter
+    )
+    # singleton clusters untouched by the batch carry over (they have no
+    # edges, so the contraction never sees them)
+    singles = labels.filter(F.col("doc_id") == F.col("cluster_id")).join(
+        merged.select("doc_id"), "doc_id", "left_anti"
+    )
+    return merged.unionByName(singles)

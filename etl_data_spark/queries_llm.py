@@ -334,6 +334,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+_DELTA_FROM = 400  # doc_id >= 400 = the "newly ingested" batch
+
+
+@register(
+    "dedup_clusters_incremental",
+    # Ground truth: the SAME full-corpus recursive closure as
+    # dedup_clusters — the incremental update (old star edges ∪ batch
+    # pairs) must land on the identical label table, because an existing
+    # cluster's member->root edges preserve both its connectivity and
+    # its min id.
+    f"""
+    WITH RECURSIVE base AS ({_SQL_PAIR_JACCARD.format(shingles=_SQL_SHINGLES, threshold=0.8)}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM base
+      UNION
+      SELECT id_b, id_a FROM base
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, LEAST(MIN(d), s) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    doc="Cluster-table maintenance for continuous dedup (r12): the base "
+    f"corpus's labels (docs < {_DELTA_FROM}) are UPDATED with only the "
+    "batch-involving pairs — old clusters enter the contraction as "
+    "member->root star edges (|labels| + |batch| edges, never the "
+    "accumulated pair history), the companion of "
+    "dedup_incremental_at_rest in the ingest loop. Output equals the "
+    "from-scratch clustering of the full corpus, which is what the "
+    "oracle computes.",
+)
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base_pairs = D.minhash_lsh_pairs(
+        d.filter(F.col("doc_id") < _DELTA_FROM), "doc_id", "text",
+        shingle_n=3, num_hashes=64, bands=16, threshold=0.8,
+    )
+    labels = D.connected_components(base_pairs)
+    delta_pairs = D.minhash_lsh_pairs_incremental(
+        d, delta_pred=F.col("doc_id") >= _DELTA_FROM, threshold=0.8
+    )
+    return D.connected_components_incremental(labels, delta_pairs)
+
+
 @register(
     "dedup_survivor_docs",
     # The end-to-end dedup OUTPUT: corpus minus every non-minimum member of
@@ -2685,9 +2732,6 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("rel"), 6) + F.lit(0.0)).alias("relevance"),
         (F.round(F.col("mmr"), 6) + F.lit(0.0)).alias("mmr_score"),
     ).orderBy("mmr_rank")
-
-
-_DELTA_FROM = 400  # doc_id >= 400 = the "newly ingested" batch
 
 
 @register(

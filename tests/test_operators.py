@@ -2432,3 +2432,37 @@ def test_semantic_dedup_composes_into_curation_pipeline(spark):
         assert clusters.get(d, d) < d, (
             f"dropped {d} is not a non-root member of any semantic cluster"
         )
+
+
+def test_connected_components_incremental_merges_clusters(spark):
+    """r12: folding batch pairs into an existing label table must equal
+    a from-scratch clustering over all pairs — including the hard case
+    where ONE batch pair merges two pre-existing clusters (the new root
+    is the min across both old components)."""
+    from etl_data_spark.operators import dedup as D
+
+    # old graph: cluster {1,2,3} (root 1) and {10, 11} (root 10); 20 solo
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels = D.connected_components(old_pairs)
+    labels = labels.unionByName(
+        spark.createDataFrame([(20, 20)], "doc_id long, cluster_id long")
+    )
+    # batch: merges the two clusters via (3, 11), adds a fresh pair (30, 31)
+    batch = spark.createDataFrame(
+        [(3, 11), (30, 31)], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.connected_components_incremental(labels, batch).collect()
+    }
+    want_scratch = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.connected_components(
+            old_pairs.unionByName(batch)
+        ).collect()
+    } | {(20, 20)}  # the untouched singleton carries over
+    assert got == want_scratch
+    assert (11, 1) in got and (10, 1) in got  # merged under the global min
+    assert (31, 30) in got and (20, 20) in got
