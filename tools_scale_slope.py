@@ -362,8 +362,26 @@ def entries():
         # r10: on-the-fly LSH twin, pinned beside ann_lsh_topk_at_rest so
         # the table shows what the at-rest partition pruning buys
         "ann_lsh_topk",
+        # r12: the iterative BPE loop (vocab-sized per round) + apply side
+        "bpe_train_merges",
+        "bpe_segment_corpus",
     ):
         out.append((name, REGISTRY[name].fn))
+
+    # r12 SemDeDup: slope-run under the AUTO-trained quantizer (the scale
+    # path — k = n/target keeps per-cell occupancy ~constant, so pair
+    # count ≈ n × target/2 = LINEAR in n; the registry entry's fixed k=8
+    # is the oracle-replay form and would read quadratic here by design)
+    def q_semantic_auto(spark, sf_dir):
+        from etl_data_spark.operators import similarity as S
+        from etl_data_spark.queries import load_table as _lt
+
+        e = _lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return S.semantic_dedup_pairs(
+            e, None, threshold=0.4, target_cell_rows=1024
+        )
+
+    out.append(("semantic_dedup_auto", q_semantic_auto))
     return out
 
 
