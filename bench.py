@@ -71,6 +71,7 @@ TPCH = [
     "tpch_q14_promo_ratio",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_or_predicates",
     "tpch_q20_promotion_supplier",

@@ -423,6 +423,7 @@ PRIORITY_R12 = [
     "semantic_dedup_at_rest",
     "bpe_segment_corpus",
     "dedup_clusters_incremental",
+    "tpch_q17_small_qty_revenue",
     # -- oldest-driver-green-first fill (last green r5) --
     "association_rules",
     "bfs_hops",
@@ -462,7 +463,6 @@ PRIORITY_R12 = [
     "graph_clustering_coeff",
     "impute_group_median",
     "interpolate_linear",
-    "item_item_cosine",
 ]
 assert len(PRIORITY_R12) == 50, f"PRIORITY_R12 must fill the window exactly: {len(PRIORITY_R12)}"
 
@@ -508,6 +508,10 @@ CHANGED_THIS_ROUND = [
     # + batch pairs -> contraction; companion of the at-rest dedup
     # probe); displaced k_anonymity (r6-green, re-queued for r13):
     "dedup_clusters_incremental",
+    # late-r12 BORN: TPC-H Q17 (decorrelated per-part cap + brand filter
+    # pushed through both branches) — completes the Q1-Q22 sweep;
+    # displaced item_item_cosine (r6-green, re-queued for r13):
+    "tpch_q17_small_qty_revenue",
 ]
 
 # Frozen history: the r11 changed-path list, kept for the r10→r11 window

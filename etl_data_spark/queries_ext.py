@@ -1299,3 +1299,66 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal", 12)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    # SUM/COUNT instead of AVG for the per-part cap: DuckDB's AVG(DECIMAL)
+    # returns DOUBLE while Spark's returns DECIMAL(16,6) — the explicit
+    # exact-decimal SUM cast to DOUBLE divided by the BIGINT count is the
+    # same arithmetic in both engines, so the cap doubles are bit-equal.
+    """
+    SELECT CAST(CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 0)
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+    JOIN (
+      SELECT l2.l_partkey,
+             0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(*)) AS qty_cap
+      FROM lineitem l2
+      JOIN part p2 ON p2.p_partkey = l2.l_partkey AND p2.p_brand = 'Brand#4'
+      GROUP BY l2.l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DOUBLE) < a.qty_cap
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue): per-part average "
+    "quantity as a correlated cap, summed revenue of below-cap line "
+    "items / 7. The textbook correlated subquery decorrelates to ONE "
+    "aggregate of lineitem grouped by part + a join back; the brand "
+    "filter is pushed through BOTH branches (a part's average is over "
+    "its own rows only, so restricting the aggregate's input to the "
+    "brand's parts first is value-identical and prunes the agg to the "
+    "selected ~1/25 of the fact table — the decorrelation + pushdown "
+    "pair that matters at 100 TB). Completes the TPC-H Q1-Q22 sweep.",
+)
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    brand_li = li.join(
+        F.broadcast(p), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    caps = brand_li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(_dec("l_quantity", 12)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_cap")
+    )
+    return (
+        brand_li.join(caps, "l_partkey")
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_cap"))
+        .agg(
+            (
+                F.coalesce(F.sum(_dec("l_extendedprice", 12)), F.lit(0))
+                .cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
