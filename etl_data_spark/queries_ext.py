@@ -1337,8 +1337,11 @@ def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#4"
     ).select("p_partkey")
+    # no forced broadcast: the brand-filtered part set is ~1/25 of part,
+    # which still GROWS with scale — the size-based planner broadcasts it
+    # at bench scale and demotes to a spillable shuffle join at 100 TB
     brand_li = li.join(
-        F.broadcast(p), li.l_partkey == F.col("p_partkey")
+        p, li.l_partkey == F.col("p_partkey")
     ).drop("p_partkey")
     caps = brand_li.groupBy("l_partkey").agg(
         (
