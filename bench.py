@@ -316,6 +316,7 @@ MEDIA_ANN = [
     "semantic_dedup_survivors",  # r12: SemDeDup pairs -> components (born r12)
     "bpe_train_merges",  # r12: iterative BPE merge loop (born r12)
     "bpe_segment_corpus",  # r12: tokenizer apply side (born late-r12)
+    "ann_sq8_rerank_topk",  # r12: SQ8 + exact rerank (born late-r12)
 ]
 
 

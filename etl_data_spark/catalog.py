@@ -424,6 +424,7 @@ PRIORITY_R12 = [
     "bpe_segment_corpus",
     "dedup_clusters_incremental",
     "tpch_q17_small_qty_revenue",
+    "ann_sq8_rerank_topk",
     # -- oldest-driver-green-first fill (last green r5) --
     "association_rules",
     "bfs_hops",
@@ -462,7 +463,6 @@ PRIORITY_R12 = [
     "funnel_strict_sequence",
     "graph_clustering_coeff",
     "impute_group_median",
-    "interpolate_linear",
 ]
 assert len(PRIORITY_R12) == 50, f"PRIORITY_R12 must fill the window exactly: {len(PRIORITY_R12)}"
 
@@ -512,6 +512,10 @@ CHANGED_THIS_ROUND = [
     # pushed through both branches) — completes the Q1-Q22 sweep;
     # displaced item_item_cosine (r6-green, re-queued for r13):
     "tpch_q17_small_qty_revenue",
+    # late-r12 BORN: FAISS-style SQ8 with exact rerank — the 4x point on
+    # the compression spectrum beside PQ's 32x; displaced
+    # interpolate_linear (r6-green, re-queued for r13):
+    "ann_sq8_rerank_topk",
 ]
 
 # Frozen history: the r11 changed-path list, kept for the r10→r11 window

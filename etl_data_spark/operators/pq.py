@@ -531,3 +531,146 @@ def append_ivf_pq(df: DataFrame, path: str) -> None:
         .partitionBy("cell")
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (SQ8): the other point on the compression spectrum
+# --------------------------------------------------------------------------
+
+
+def train_sq8(
+    df: DataFrame,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Per-dimension [min, max] bounds from a bounded deterministic
+    sample (lowest-id rows — the same contract as :func:`train_pq`):
+    the trained state of FAISS-style SQ8. Returns
+    ``{"mins": [d floats], "maxs": [d floats]}``."""
+    rows = df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    cols = list(zip(*(list(r[0]) for r in rows)))
+    return {
+        "mins": [float(min(c)) for c in cols],
+        "maxs": [float(max(c)) for c in cols],
+    }
+
+
+def _sq8_scales(bounds: dict) -> list[float]:
+    """Per-dim dequantization step (range/255; 0.0 for a degenerate
+    constant dimension, whose every code is 0)."""
+    return [
+        (hi - lo) / 255.0 if hi > lo else 0.0
+        for lo, hi in zip(bounds["mins"], bounds["maxs"])
+    ]
+
+
+def sq8_encode(
+    df: DataFrame,
+    bounds: dict,
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Quantize ``vec_col`` to per-dim uint8 codes (stored array<int>):
+    code = round((x - min) / step), clamped to [0, 255] — a narrow
+    Column-only map with the bounds baked in as plan literals (4x
+    smaller than float32 at much higher fidelity than PQ's 32x — the
+    classic recall/compression trade both points of which this module
+    now covers). Out-of-sample values clamp (saturating quantizer);
+    positive-domain round is HALF_UP in both engines, so the SQL oracle
+    replays codes exactly."""
+    mins_lit = F.array(*[F.lit(v) for v in bounds["mins"]])
+    # inv computed as 255/(hi-lo) directly — NOT 1/step — so the SQL
+    # oracle's identical expression produces bit-equal doubles
+    inv_lit = F.array(
+        *[
+            F.lit(255.0 / (hi - lo) if hi > lo else 0.0)
+            for lo, hi in zip(bounds["mins"], bounds["maxs"])
+        ]
+    )
+    shifted = F.zip_with(
+        F.col(vec_col), mins_lit, lambda x, lo: x.cast("double") - lo
+    )
+    codes = F.zip_with(
+        shifted,
+        inv_lit,
+        lambda v, inv: F.least(
+            F.greatest(F.round(v * inv, 0).cast("int"), F.lit(0)),
+            F.lit(255),
+        ),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def _sq8_dist_expr(
+    query_vec: list[float], bounds: dict, code_col: str = "sq_code"
+) -> "F.Column":
+    """Squared L2 between the query and the DEQUANTIZED code:
+    sum_i (q_i - min_i - code_i*step_i)^2, evaluated as two zip_with
+    passes over plan literals + one left-to-right fold (the order the
+    SQL oracle mirrors)."""
+    scales = _sq8_scales(bounds)
+    qm_lit = F.array(
+        *[F.lit(q - lo) for q, lo in zip(query_vec, bounds["mins"])]
+    )
+    sc_lit = F.array(*[F.lit(s) for s in scales])
+    deq = F.zip_with(
+        F.col(code_col), sc_lit, lambda c, s: c.cast("double") * s
+    )
+    diff = F.zip_with(deq, qm_lit, lambda d, qm: (qm - d) * (qm - d))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    bounds: dict,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Approximate top-k over SQ8 codes only — the scan reads (id, code)
+    and never a float vector (1/4 the bytes). Ascending distance, id
+    tiebreak, 6dp at the emit boundary."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(_sq8_dist_expr(query_vec, bounds, code_col), 6).alias(
+                "sq_dist"
+            ),
+        )
+        .orderBy(F.asc("sq_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sq8_topk_rerank(
+    codes: DataFrame,
+    vectors: DataFrame,
+    query_vec: list[float],
+    bounds: dict,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 with exact rerank: the code-only scan shortlists ``shortlist``
+    candidates, then only those rows' vectors are fetched (broadcast of
+    the bounded id frame) and scored exactly — at 8 bits/dim the
+    shortlist is already near-exact, so recall approaches 1.0 at small
+    shortlists where PQ needs 10x (the trade the two quantizers span)."""
+    short = sq8_topk(
+        codes, query_vec, bounds, k=shortlist, id_col=id_col,
+        code_col=code_col,
+    ).select(id_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        vectors.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.round(_sq_l2(F.col(vec_col), q), 6).alias("l2_dist"),
+        )
+        .orderBy(F.asc("l2_dist"), F.asc(id_col))
+        .limit(k)
+    )

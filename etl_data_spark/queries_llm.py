@@ -1713,6 +1713,92 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+_SQ8_SAMPLE, _SQ8_SHORTLIST = 256, 100
+
+
+@register(
+    "ann_sq8_rerank_topk",
+    # full replay: per-dim bounds from the 256 lowest-id vectors,
+    # saturating uint8 encode, dequantized-L2 shortlist, exact rerank.
+    # Squares are written (x)*(x), never POW(x,2) (libm pow is not
+    # guaranteed bit-equal to the multiply Spark evaluates); sums are
+    # ordered list folds, never GROUP BY SUM (fold order is part of the
+    # float contract).
+    f"""
+    WITH samp AS (
+      SELECT embedding FROM embeddings ORDER BY vec_id LIMIT {_SQ8_SAMPLE}
+    ),
+    bounds AS (
+      SELECT CAST(i AS INT) AS dim,
+             MIN(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS lo,
+             MAX(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS hi
+      FROM samp, range(1, {_ANN_DIM} + 1) r(i)
+      GROUP BY i
+    ),
+    blist AS (
+      SELECT list(lo ORDER BY dim) AS los,
+             list(CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 0.0 END
+                  ORDER BY dim) AS steps,
+             list(CASE WHEN hi > lo THEN 255.0 / (hi - lo) ELSE 0.0 END
+                  ORDER BY dim) AS invs
+      FROM bounds
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    codes AS (
+      SELECT e.vec_id,
+             list_transform(range(1, {_ANN_DIM} + 1), i ->
+               LEAST(GREATEST(CAST(ROUND(
+                 (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                  - b.los[CAST(i AS INT)]) * b.invs[CAST(i AS INT)], 0)
+                 AS INT), 0), 255)) AS code
+      FROM embeddings e, blist b
+    ),
+    sqd AS (
+      SELECT c.vec_id,
+             ROUND(list_sum(list_transform(
+               list_transform(range(1, {_ANN_DIM} + 1), i ->
+                 (CAST(q.qv[CAST(i AS INT)] AS DOUBLE)
+                  - b.los[CAST(i AS INT)])
+                 - c.code[CAST(i AS INT)] * b.steps[CAST(i AS INT)]),
+               x -> x * x)), 6) AS sq_dist
+      FROM codes c, blist b, q
+    ),
+    short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY sq_dist ASC, vec_id ASC) AS rn
+        FROM sqd
+      ) WHERE rn <= {_SQ8_SHORTLIST}
+    )
+    SELECT e.vec_id,
+           ROUND({_duck_pq_full_l2("e.embedding", "q.qv")}, 6) AS l2_dist
+    FROM embeddings e JOIN short USING (vec_id), q
+    ORDER BY l2_dist, e.vec_id
+    LIMIT 10
+    """,
+    doc="Scalar-quantized ANN with exact rerank (FAISS SQ8): per-dim "
+    f"[min,max] bounds from the {_SQ8_SAMPLE} lowest-id vectors, "
+    "saturating uint8 encode (narrow Column-only map, bounds as plan "
+    "literals), dequantized-L2 shortlist over the (id, code) columns "
+    "only (1/4 the float bytes), exact rerank of the "
+    f"{_SQ8_SHORTLIST}-candidate shortlist. The other point on the "
+    "compression spectrum the PQ family spans: 4x compression at "
+    "near-exact shortlist fidelity vs PQ's 32x with rerank-recovered "
+    "recall. Oracle replays bounds + encode + shortlist + rerank.",
+)
+def q_ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assert len(e.first()["embedding"]) == _ANN_DIM
+    bounds = PQ.train_sq8(e, sample_rows=_SQ8_SAMPLE)
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    codes = PQ.sq8_encode(e, bounds).select("vec_id", "sq_code")
+    return PQ.sq8_topk_rerank(
+        codes, e, qvec, bounds, k=10, shortlist=_SQ8_SHORTLIST
+    )
+
+
 @register(
     "semantic_dedup_at_rest",
     # identical ground truth to semantic_dedup_pairs (fresh copy of the

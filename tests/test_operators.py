@@ -2466,3 +2466,70 @@ def test_connected_components_incremental_merges_clusters(spark):
     assert got == want_scratch
     assert (11, 1) in got and (10, 1) in got  # merged under the global min
     assert (31, 30) in got and (20, 20) in got
+
+
+def test_sq8_encode_and_rerank(spark):
+    """r12 SQ8: codes live in [0,255] (saturating on out-of-sample
+    values), a degenerate constant dimension codes to 0 everywhere, the
+    code-only scan never reads a vector column, and the reranked top-k
+    clears a recall floor against exact search that the 4x compression
+    should barely dent."""
+    import tempfile
+
+    import etl_data_spark.operators.pq as PQ
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bounds = PQ.train_sq8(e, sample_rows=64)
+    dim = len(bounds["mins"])
+    codes = PQ.sq8_encode(e, bounds).select("vec_id", "sq_code")
+    row = codes.first()
+    assert len(row["sq_code"]) == dim
+    assert all(0 <= c <= 255 for c in row["sq_code"])
+
+    # saturating encode: a vector far outside the sampled bounds clamps
+    wild = spark.createDataFrame(
+        [(999999, [1e6] * dim), (999998, [-1e6] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    wrows = {r["vec_id"]: r["sq_code"] for r in PQ.sq8_encode(wild, bounds).collect()}
+    assert all(c == 255 for c in wrows[999999])
+    assert all(c == 0 for c in wrows[999998])
+
+    # degenerate constant dimension -> inv 0 -> code 0, no crash
+    const_bounds = {"mins": [1.0] * dim, "maxs": [1.0] * dim}
+    crow = PQ.sq8_encode(e.limit(3), const_bounds).first()
+    assert all(c == 0 for c in crow["sq_code"])
+
+    # recall floor: SQ8 shortlist-50 rerank vs exact top-10
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {
+        r["vec_id"]
+        for r in e.select(
+            "vec_id",
+            PQ._sq_l2(
+                F.col("embedding"), F.array(*[F.lit(float(v)) for v in qvec])
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in PQ.sq8_topk_rerank(codes, e, qvec, bounds, k=10, shortlist=50).collect()
+    }
+    assert len(got & exact) >= 9, (got, exact)  # 8-bit codes: near-exact
+
+    # the code-only scan reads (id, code), never a vector column
+    code_path = tempfile.mkdtemp(prefix="sq8_codes_") + "/codes"
+    codes.write.parquet(code_path)
+    plan = (
+        PQ.sq8_topk(spark.read.parquet(code_path), qvec, bounds, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "embedding" not in plan and "sq_code" in plan
