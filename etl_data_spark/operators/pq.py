@@ -674,3 +674,120 @@ def sq8_topk_rerank(
         .orderBy(F.asc("l2_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def write_sq8(
+    df: DataFrame,
+    path: str,
+    bounds: dict | None = None,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vectors: bool = True,
+) -> None:
+    """Materialize the SQ8 layout: (id, sq_code[, vector]) parquet with
+    the bounds persisted in the ``_ann_meta.json`` sidecar (kind
+    ``sq8``) — probes and appends dequantize under the EXACT bounds the
+    codes were written with (a mismatched bound set would silently skew
+    every distance). ``keep_vectors=True`` stores the float vectors
+    beside the codes for exact rerank; column pruning keeps code-only
+    probes from reading them. Unlike IVF layouts there is no partition
+    pruning — SQ8's win is the 4x byte reduction of the full scan
+    (compose with ``write_ivf_pq`` when you want WHICH-row pruning
+    too)."""
+    from etl_data_spark.operators.similarity import (
+        _guard_reserved_cols,
+        _write_layout_meta,
+    )
+
+    _guard_reserved_cols(df, "write_sq8", ("sq_code",))
+    if bounds is None:
+        bounds = train_sq8(df, sample_rows, id_col, vec_col)
+    cols = [id_col, "sq_code"] + ([vec_col] if keep_vectors else [])
+    sq8_encode(df, bounds, vec_col).select(*cols).write.mode(
+        "overwrite"
+    ).parquet(path)
+    _write_layout_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "sq8",
+            "mins": [float(v) for v in bounds["mins"]],
+            "maxs": [float(v) for v in bounds["maxs"]],
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "has_vectors": bool(keep_vectors),
+        },
+    )
+
+
+def append_sq8(df: DataFrame, path: str) -> None:
+    """Append a batch under the layout's OWN bounds (sidecar-resolved;
+    saturating encode absorbs out-of-sample values). Untouched files are
+    never rewritten."""
+    from etl_data_spark.operators.similarity import (
+        _guard_reserved_cols,
+        _read_layout_meta,
+    )
+
+    meta = _read_layout_meta(df.sparkSession, path)
+    if meta is None or meta.get("kind") != "sq8":
+        raise ValueError(
+            f"append_sq8: layout at {path!r} is "
+            f"kind={None if meta is None else meta.get('kind')!r}, not "
+            "'sq8' — write it with write_sq8 first."
+        )
+    _guard_reserved_cols(df, "append_sq8", ("sq_code",))
+    bounds = {"mins": meta["mins"], "maxs": meta["maxs"]}
+    cols = [meta["id_col"], "sq_code"] + (
+        [meta["vec_col"]] if meta.get("has_vectors") else []
+    )
+    sq8_encode(df, bounds, meta["vec_col"]).select(*cols).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def sq8_topk_at_rest(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Serve top-k from a ``write_sq8`` layout: the scan reads the
+    (id, code) COLUMNS only (the stored vectors, if any, are column-
+    pruned away); with ``shortlist`` set the candidates exact-rerank
+    against the stored vectors of the same layout. Bounds resolve from
+    the sidecar."""
+    from etl_data_spark.operators.similarity import _read_layout_meta
+
+    meta = _read_layout_meta(spark, path)
+    if meta is None or meta.get("kind") != "sq8":
+        raise ValueError(
+            f"sq8_topk_at_rest: layout at {path!r} is "
+            f"kind={None if meta is None else meta.get('kind')!r}, not "
+            "'sq8' — write it with write_sq8 first."
+        )
+    bounds = {"mins": meta["mins"], "maxs": meta["maxs"]}
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    scan = spark.read.parquet(path)
+    if shortlist is None:
+        return sq8_topk(
+            scan.select(id_col, "sq_code"), query_vec, bounds, k=k,
+            id_col=id_col,
+        )
+    if not meta.get("has_vectors"):
+        raise ValueError(
+            "sq8_topk_at_rest: shortlist rerank needs a layout written "
+            "with keep_vectors=True — this one stores codes only."
+        )
+    return sq8_topk_rerank(
+        scan.select(id_col, "sq_code"),
+        scan.select(id_col, vec_col),
+        query_vec,
+        bounds,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

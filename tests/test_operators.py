@@ -2533,3 +2533,51 @@ def test_sq8_encode_and_rerank(spark):
         .toString()
     )
     assert "embedding" not in plan and "sq_code" in plan
+
+
+def test_sq8_at_rest_layout(spark, tmp_path):
+    """r12: the SQ8 layout — sidecar-resolved bounds, append under the
+    layout's own bounds, code-only probe (vector column pruned), rerank
+    from the same layout, write/append equivalence, reserved-column
+    guard, and the wrong-kind rejection."""
+    import etl_data_spark.operators.pq as PQ
+    from etl_data_spark.operators.similarity import _read_layout_meta
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    bounds = PQ.train_sq8(e, sample_rows=64)
+    incr, full = str(tmp_path / "sq8_incr"), str(tmp_path / "sq8_full")
+    PQ.write_sq8(e.filter(F.col("vec_id") < 100), incr, bounds)
+    PQ.append_sq8(e.filter(F.col("vec_id") >= 100), incr)
+    PQ.write_sq8(e, full, bounds)
+    meta = _read_layout_meta(spark, incr)
+    assert meta["kind"] == "sq8" and meta["has_vectors"]
+
+    got = PQ.sq8_topk_at_rest(spark, incr, qvec, k=10, shortlist=50)
+    want = PQ.sq8_topk_at_rest(spark, full, qvec, k=10, shortlist=50)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert got.first()["vec_id"] == 0 and got.first()["l2_dist"] == 0.0
+
+    # the code-only probe never reads the stored vector column
+    plan = (
+        PQ.sq8_topk_at_rest(spark, full, qvec, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "embedding" not in scan_line and "sq_code" in scan_line
+
+    # codes-only layout refuses rerank loudly; wrong kind rejected
+    lean = str(tmp_path / "sq8_lean")
+    PQ.write_sq8(e, lean, bounds, keep_vectors=False)
+    assert PQ.sq8_topk_at_rest(spark, lean, qvec, k=5).count() == 5
+    with pytest.raises(ValueError, match="keep_vectors"):
+        PQ.sq8_topk_at_rest(spark, lean, qvec, k=5, shortlist=50)
+    with pytest.raises(ValueError, match="sq8"):
+        PQ.sq8_topk_at_rest(spark, str(tmp_path / "nope"), qvec)
+    with pytest.raises(ValueError, match="collide"):
+        PQ.write_sq8(e.withColumn("sq_code", F.lit(1)), str(tmp_path / "x"), bounds)
