@@ -52,6 +52,8 @@ ALLOWED = {
     ("operators/pq.py", "pq_topk_rerank"): 1,
     # r12 residual path: the ADC shortlist ids (<= `shortlist` rows, ~100)
     ("operators/pq.py", "ivfpq_topk_at_rest"): 1,
+    # r12 SQ8: the dequantized-L2 shortlist ids (<= `shortlist` rows)
+    ("operators/pq.py", "sq8_topk_rerank"): 1,
     ("queries.py", "q_latest_batch"): 1,  # 1-row max
     ("queries.py", "q_star_join"): 2,  # nation, region
     ("queries_analytics.py", "_bm25_scored"): 1,  # 1-row corpus stats
