@@ -10,7 +10,7 @@ Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds. Rounds 1-7 completed the original burn-down (282
 of the then-283 entries); as of round 10 the cross-round union covers ALL
 284 then-oracle-backed entries (CORRECTNESS_r01-r10). The registry now
-stands at 299 (298 oracle-backed + generator_profile, rows-only by
+stands at 302 (301 oracle-backed + generator_profile, rows-only by
 design); entries born in a round (r11: multimodal_decode_jpeg, the three
 at-rest ANN serving paths, decontaminate_ngram, the PQ family; r12: the
 at-rest dedup probe, the SemDeDup trio, the BPE pair) are windowed their
