@@ -116,6 +116,11 @@ SCALE_OPS = [
     "passage_overlap",
     "setsim_join_prefix",
     "doc_chunking",
+    "duplicate_spans",  # r13: substring-level dedup report (born r13)
+    "remove_duplicate_spans",  # r13: the ExactSubstr cut (born r13)
+    "dsir_importance",  # r13: DSIR data-mixing weights (born r13)
+    "dsir_select_topk",  # r13: Gumbel-top-k weighted selection (born r13)
+    "lm_perplexity",  # r13: interpolated-bigram quality gate (born r13)
 ]
 
 # Round-3 statistics/profiling/graph family (queries_stats.py).
@@ -317,6 +322,7 @@ MEDIA_ANN = [
     "bpe_train_merges",  # r12: iterative BPE merge loop (born r12)
     "bpe_segment_corpus",  # r12: tokenizer apply side (born late-r12)
     "ann_sq8_rerank_topk",  # r12: SQ8 + exact rerank (born late-r12)
+    "ann_opq_rerank_topk",  # r13: OPQ rotation + PQ + rerank (born r13)
 ]
 
 

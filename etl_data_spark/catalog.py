@@ -466,9 +466,76 @@ PRIORITY_R12 = [
 ]
 assert len(PRIORITY_R12) == 50, f"PRIORITY_R12 must fill the window exactly: {len(PRIORITY_R12)}"
 
+# Round-13 window, derived by the ROTATION.md pre-staging rule:
+# CHANGED_THIS_ROUND leads (5 born + 5 changed), the fill opens with the
+# five rows the late-r12 births displaced, then oldest-driver-green-first
+# from the committed CORRECTNESS_r01-r12 records (r6 vintage
+# lang_id_kappa..winsorized_stats alphabetically, then r7 vintage),
+# skipping PRIORITY_R12 members (consecutive-window overlap is legal only
+# for changed entries).
+PRIORITY_R13 = [
+    # -- changed/born this round (CHANGED_THIS_ROUND, must re-earn green) --
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "dsir_importance",
+    "dsir_select_topk",
+    "ann_opq_rerank_topk",
+    "lm_perplexity",
+    "bpe_train_merges",
+    "bpe_segment_corpus",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_rerank_at_rest",
+    # -- the five rows the late-r12 births displaced (r6-green) --
+    "interpolate_linear",
+    "item_item_cosine",
+    "k_anonymity",
+    "keyness_terms",
+    "lag_features",
+    # -- oldest-driver-green-first fill: r6 vintage (alphabetical) --
+    "lang_id_kappa",
+    "link_predict_scores",
+    "mad_value",
+    "mutual_info_type_hour",
+    "ndcg_bm25",
+    "outlier_robust_z",
+    "outlier_zscore",
+    "posting_lists",
+    "pr_curve_points",
+    "prf_expansion_terms",
+    "quantile_normalize",
+    "regex_surface",
+    "rfm_segments",
+    "rolling_stats",
+    "seasonal_anomaly",
+    "seasonal_decompose",
+    "session_paths",
+    "source_overlap_pairs",
+    "target_encoding",
+    "vocab_growth_curve",
+    "weighted_median",
+    "winsorized_stats",
+    # -- r7 vintage (alphabetical) --
+    "ab_test_mde",
+    "approx_distinct",
+    "approx_percentiles",
+    "brand_cross_shopping",
+    "brier_decomposition",
+    "ccf_click_purchase",
+    "churn_labels",
+    "concentration_trend",
+    "cramers_v",
+    "degree_assortativity",
+    "diff_in_diff",
+    "fd_discovery",
+    # (fk_orphan_report displaced by the late-r13 lm_perplexity birth —
+    # r7-green, re-queued to open the r14 fill)
+]
+assert len(PRIORITY_R13) == 50, f"PRIORITY_R13 must fill the window exactly: {len(PRIORITY_R13)}"
+
 # The driver verifies the first 50 entries of queries()/oracle_sql();
 # PRIORITY pins that order. Round 8 on: the regression rotation.
-PRIORITY = PRIORITY_R12
+PRIORITY = PRIORITY_R13
 
 # Entries whose implementing code path changed during the CURRENT round.
 # ROTATION.md rule (written r8): a changed entry must re-earn a driver
@@ -478,6 +545,38 @@ PRIORITY = PRIORITY_R12
 # change lands on an un-windowed entry, swap out a youngest-green tail
 # entry in the same commit.
 CHANGED_THIS_ROUND = [
+    # r13 BORN: exact substring-level dedup (Lee et al. 2022 — VERDICT
+    # r12 missing #1: duplicate_spans + the remove rewriter), DSIR
+    # importance weighting + Gumbel-top-k selection (missing #3), and
+    # OPQ rotated product quantization (next-round #5):
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "dsir_importance",
+    "dsir_select_topk",
+    "ann_opq_rerank_topk",
+    # late-r13 BORN: the CCNet-style interpolated-bigram perplexity gate
+    # (operators/mixing.py::lm_perplexity); displaced fk_orphan_report
+    # (r7-green, re-queued to open the r14 fill):
+    "lm_perplexity",
+    # r13 changed paths: segment_with_merges reworked to the vocab-frame
+    # + broadcast-join form (the r12 `weak` — corpus-side plan now
+    # constant in vocabulary size) and initial_segmentation gained the
+    # version-independent empty filter (ADVICE r12), which is in
+    # train_bpe's path too; train_pq/train_pq_residual refactored onto
+    # the shared _training_sample collector and write_ivf_pq/_encode_
+    # for_layout/ivfpq_topk_at_rest gained the OPQ rotation branch —
+    # value-identical defaults, but the rotation rule counts any
+    # implementing-code change:
+    "bpe_train_merges",
+    "bpe_segment_corpus",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_rerank_at_rest",
+]
+
+# Frozen history: the r12 changed-path list, kept for the r11→r12 window
+# overlap audit (test_rotation.py), independent of the current round's.
+CHANGED_R12 = [
     # r12 BORN: the at-rest text-dedup layout (write_minhash_bands probe,
     # VERDICT r11 #1), the SemDeDup family (VERDICT r11 #3), and the
     # iterative BPE trainer (VERDICT r11 #4):

@@ -29,6 +29,14 @@ point here is that the O(window) reload economics of
   which keeps the last ``keep`` manifests' directories for in-flight
   readers.
 
+Writer concurrency: SINGLE WRITER assumed, as in every manifest-pointer
+design without a CAS primitive (Delta's S3 LogStore has the same
+constraint) — but a violation fails loudly, not silently: manifests are
+created with ``overwrite=False``, so two racing writers computing the
+same next version collide on the manifest create and the loser raises
+instead of overwriting the winner's "immutable" manifest and dropping
+its months at the pointer flip.
+
 Pointer honesty: on local FS / HDFS, ``fs.create(overwrite=True)`` of
 ``_current`` is not atomic (a reader could glimpse a truncated file).
 Manifests are immutable and never overwritten, so :func:`_resolve`
@@ -74,10 +82,12 @@ _DATA_DIR = "data"
 # --------------------------------------------------------------------------
 
 
-def _write_small_file(spark: SparkSession, path: str, text: str) -> None:
+def _write_small_file(
+    spark: SparkSession, path: str, text: str, overwrite: bool = True
+) -> None:
     p = _jpath(spark, path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
+    out = fs.create(p, overwrite)
     try:
         out.write(text.encode("utf-8"))
     finally:
@@ -155,10 +165,16 @@ def _publish(spark: SparkSession, root: str, months: dict[str, str]) -> int:
     version = (versions[-1] if versions else 0) + 1
     manifest = {"version": version, "months": months}
     name = _manifest_name(version)
+    # overwrite=False: two overlapping writers (a retry racing a hung
+    # job) both compute max+1 — the second create of the same "immutable"
+    # manifest must fail LOUDLY, not silently drop the first writer's
+    # months at the pointer flip (r12 ADVICE). The loser retries its
+    # whole reload against the winner's published state.
     _write_small_file(
         spark,
         f"{root}/{_MANIFEST_DIR}/{name}",
         json.dumps(manifest, sort_keys=True),
+        overwrite=False,
     )
     _write_small_file(spark, f"{root}/{_CURRENT}", name)
     return version

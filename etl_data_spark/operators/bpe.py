@@ -28,6 +28,13 @@ semantics, so the oracle replays every iteration exactly (the
 
 Tie rule: equal-count pairs merge lowest (left, right) lexicographic
 first — deterministic in both engines.
+
+The APPLY side (:func:`segment_with_merges`) uses the same vocab-frame
+loop: distinct words -> iterative merge application on the small frame
+(lineage-truncated batches) -> ONE broadcast join of (word -> tokens)
+back to the position-exploded corpus. The corpus-side plan is constant
+in vocabulary size — a 32k-merge tokenizer never builds a 32k-deep
+Catalyst expression tree over the token stream.
 """
 
 from __future__ import annotations
@@ -42,11 +49,16 @@ _B = _SEP + _SEP  # symbol boundary
 
 
 def initial_segmentation(word_col: str | F.Column) -> F.Column:
-    """``␟␟c1␟␟c2␟␟…␟␟``: every character its own symbol."""
+    """``␟␟c1␟␟c2␟␟…␟␟``: every character its own symbol.
+
+    The char split filters empty elements explicitly: Spark >= 3.4 drops
+    the trailing ``""`` that ``split(w, "")`` produces on older versions,
+    and without the filter that phantom empty symbol would enter the pair
+    counts ((last-char, "") can beat a real pair on the Sennrich corpus)
+    — the filter makes the symbol array version-independent."""
     w = F.col(word_col) if isinstance(word_col, str) else word_col
-    return F.concat(
-        F.lit(_B), F.array_join(F.split(w, ""), _B), F.lit(_B)
-    )
+    chars = F.filter(F.split(w, ""), lambda x: x != "")
+    return F.concat(F.lit(_B), F.array_join(chars, _B), F.lit(_B))
 
 
 def _symbols(seg_col: str) -> F.Column:
@@ -138,37 +150,109 @@ def train_bpe(
     ).orderBy("merge_rank")
 
 
+def segment_vocabulary(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+    out_col: str = "toks",
+    merge_batch_size: int = 64,
+) -> DataFrame:
+    """Segment a DISTINCT-word frame with a trained merge list: apply the
+    merges in rank order as batched built-in ``replace`` chains over the
+    vocab-sized frame, truncating lineage every ``merge_batch_size``
+    merges (``train_bpe``'s own loop discipline). Expression depth per
+    plan is bounded by the batch size, NOT by the vocabulary size — a
+    32k-merge production tokenizer costs ~500 bounded iterations over
+    the small frame, never a 32k-deep Catalyst tree.
+
+    Returns (word_col, out_col: array<string>). Words absent from the
+    training corpus segment correctly too: the merge loop is a pure
+    function of the word's characters and the merge list."""
+    vocab = words.select(
+        F.col(word_col), initial_segmentation(word_col).alias("_seg")
+    )
+    for lo in range(0, len(merges), merge_batch_size):
+        seg = F.col("_seg")
+        for left, right in merges[lo : lo + merge_batch_size]:
+            pat = f"{_SEP}{left}{_B}{right}{_SEP}"
+            rep = f"{_SEP}{left}{right}{_SEP}"
+            seg = F.replace(seg, F.lit(pat), F.lit(rep))
+        vocab = truncate_lineage(vocab.withColumn("_seg", seg))
+    return vocab.select(
+        word_col,
+        F.filter(F.split("_seg", _B), lambda x: x != "").alias(out_col),
+    )
+
+
 def segment_with_merges(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    id_col: str | None = None,
+    merge_batch_size: int = 64,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
-    """Tokenize a corpus with a trained merge list: apply the merges in
-    rank order to every word's segmentation (narrow maps, one replace
-    per merge — the APPLY side of BPE, distributed over the corpus), and
-    emit the per-document token array."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    seg = F.transform(
-        words,
-        lambda w: F.concat(
-            F.lit(_B), F.array_join(F.split(w, ""), _B), F.lit(_B)
-        ),
-    )
-    out = df.withColumn("_segs", seg)
-    for left, right in merges:
-        pat = f"{_SEP}{left}{_B}{right}{_SEP}"
-        rep = f"{_SEP}{left}{right}{_SEP}"
-        out = out.withColumn(
-            "_segs",
-            F.transform(
-                F.col("_segs"), lambda s: F.replace(s, F.lit(pat), F.lit(rep))
-            ),
+    """Tokenize a corpus with a trained merge list — the APPLY side of
+    BPE, in the vocab-frame form that scales to production vocabularies:
+
+    1. reduce the corpus to its DISTINCT words (the only corpus-sized
+       aggregation);
+    2. apply the merges iteratively on that vocab frame
+       (:func:`segment_vocabulary` — lineage-truncated batches, so the
+       corpus-side plan depth is constant in ``len(merges)``, unlike the
+       one-replace-per-merge-over-the-corpus chain that dies in Catalyst
+       analysis at a 32k-merge vocabulary);
+    3. broadcast-join the (word -> token array) map back to the
+       position-exploded corpus and reassemble each document's token
+       array in (word position, within-word position) order.
+
+    The corpus side is ONE broadcast join + one aggregation on the row
+    key regardless of vocabulary size. ``id_col`` names a unique row key
+    when the frame has one (e.g. ``doc_id``) — without it a
+    ``monotonically_increasing_id`` is pinned via lineage truncation
+    (materializes the frame once; pass ``id_col`` on big corpora).
+    ``broadcast_vocab=False`` falls back to a shuffle join for
+    vocabularies past the broadcast threshold."""
+    words_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+    if id_col is None:
+        key = "_bpe_rid"
+        base = truncate_lineage(
+            df.withColumn(key, F.monotonically_increasing_id())
         )
-    toks = F.flatten(
-        F.transform(
-            F.col("_segs"),
-            lambda s: F.filter(F.split(s, _B), lambda x: x != ""),
+    else:
+        key = id_col
+        base = df
+
+    vocab = base.select(F.explode(words_expr).alias("_w")).distinct()
+    wtoks = segment_vocabulary(
+        vocab, merges, word_col="_w", out_col="_toks",
+        merge_batch_size=merge_batch_size,
+    )
+    if broadcast_vocab:
+        wtoks = F.broadcast(wtoks)
+    doc_toks = (
+        base.select(F.col(key), F.posexplode(words_expr).alias("_p", "_w"))
+        .join(wtoks, "_w", "left")
+        .groupBy(key)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_p").alias("_p"),
+                                F.coalesce(
+                                    "_toks",
+                                    F.array().cast("array<string>"),
+                                ).alias("_t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_t"],
+                )
+            ).alias(out_col)
         )
     )
-    return out.withColumn(out_col, toks).drop("_segs")
+    out = base.join(doc_toks, key, "left")
+    return out.drop("_bpe_rid") if id_col is None else out

@@ -1,7 +1,8 @@
 """Change-data-capture and upsert operators.
 
 The reference's whole load path is truncate-and-reload plus a staged
-MySQL export (``data-pipeline/src/etl/load.py``, ``migrate_to_mysql.py``);
+MySQL export (``data-pipeline/src/load_data_to_db.py``,
+``migrate_to_mysql.py``);
 at 100 TB a reload is not an option, so this module provides the
 incremental alternatives a warehouse actually runs:
 

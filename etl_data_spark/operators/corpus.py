@@ -3,8 +3,8 @@ deterministic splits, sequence packing, and n-gram statistics.
 
 These are the steps a large-scale LLM training-data pipeline runs after
 ingest/cleanse and before tokenization. Reference analogue: the cleansing /
-gating stages of Nikitpolin/etl-data (sql/etl/02_load_core_data.sql CASE
-cleansing, 03_.. silver gate) generalized to document corpora.
+gating stages of Nikitpolin/etl-data (sql/init/01_init_all.sql:76-139 CASE
+cleansing + silver gate) generalized to document corpora.
 
 Scale design notes (100 TB):
 - Everything here is a pure Column expression or a key-partitioned window —

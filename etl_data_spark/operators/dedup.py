@@ -1033,3 +1033,183 @@ def connected_components_incremental(
         merged.select("doc_id"), "doc_id", "left_anti"
     )
     return merged.unionByName(singles)
+
+
+# --- exact substring-level dedup (Lee et al. 2022) ---------------------------
+
+
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, p, gram): the word n-gram starting at 1-based token
+    position p of each document — the sorted-suffix anchor table of the
+    substring-dedup formulation. One corpus-sized explode, no UDF."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+        lambda i: F.struct(
+            i.alias("p"),
+            F.array_join(F.slice(ws, i, n), " ").alias("gram"),
+        ),
+    )
+    return (
+        df.filter(F.size(ws) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .select("doc_id", "g.p", "g.gram")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated token SPANS — the substring-level dedup
+    lens of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr): boilerplate, licenses, and templated
+    passages duplicated INSIDE otherwise-distinct documents, which
+    document-level exact/MinHash/semantic dedup all miss.
+
+    Suffix arrays don't distribute; the Spark-native formulation anchors
+    on word n-grams: a token run of length L >= n repeated across
+    documents appears as L-n+1 consecutive duplicated n-gram starts, so
+
+    1. gram table (one corpus explode),
+    2. groupBy gram -> keep grams seen in >= 2 DISTINCT docs,
+    3. per doc, coalesce duplicated gram starts into maximal runs
+       (gaps-and-islands: a new island when the next start is > n away,
+       i.e. the [p, p+n-1] windows no longer overlap or touch),
+    4. keep spans of >= ``min_len`` tokens (default n).
+
+    Returns (doc_id, span_start, span_end, n_tokens) — 1-based inclusive
+    token positions. Exact for every repeated substring of >= n tokens;
+    adjacent repeats with DIFFERENT partner docs coalesce into one span
+    (each constituent gram is still genuinely duplicated somewhere).
+
+    Scale shape: two shuffles keyed by the gram string (group + join
+    back) and one window partitioned by doc — no all-pairs stage, no
+    driver collect; gram strings are short (n words), so the shuffle is
+    a token-stream-sized pass, the same cost class as shingling.
+    Reference analogue: none — the reference dedups at row granularity
+    only (sql/init/01_init_all.sql duplicate detector); this is the
+    beyond-reference curation surface.
+    """
+    from pyspark.sql import Window
+
+    if min_len is None:
+        min_len = n
+    gp = _gram_positions(df, id_col, text_col, n)
+    dup = (
+        gp.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    hits = gp.join(dup, "gram").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = hits.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("p") - F.lag("p", 1).over(w) > n, 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + (n - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "n_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .filter(F.col("n_tokens") >= min_len)
+        .select("doc_id", "span_start", "span_end", "n_tokens")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Rewrite the corpus with cross-document duplicated spans removed,
+    keeping each duplicated gram's content ONLY in its canonical document
+    (min doc id containing the gram) — the remove-all-but-one rule of
+    Lee et al. 2022's ExactSubstr cut, at n-gram anchoring granularity.
+
+    Per document, the NON-canonical duplicated gram starts coalesce into
+    runs exactly as :func:`duplicate_spans`; runs of >= ``min_len``
+    tokens expand to their covered token positions, and the document is
+    re-emitted from its surviving tokens (a doc whose every token is
+    covered re-emits as ''). Content is never globally lost — the
+    canonical document keeps every gram.
+
+    Adds ``out_col`` next to the original columns (one broadcast-free
+    join back on the doc id). Same scale shape as
+    :func:`duplicate_spans` plus one position-explode of the removable
+    spans only."""
+    from pyspark.sql import Window
+
+    if min_len is None:
+        min_len = n
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    gp = _gram_positions(df, id_col, text_col, n)
+    stats = (
+        gp.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canon"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("gram", "canon")
+    )
+    removable = (
+        gp.join(stats, "gram")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select("doc_id", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = (
+        removable.withColumn(
+            "island",
+            F.sum(
+                F.when(F.col("p") - F.lag("p", 1).over(w) > n, 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + (n - 1)).alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") + 1 >= min_len)
+    )
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(out_col)
+    )
+    return df.join(
+        rebuilt.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn(out_col, F.coalesce(out_col, F.lit("")))

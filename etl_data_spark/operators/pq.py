@@ -51,13 +51,43 @@ def train_pq(
     previous centroid). No RNG anywhere, so retraining on the same data
     reproduces the same codebooks bit-for-bit.
     """
+    return _fit_codebooks(
+        _training_sample(df, None, sample_rows, id_col, vec_col),
+        m, k, iters,
+    )
+
+
+def _training_sample(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]] | None,
+    sample_rows: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The bounded deterministic trainer sample as a numpy matrix —
+    raw vectors, or coarse residuals when ``centroids`` is given (the
+    shared collection step of every PQ/OPQ trainer)."""
     import numpy as np
 
+    if centroids is None:
+        rows = (
+            df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+        )
+        return np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+
+    from etl_data_spark.operators.similarity import ivf_assign
+
+    cmap = {int(c): np.asarray(v, dtype=np.float64) for c, v in centroids}
     rows = (
-        df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+        ivf_assign(df, centroids, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .select(vec_col, "cell")
+        .collect()
     )
-    mat = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    return _fit_codebooks(mat, m, k, iters)
+    return np.asarray(
+        [np.asarray(list(r[0]), dtype=np.float64) - cmap[r[1]] for r in rows]
+    )
 
 
 def _fit_codebooks(mat, m: int, k: int, iters: int) -> list[list[list[float]]]:
@@ -102,22 +132,10 @@ def train_pq_residual(
     much more tightly. Assignment comes from the DISTRIBUTED
     ``ivf_assign`` (the exact rule the encode path uses); only the
     bounded sample is collected and subtracted driver-side."""
-    import numpy as np
-
-    from etl_data_spark.operators.similarity import ivf_assign
-
-    cmap = {int(c): np.asarray(v, dtype=np.float64) for c, v in centroids}
-    rows = (
-        ivf_assign(df, centroids, vec_col)
-        .orderBy(id_col)
-        .limit(sample_rows)
-        .select(vec_col, "cell")
-        .collect()
+    return _fit_codebooks(
+        _training_sample(df, centroids, sample_rows, id_col, vec_col),
+        m, k, iters,
     )
-    mat = np.asarray(
-        [np.asarray(list(r[0]), dtype=np.float64) - cmap[r[1]] for r in rows]
-    )
-    return _fit_codebooks(mat, m, k, iters)
 
 
 def _centroid_map_expr(
@@ -303,6 +321,8 @@ def write_ivf_pq(
     pq_iters: int = 5,
     keep_vectors: bool = True,
     residual: bool = True,
+    opq: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Materialize the IVF-PQ layout: cell-partitioned parquet rows of
     ``(id, pq_code[, vector])``. Both quantizers train at write time when
@@ -326,7 +346,16 @@ def write_ivf_pq(
     ``query − centroid(cell)``; determinism is unchanged (centroids and
     codebooks stay plan literals). ``residual=False`` reproduces the r11
     raw-encoding layout; the sidecar records which one the directories
-    physically are."""
+    physically are.
+
+    ``opq=True`` (r13): learn an orthogonal ROTATION before encoding
+    (:func:`train_opq_residual` / :func:`train_opq` — Ge et al., OPQ)
+    and encode the rotated (residual) vector; an explicit ``rotation``
+    skips the training. The rotation persists in the sidecar, probes
+    build their LUTs from the rotated query (driver-side d x d matvec —
+    the executor-side scan stays code-only, byte-identical plan shape to
+    the unrotated layout), and exact rerank is untouched (L2 is
+    rotation-invariant, stored vectors stay raw)."""
     from etl_data_spark.operators.similarity import (
         _bounded_count,
         _centroids_jsonable,
@@ -347,16 +376,37 @@ def write_ivf_pq(
         centroids = sample_centroids(df, k_cells, id_col, vec_col)
         if refine_iters > 0:
             centroids = kmeans_refine(df, centroids, refine_iters, vec_col)
-    if codebooks is None:
-        trainer = train_pq_residual if residual else train_pq
+    if opq and rotation is None and codebooks is None:
+        trainer = train_opq_residual if residual else train_opq
         kwargs = {"centroids": centroids} if residual else {}
-        codebooks = trainer(
+        rotation, codebooks = trainer(
             df, m=pq_m, k=pq_k, sample_rows=pq_sample_rows, iters=pq_iters,
             id_col=id_col, vec_col=vec_col, **kwargs,
         )
+    elif codebooks is None:
+        if rotation is not None:
+            # explicit rotation: fit codebooks in the ROTATED encoding
+            # space the codes will live in (rotate the residual/raw
+            # sample driver-side, then the shared Lloyd)
+            mat = _training_sample(
+                df, centroids if residual else None, pq_sample_rows,
+                id_col, vec_col,
+            )
+            codebooks = _fit_codebooks(
+                _rotate_rows(mat, rotation), pq_m, pq_k, pq_iters
+            )
+        else:
+            trainer = train_pq_residual if residual else train_pq
+            kwargs = {"centroids": centroids} if residual else {}
+            codebooks = trainer(
+                df, m=pq_m, k=pq_k, sample_rows=pq_sample_rows,
+                iters=pq_iters, id_col=id_col, vec_col=vec_col, **kwargs,
+            )
     cols = [id_col, "pq_code", "cell"] + ([vec_col] if keep_vectors else [])
     assigned = ivf_assign(df, centroids, vec_col)
-    encoded = _encode_for_layout(assigned, centroids, codebooks, vec_col, residual)
+    encoded = _encode_for_layout(
+        assigned, centroids, codebooks, vec_col, residual, rotation
+    )
     (
         encoded.select(*cols)
         .write.mode("overwrite")
@@ -374,6 +424,7 @@ def write_ivf_pq(
             "id_col": id_col,
             "has_vectors": bool(keep_vectors),
             "encoding": "residual" if residual else "raw",
+            **({"rotation": rotation} if rotation is not None else {}),
         },
     )
 
@@ -384,19 +435,33 @@ def _encode_for_layout(
     codebooks: list[list[list[float]]],
     vec_col: str,
     residual: bool,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """PQ-encode an ``ivf_assign``ed frame in the layout's encoding
     space: residual layouts encode ``x − centroid(cell)`` (one literal
     map lookup + zip_with, still a narrow codegen'd map), raw layouts
-    the vector itself."""
-    if not residual:
+    the vector itself; an OPQ layout rotates the (residual) vector with
+    the literal matrix first — still one narrow codegen'd map."""
+    if not residual and rotation is None:
         return pq_encode(assigned, codebooks, vec_col)
-    return (
-        assigned.withColumn(
+    # let-bind the residual into a real column BEFORE rotating: the
+    # rotation chain references its input d times per output dim, and a
+    # computed expression there would re-evaluate the residual d^2
+    # times (SCALE.md §17 let-binding discipline)
+    out = assigned
+    if residual:
+        out = out.withColumn(
             "_resid", residual_expr(vec_col, centroids, "cell")
         )
-        .transform(lambda d: pq_encode(d, codebooks, "_resid"))
-        .drop("_resid")
+        enc_col = "_resid"
+    else:
+        enc_col = vec_col
+    if rotation is not None:
+        out = out.withColumn("_rotv", _rotate_expr(enc_col, rotation))
+        enc_col = "_rotv"
+    return (
+        out.transform(lambda d: pq_encode(d, codebooks, enc_col))
+        .drop("_resid", "_rotv")
     )
 
 
@@ -436,6 +501,7 @@ def ivfpq_topk_at_rest(
     books = meta["codebooks"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     res = meta.get("encoding", "raw") == "residual"
+    rot = meta.get("rotation")
     probes = ivf_probes(query_vec, cents, n_probe)
     scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
 
@@ -444,6 +510,11 @@ def ivfpq_topk_at_rest(
         score = None
         for c in probes:
             qres = [q - x for q, x in zip(query_vec, cmap[c])]
+            if rot is not None:
+                # OPQ layout: the stored codes live in the rotated
+                # residual space — rotate the query residual driver-side
+                # (d x d matvec; the scan's plan is unchanged)
+                qres = _rotate_vec_py(qres, rot)
             cell_score = _adc_score_expr(pq_adc_lut(qres, books))
             score = (
                 F.when(F.col("cell") == c, cell_score)
@@ -460,13 +531,15 @@ def ivfpq_topk_at_rest(
             return adc.limit(k)
         short = adc.limit(shortlist).select(id_col)
     elif shortlist is None:
+        q_enc = _rotate_vec_py(query_vec, rot) if rot is not None else query_vec
         return pq_topk(
-            scan.select(id_col, "pq_code"), query_vec, books, k=k,
+            scan.select(id_col, "pq_code"), q_enc, books, k=k,
             id_col=id_col,
         )
     else:
+        q_enc = _rotate_vec_py(query_vec, rot) if rot is not None else query_vec
         short = pq_topk(
-            scan.select(id_col, "pq_code"), query_vec, books,
+            scan.select(id_col, "pq_code"), q_enc, books,
             k=shortlist, id_col=id_col,
         ).select(id_col)
     if not meta.get("has_vectors"):
@@ -524,6 +597,7 @@ def append_ivf_pq(df: DataFrame, path: str) -> None:
         meta["codebooks"],
         vec_col,
         meta.get("encoding", "raw") == "residual",
+        meta.get("rotation"),
     )
     (
         encoded.select(*cols)
@@ -790,4 +864,178 @@ def sq8_topk_at_rest(
         shortlist=shortlist,
         id_col=id_col,
         vec_col=vec_col,
+    )
+
+
+# --------------------------------------------------------------------------
+# OPQ: optimized product quantization (learned rotation before encoding)
+# --------------------------------------------------------------------------
+
+
+def opq_seed_rotation(d: int) -> list[list[float]]:
+    """A fixed, data-independent orthogonal matrix: two layers of Givens
+    rotations — adjacent pairs (2t, 2t+1) at angle 0.1(t+1), then
+    stride-``d//8`` pairs that cross PQ subspace boundaries at angle
+    0.07(t+1). Deterministic (pure function of ``d``), dense enough to
+    mix energy across subspaces, and cheap to embed as plan/SQL
+    literals — the registry entry's rotation seed, playing the role
+    ``train_pq(iters=0)`` seeding plays for codebooks (the algorithm
+    under test is rotate -> encode -> ADC -> rerank; the trained
+    rotation only changes the VALUES — :func:`train_opq`)."""
+    import math
+
+    R = [[1.0 if i == j else 0.0 for j in range(d)] for i in range(d)]
+
+    def givens(a: int, b: int, theta: float) -> None:
+        c, s = math.cos(theta), math.sin(theta)
+        for row in R:
+            xa, xb = row[a], row[b]
+            row[a] = c * xa - s * xb
+            row[b] = s * xa + c * xb
+
+    for t in range(d // 2):
+        givens(2 * t, 2 * t + 1, 0.1 * (t + 1))
+    stride = max(1, d // 8)
+    block = 2 * stride
+    for t in range(d // block):
+        for j in range(stride):
+            a = t * block + j
+            givens(a, a + stride, 0.07 * (t + j + 1))
+    return R
+
+
+def _rotate_vec_py(v: list[float], R: list[list[float]]) -> list[float]:
+    """Driver-side ``y_j = sum_i v_i R[i][j]`` with the SAME i-ascending
+    fold order as :func:`_rotate_expr` — bit-identical doubles, so a
+    driver-rotated query scores against executor-rotated codes
+    exactly."""
+    d = len(R)
+    return [
+        float(sum((v[i] * R[i][j] for i in range(d)), 0.0)) for j in range(d)
+    ]
+
+
+def _rotate_expr(vec_col, R: list[list[float]]) -> "F.Column":
+    """``y = x R`` (y_j = sum_i x_i R[i][j]) as a Column: one ordered
+    zip_with/aggregate fold per output dimension against the literal
+    matrix column — the exact fold order the DuckDB oracle's list_sum
+    and the driver-side :func:`_rotate_vec_py` mirror.
+
+    Why a HOF fold despite the SCALE.md §27 interpreted-HOF tax: the
+    explicit d^2-term multiply-add chain blows janino's 64 KB
+    generated-method limit at d=64, falls back to INTERPRETED
+    evaluation anyway, and measured 2.5x SLOWER than the fold (r13).
+    The scale story doesn't ride on this expression either way: the
+    corpus rotates ONCE at layout-write time (``write_ivf_pq(opq=True)``)
+    and probes rotate only the QUERY, driver-side — serving never pays
+    d^2 per corpus row."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    d = len(R)
+    outs = []
+    for j in range(d):
+        col_j = F.array(*[F.lit(float(R[i][j])) for i in range(d)])
+        outs.append(
+            F.aggregate(
+                F.zip_with(v, col_j, lambda x, r: x.cast("double") * r),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+    return F.array(*outs)
+
+
+def rotate_vectors(
+    df: DataFrame,
+    R: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply an orthogonal rotation to a vector column (plan-literal
+    matrix, map-only). ``out_col`` defaults to replacing ``vec_col``."""
+    return df.withColumn(out_col or vec_col, _rotate_expr(vec_col, R))
+
+
+def _rotate_rows(mat, R):
+    """Driver-side twin of :func:`_rotate_expr` for numpy matrices."""
+    import numpy as np
+
+    return np.asarray(mat, dtype=np.float64) @ np.asarray(R, dtype=np.float64)
+
+
+def _reconstruct(mat, codebooks: list[list[list[float]]]):
+    """Encode + decode a sample under per-subspace codebooks (first-match
+    argmin, matching :func:`_fit_codebooks` / :func:`pq_encode`)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = np.empty_like(mat)
+    for s in range(m):
+        block = mat[:, s * sub : (s + 1) * sub]
+        cents = np.asarray(codebooks[s], dtype=np.float64)
+        d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        out[:, s * sub : (s + 1) * sub] = cents[d2.argmin(axis=1)]
+    return out
+
+
+def _opq_fit(mat, m: int, k: int, iters: int, opq_iters: int):
+    """OPQ-NP (Ge et al., "Optimized Product Quantization", CVPR 2013 /
+    TPAMI 2014): alternate (a) fit codebooks in the rotated space,
+    (b) update the rotation by orthogonal Procrustes against the
+    quantized reconstruction — R = U V^T from SVD(X^T Y), the closed-
+    form argmin over orthogonal R of ||X R − Y||_F. The d x d SVD runs
+    driver-side on the bounded sample's Gram-sized matrix (d^2 floats —
+    microscopic; nothing data-scaled touches the driver)."""
+    import numpy as np
+
+    d = mat.shape[1]
+    R = np.eye(d)
+    for _ in range(opq_iters):
+        Xr = mat @ R
+        books = _fit_codebooks(Xr, m, k, iters)
+        Y = _reconstruct(Xr, books)
+        U, _, Vt = np.linalg.svd(mat.T @ Y)
+        R = U @ Vt
+    books = _fit_codebooks(mat @ R, m, k, iters)
+    return [[float(x) for x in row] for row in R], books
+
+
+def train_opq(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 5,
+    opq_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit (rotation, codebooks) on the bounded deterministic sample —
+    OPQ over raw vectors. Returns ``(R, codebooks)`` where codes encode
+    ``x R``. Same sample/determinism contract as :func:`train_pq`
+    (lowest-id rows, no RNG; the SVD is deterministic LAPACK)."""
+    return _opq_fit(
+        _training_sample(df, None, sample_rows, id_col, vec_col),
+        m, k, iters, opq_iters,
+    )
+
+
+def train_opq_residual(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 5,
+    opq_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """OPQ over coarse-quantization residuals — the rotation + codebooks
+    an OPQ IVF-PQ layout encodes (rotate the residual, then PQ): the
+    residual move shrinks the variance, the rotation BALANCES what is
+    left across subspaces (Ge et al. §5's IVFADC+OPQ)."""
+    return _opq_fit(
+        _training_sample(df, centroids, sample_rows, id_col, vec_col),
+        m, k, iters, opq_iters,
     )

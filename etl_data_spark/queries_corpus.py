@@ -1725,11 +1725,14 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM doc_toks
     """,
     doc=f"BPE tokenization of the corpus with the {_BPE_MERGES} trained "
-    "merges — the APPLY side of the tokenizer (segment_with_merges): "
-    "per word, the rank-ordered merges as chained built-in replaces "
-    "(narrow maps, distributed over the corpus, no UDF), flattened to "
-    "(doc_id, pos, token). Oracle = the training chain's final "
-    "segmentation joined back to each document's words.",
+    "merges — the APPLY side of the tokenizer (segment_with_merges), in "
+    "the vocab-frame form: distinct words, merges applied iteratively "
+    "on the vocab frame (lineage-truncated batches), then ONE broadcast "
+    "join of (word -> tokens) back to the position-exploded corpus — "
+    "the corpus-side plan is constant in vocabulary size, so a 32k-merge "
+    "production tokenizer runs the same plan as this entry's 6 merges. "
+    "No UDF. Oracle = the training chain's final segmentation joined "
+    "back to each document's words (the same join formulation).",
 )
 def q_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_spark.operators.bpe import segment_with_merges, train_bpe
@@ -1740,8 +1743,204 @@ def q_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in train_bpe(d, _BPE_MERGES).collect()
     ]
     seg = segment_with_merges(
-        d.filter(F.length(F.trim("text")) > 0), merges
+        d.filter(F.length(F.trim("text")) > 0), merges, id_col="doc_id"
     )
     return seg.select(
         "doc_id", F.posexplode("bpe_tokens").alias("pos0", "token")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weighting + weighted selection (data mixing) — r13
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_K = 50
+
+# portable md5-prefix hash of an expression (the repo convention —
+# operators/dedup.py module docstring); DuckDB twin of mixing._md5_32
+_SQL_MD5_32_MIX = """
+    CAST(list_sum(list_transform(range(1, 9),
+        k -> (strpos('0123456789abcdef', substr(md5({key}), CAST(k AS INT), 1)) - 1)
+             * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT)
+"""
+
+_SQL_DSIR_LR = f"""
+    docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, unnest(ws) AS gram FROM docs
+        UNION ALL
+        SELECT doc_id,
+               ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS gram
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs)
+      )
+    ),
+    bk AS (
+      SELECT doc_id,
+             CAST({_SQL_MD5_32_MIX.format(key="'dsir:' || gram")}
+                  % {_DSIR_BUCKETS} AS INT) AS b
+      FROM grams
+    ),
+    rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+    tc AS (SELECT b, count(*) AS ct FROM bk WHERE doc_id % 7 = 0 GROUP BY b),
+    tot AS (
+      SELECT (SELECT sum(cr) FROM rc) AS nr,
+             (SELECT COALESCE(sum(ct), 0) FROM tc) AS nt
+    ),
+    lr AS (
+      SELECT rc.b,
+             CAST(round(ln(
+               (CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                  * CAST(nr + {_DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+                  * CAST(nt + {_DSIR_BUCKETS} AS DOUBLE))
+             ), 9) AS DECIMAL(20,9)) AS log_ratio
+      FROM rc LEFT JOIN tc USING (b), tot
+    ),
+    w AS (
+      SELECT bk.doc_id, sum(lr.log_ratio) AS log_weight
+      FROM bk JOIN lr USING (b)
+      GROUP BY bk.doc_id
+    )
+"""
+
+
+@register(
+    "dsir_importance",
+    f"""
+    WITH {_SQL_DSIR_LR}
+    SELECT doc_id,
+           round(CAST(log_weight AS DOUBLE), 6) AS log_weight
+    FROM w
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, NeurIPS): per-raw-doc "
+    "log-likelihood ratio of a target corpus (doc_id % 7 = 0 slice) vs "
+    "the raw corpus under Laplace-smoothed hashed-n-gram (unigram + "
+    "bigram, 1024 buckets, portable md5 hashing) bag models — the "
+    "selection/weighting stage between dedup and packing. Per-bucket "
+    "log ratios are rounded once and carried as DECIMAL so the per-doc "
+    "fold is order-independent; factors multiply as doubles (int64 "
+    "products overflow at 100 TB counts). One token-stream explode, a "
+    "map-combined 1024-bucket agg, a broadcast of the bucket model "
+    "back onto the gram stream, one doc-keyed shuffle.",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.mixing import dsir_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_importance(d, n_buckets=_DSIR_BUCKETS,
+                        target_pred=F.col("doc_id") % 7 == 0)
+    return w.select(
+        "doc_id",
+        F.round(F.col("log_weight").cast("double"), 6).alias("log_weight"),
+    )
+
+
+@register(
+    "dsir_select_topk",
+    f"""
+    WITH {_SQL_DSIR_LR}
+    SELECT doc_id,
+           round(CAST(log_weight AS DOUBLE), 6) AS log_weight,
+           round(CAST(log_weight AS DOUBLE)
+                 + (-ln(-ln(
+                     ({_SQL_MD5_32_MIX.format(key="'dsir-gumbel:' || CAST(doc_id AS VARCHAR)")}
+                      % 1000000000 + 0.5) / 1000000000.0))), 6)
+             AS gumbel_key
+    FROM w
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT {_DSIR_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement of the top-50 documents "
+    "proportional to DSIR importance, via Gumbel-top-k (Efraimidis & "
+    "Spirakis 2006): key = log w(d) + Gumbel(u(d)) with the uniform "
+    "HASH-DERIVED from the doc id (generate.py discipline) — the "
+    "sample is deterministic across engines, retries, and cluster "
+    "layouts, which is what makes a 100 TB selection job resumable. "
+    "Plan: the importance frame + TakeOrderedAndProject; no global "
+    "sort, no RNG state.",
+)
+def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.mixing import dsir_select_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_select_topk(
+        d, k=_DSIR_K, n_buckets=_DSIR_BUCKETS,
+        target_pred=F.col("doc_id") % 7 == 0,
+    )
+
+
+_LM_LAM = 0.75
+
+
+@register(
+    "lm_perplexity",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tdocs AS (SELECT * FROM docs WHERE doc_id % 7 = 0),
+    tbig AS (
+      SELECT w1, w2, count(*) AS c12 FROM (
+        SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tdocs)
+      ) GROUP BY w1, w2
+    ),
+    tuni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(ws) AS w FROM tdocs
+      ) GROUP BY w
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM tuni) AS n_tokens,
+             (SELECT count(*) FROM tuni) AS v_types
+    ),
+    rbig AS (
+      SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs)
+    ),
+    scored AS (
+      SELECT r.doc_id,
+             CAST(round(ln(
+               (CASE WHEN b.c12 IS NOT NULL AND COALESCE(u1.c, 0) > 0
+                     THEN {_LM_LAM} * (CAST(b.c12 AS DOUBLE)
+                                       / CAST(u1.c AS DOUBLE))
+                     ELSE 0.0 END)
+               + {1.0 - _LM_LAM} * (CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
+                                    / CAST(n_tokens + v_types AS DOUBLE))
+             ), 9) AS DECIMAL(20,9)) AS lp
+      FROM rbig r
+      LEFT JOIN tbig b ON r.w1 = b.w1 AND r.w2 = b.w2
+      LEFT JOIN tuni u1 ON r.w1 = u1.w
+      LEFT JOIN tuni u2 ON r.w2 = u2.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_nll,
+           round(exp(round(-CAST(sum(lp) AS DOUBLE) / count(*), 6)), 4)
+             AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-style LM quality gate (Wenzek et al. 2020): per-document "
+    "perplexity under a Jelinek-Mercer-interpolated bigram model fit on "
+    "the target slice (doc_id % 7 = 0) — low perplexity = target-like "
+    "text, and thresholding ppl is the selection gate between dedup and "
+    "packing. Per-bigram log-probs are one ln of an identically-written "
+    "double expression rounded once to 9 dp and summed as DECIMAL "
+    "(order-independent); the model is two target count frames "
+    "broadcast onto the raw bigram stream + one doc-keyed fold — no "
+    "vocabulary collect, no UDF.",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.mixing import lm_perplexity
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm_perplexity(
+        d, d.filter(F.col("doc_id") % 7 == 0), lam=_LM_LAM
+    )

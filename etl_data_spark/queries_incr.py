@@ -2,7 +2,8 @@
 mergeable distinct sketches, interval coalescing, Z-order layout stats.
 
 The reference's load path is truncate-and-reload (reference:
-data-pipeline/src/etl/load.py) — correct at 1 k rows, impossible at 100 TB.
+data-pipeline/src/load_data_to_db.py) — correct at 1 k rows, impossible
+at 100 TB.
 These queries exercise the incremental replacements in
 ``operators/cdc.py`` / ``operators/sketches.py`` / ``operators/layout.py``
 / ``operators/temporal.py::merge_intervals``, each with an exact DuckDB

@@ -3615,3 +3615,262 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.expr(expr).alias("char_entropy_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring-level dedup (Lee et al. 2022) — r13
+# --------------------------------------------------------------------------
+
+_SPAN_N = 5
+
+_SQL_SPAN_GRAMS = f"""
+    w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= {_SPAN_N}
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             array_to_string(
+               ws[CAST(i AS INT):CAST(i + {_SPAN_N - 1} AS INT)], ' '
+             ) AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN_N} + 2)) AS i
+            FROM w)
+    )
+"""
+
+
+@register(
+    "duplicate_spans",
+    f"""
+    WITH {_SQL_SPAN_GRAMS},
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+    runs AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN p - lag_p > {_SPAN_N} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lag_p
+            FROM hits)
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS INT) AS span_start,
+           CAST(MAX(p) + {_SPAN_N - 1} AS INT) AS span_end,
+           CAST(MAX(p) - MIN(p) + {_SPAN_N} AS INT) AS n_tokens
+    FROM runs GROUP BY doc_id, island
+    HAVING MAX(p) - MIN(p) + {_SPAN_N} >= {_SPAN_N}
+    """,
+    doc="Cross-document repeated token SPANS (Lee et al. 2022 "
+    "ExactSubstr): boilerplate/templated passages duplicated INSIDE "
+    "otherwise-distinct documents — the substring-level dedup lens that "
+    "document-level exact/MinHash/semantic dedup all miss. Suffix "
+    "arrays don't distribute; the Spark-native formulation anchors on "
+    "word 5-grams (a repeated run of L>=5 tokens is L-4 consecutive "
+    "duplicated gram starts), groups by gram, and coalesces each doc's "
+    "duplicated starts into maximal runs via gaps-and-islands. Two "
+    "gram-keyed shuffles + one doc-partitioned window; no all-pairs "
+    "stage, no driver collect.",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicate_spans(d, n=_SPAN_N).select(
+        "doc_id",
+        F.col("span_start").cast("int"),
+        F.col("span_end").cast("int"),
+        F.col("n_tokens").cast("int"),
+    )
+
+
+@register(
+    "remove_duplicate_spans",
+    f"""
+    WITH {_SQL_SPAN_GRAMS},
+    stats AS (
+      SELECT gram, min(doc_id) AS canon
+      FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    removable AS (
+      SELECT g.doc_id, g.p FROM g JOIN stats USING (gram)
+      WHERE g.doc_id != stats.canon
+    ),
+    runs AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN p - lag_p > {_SPAN_N} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lag_p
+            FROM removable)
+    ),
+    spans AS (
+      SELECT doc_id, MIN(p) AS s, MAX(p) + {_SPAN_N - 1} AS e
+      FROM runs GROUP BY doc_id, island
+      HAVING MAX(p) + {_SPAN_N - 1} - MIN(p) + 1 >= {_SPAN_N}
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(u AS INT) AS p
+      FROM (SELECT doc_id, unnest(range(s, e + 1)) AS u FROM spans)
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i AS INT) AS p, ws[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents) tws,
+           unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    rebuilt AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS txt
+      FROM toks t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.p = c.p
+      WHERE c.p IS NULL
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.txt, '') AS text_deduped
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="The ExactSubstr CUT (Lee et al. 2022): rewrite the corpus with "
+    "cross-document duplicated spans removed, keeping each duplicated "
+    "gram's content ONLY in its canonical (min-doc-id) document — "
+    "content is never globally lost. Non-canonical duplicated gram "
+    "starts coalesce into runs (same gaps-and-islands as "
+    "duplicate_spans), runs expand to covered token positions, and "
+    "each document re-emits from its surviving tokens. Same scale "
+    "shape plus one span-bounded position explode.",
+)
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(d, n=_SPAN_N).select(
+        "doc_id", "text_deduped"
+    )
+
+
+# --------------------------------------------------------------------------
+# OPQ: rotated product quantization (operators/pq.py, r13). The registry
+# entry uses the FIXED seed rotation (opq_seed_rotation — a pure function
+# of the dimension, two Givens layers crossing subspace boundaries) so the
+# DuckDB oracle can replay rotate + encode + ADC + exact rerank end-to-end
+# with the matrix as a literal; the TRAINED rotation (train_opq /
+# train_opq_residual, SVD-Procrustes) only changes the matrix VALUES and
+# is covered by pytest + the SCALE.md recall table.
+# --------------------------------------------------------------------------
+
+
+def _opq_R() -> list:
+    from etl_data_spark.operators.pq import opq_seed_rotation
+
+    return opq_seed_rotation(_ANN_DIM)
+
+
+def _duck_rot_list(R: list) -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in R
+    )
+    return "[" + rows + "]"
+
+
+def _duck_opq_sub_l2(a: str, b: str, s: str) -> str:
+    """Subspace squared L2 over two DOUBLE lists (the rotated space) —
+    same fold order as _duck_pq_sub_l2."""
+    diff = (
+        f"({a}[CAST({s} * {_PQ_SUB} + i AS INT)] - "
+        f"{b}[CAST({s} * {_PQ_SUB} + i AS INT)])"
+    )
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+        f"i -> {diff} * {diff}))"
+    )
+
+
+def _opq_scored_cte() -> str:
+    return f"""
+    WITH rmat AS (SELECT {_duck_rot_list(_opq_R())} AS m),
+    rot AS (
+      SELECT vec_id,
+             list_transform(range(1, {_ANN_DIM} + 1), j ->
+               list_sum(list_transform(range(1, {_ANN_DIM} + 1), i ->
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                 * m[CAST(i AS INT)][CAST(j AS INT)]))) AS rv
+      FROM embeddings, rmat
+    ),
+    cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, rv
+      FROM (SELECT * FROM rot ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    subs AS (SELECT CAST(unnest(range(0, {_PQ_M})) AS INT) AS s),
+    q AS (SELECT rv AS qv FROM rot WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, s, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, s
+               ORDER BY {_duck_opq_sub_l2("e.rv", "c.rv", "s")} ASC,
+                        cid ASC
+             ) AS rn
+      FROM rot e CROSS JOIN subs CROSS JOIN cents c
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             ROUND(list_sum(
+               list({_duck_opq_sub_l2("q.qv", "c.rv", "a.s")}
+                    ORDER BY a.s)), 6) AS adc_dist
+      FROM assign a JOIN cents c ON c.cid = a.cid, q
+      WHERE a.rn = 1
+      GROUP BY a.vec_id
+    )
+"""
+
+
+@register(
+    "ann_opq_rerank_topk",
+    _opq_scored_cte()
+    + f"""
+    , short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {_PQ_SHORTLIST}
+    ),
+    qorig AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_duck_pq_full_l2("e.embedding", "qorig.qv")}, 6) AS l2_dist
+    FROM embeddings e JOIN short USING (vec_id), qorig
+    ORDER BY l2_dist, e.vec_id
+    LIMIT 10
+    """,
+    doc="OPQ (Ge et al., CVPR'13): an orthogonal rotation applied before "
+    "product quantization balances variance across subspaces, lifting "
+    "recall at equal m/k; codes live in the rotated space, the query "
+    "rotates DRIVER-side (d x d matvec — the corpus scan's plan is "
+    "byte-identical to unrotated PQ, still code-columns-only), and "
+    "exact rerank is untouched because L2 is rotation-invariant. Entry "
+    "uses the fixed seed rotation + seeded codebooks so the oracle "
+    "replays rotate + encode + ADC + rerank end-to-end; the SVD-trained "
+    "rotation is pytest-covered with recall measured in SCALE.md.",
+)
+def q_ann_opq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assert len(e.first()["embedding"]) == _ANN_DIM
+    R = _opq_R()
+    rotated = PQ.rotate_vectors(e, R, "embedding", "_rv")
+    books = PQ.train_pq(
+        rotated, m=_PQ_M, k=_PQ_K, sample_rows=_PQ_K, iters=0, vec_col="_rv"
+    )
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    q_rot = PQ._rotate_vec_py(qvec, R)
+    codes = PQ.pq_encode(rotated, books, "_rv").select("vec_id", "pq_code")
+    short = PQ.pq_topk(
+        codes, q_rot, books, k=_PQ_SHORTLIST
+    ).select("vec_id")
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    return (
+        e.join(F.broadcast(short), "vec_id")
+        .select(
+            "vec_id",
+            F.round(PQ._sq_l2(F.col("embedding"), qlit), 6).alias("l2_dist"),
+        )
+        .orderBy(F.asc("l2_dist"), F.asc("vec_id"))
+        .limit(10)
+    )

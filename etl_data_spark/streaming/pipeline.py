@@ -195,6 +195,45 @@ def stream_to_partitioned_table(
     return writer.start()
 
 
+def _transitive_batch_losers(pairs, batch_ids):
+    """Batch docs to DROP, from a batch-incident near-dup pair frame
+    (id_a, id_b, ...) — TRANSITIVE semantics via connected components,
+    matching ``dedup_survivors`` everywhere else: a component containing
+    any CORPUS (non-batch) member drops all its batch members (the
+    corpus landed first, and so do its transitive batch near-dups); a
+    purely-batch component keeps min-id (= its cluster_id) and drops
+    the rest. Costs O(pairs) per batch — the pair graph is
+    batch-incident, never corpus-sized. ``batch_ids`` must be a
+    single-column (doc_id) frame."""
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.operators.dedup import connected_components
+
+    key = batch_ids.columns[0]
+    ids = batch_ids.select(F.col(key).alias("doc_id"))
+    comp = connected_components(pairs)
+    flagged = comp.join(
+        ids.withColumn("_in_batch", F.lit(True)), "doc_id", "left"
+    )
+    corpus_comps = (
+        flagged.filter(F.col("_in_batch").isNull())
+        .select("cluster_id")
+        .distinct()
+    )
+    batch_members = flagged.filter(F.col("_in_batch").isNotNull())
+    return (
+        batch_members.join(corpus_comps, "cluster_id", "left_semi")
+        .select("doc_id")
+        .union(
+            batch_members.join(corpus_comps, "cluster_id", "left_anti")
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        .distinct()
+        .withColumnRenamed("doc_id", key)
+    )
+
+
 def dedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -212,8 +251,14 @@ def dedup_ingest_batch(
     2. probe: ``dedup_incremental_at_rest`` signs ONLY the batch against
        the persisted band table — pairs against the corpus AND within
        the batch;
-    3. gate: a batch doc duplicating a corpus doc is dropped (the corpus
-       member landed first); within-batch duplicate groups keep min-id;
+    3. gate: the batch-incident pair graph runs through
+       ``connected_components`` (TRANSITIVE, matching ``dedup_survivors``
+       everywhere else — not the r12 per-pair greedy rule): a batch doc
+       whose duplicate component touches the corpus is dropped (the
+       corpus member landed first, and so do its transitive batch
+       near-dups), and a purely within-batch duplicate component keeps
+       its min-id. The component step costs O(pairs) per batch — the
+       pair graph is batch-incident, never corpus-sized;
     4. land: survivors OVERWRITE their per-batch directory
        (``batch={id}`` — idempotent under replay), then fold into the
        band layout (``append_minhash_bands``), then the marker commits.
@@ -242,28 +287,8 @@ def dedup_ingest_batch(
     if not batch_df.take(1):
         return
     pairs = dedup_incremental_at_rest(batch_df, layout_path, threshold)
-    batch_ids = batch_df.select(F.col("doc_id"))
-    # Pairs are (id_a < id_b) normalized, so: an id_b that is a batch doc
-    # always loses (its partner is either corpus or a smaller batch id);
-    # an id_a that is a batch doc loses only when the partner id_b is
-    # OUTSIDE the batch (a corpus doc).
-    losers = (
-        pairs.join(
-            batch_ids.select(F.col("doc_id").alias("id_b")), "id_b"
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .union(
-            pairs.join(
-                batch_ids.select(F.col("doc_id").alias("id_a")), "id_a"
-            )
-            .join(
-                batch_ids.select(F.col("doc_id").alias("id_b")),
-                "id_b",
-                "left_anti",
-            )
-            .select(F.col("id_a").alias("doc_id"))
-        )
-        .distinct()
+    losers = _transitive_batch_losers(
+        pairs, batch_df.select(F.col("doc_id"))
     )
     survivors = batch_df.join(losers, "doc_id", "left_anti")
     survivors.persist()
@@ -301,6 +326,98 @@ def stream_dedup_ingest(
         )
 
     writer = docs_stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def semantic_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    layout_path: str,
+    survivors_path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+) -> None:
+    """One microbatch of the SEMANTIC-dedup-gated ingest (r13, VERDICT
+    r12 missing #4) — the SemDeDup twin of :func:`dedup_ingest_batch`,
+    probing a ``write_ivf_partitioned`` layout instead of the MinHash
+    band table. Same loop, same guarantees:
+
+    1. marker gate (foreachBatch replay idempotence);
+    2. probe: ``semantic_dedup_incremental_at_rest`` assigns ONLY the
+       batch under the layout's sidecar centroids and pairs it against
+       the stored cells and itself;
+    3. gate: :func:`_transitive_batch_losers` — a batch vector whose
+       duplicate component touches the corpus is dropped, purely-batch
+       components keep min-id;
+    4. land: survivors overwrite their per-batch directory, fold into
+       the IVF layout (``append_ivf_partitioned`` — untouched cells
+       never rewritten), then the marker commits.
+
+    Crash-window honesty matches the MinHash twin: a crash between the
+    layout append and the marker replays the append, duplicating index
+    rows for that batch's survivors; duplicate rows cannot create false
+    pairs (pairs are ``distinct`` and verification is exact), and a
+    post-crash ``compact_layout`` of a manually-deduped frame restores
+    exactness. The retrain lifecycle (``ivf_retrain``) applies to this
+    layout exactly as it does for ANN serving — one artifact, three
+    consumers (ANN probes, at-rest SemDeDup, this gate)."""
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.io.writers import _fs, _jpath
+    from etl_data_spark.operators.similarity import (
+        append_ivf_partitioned,
+        semantic_dedup_incremental_at_rest,
+    )
+
+    spark = batch_df.sparkSession
+    marker = f"{layout_path}/_ingest_markers/batch-{batch_id}"
+    fs, jm = _fs(spark, marker)
+    if fs.exists(jm):
+        return
+    if not batch_df.take(1):
+        return
+    pairs = semantic_dedup_incremental_at_rest(
+        batch_df, layout_path, threshold, id_col
+    )
+    losers = _transitive_batch_losers(pairs, batch_df.select(F.col(id_col)))
+    survivors = batch_df.join(losers, id_col, "left_anti")
+    survivors.persist()
+    try:
+        if survivors.take(1):
+            survivors.write.mode("overwrite").parquet(
+                f"{survivors_path}/batch={batch_id}"
+            )
+            append_ivf_partitioned(survivors, layout_path)
+    finally:
+        survivors.unpersist()
+    out = fs.create(jm, True)
+    out.close()
+
+
+def stream_semantic_ingest(
+    vec_stream: DataFrame,
+    layout_path: str,
+    survivors_path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    checkpoint: str | None = None,
+):
+    """Continuous semantic-dedup-gated ingest over the IVF layout — the
+    embedding-space twin of :func:`stream_dedup_ingest`: per microbatch,
+    assign only the batch, gate semantic dups transitively, land
+    survivors idempotently, fold them into the cell directories so the
+    NEXT batch probes against them. Semantics per batch:
+    :func:`semantic_ingest_batch`."""
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        semantic_ingest_batch(
+            batch_df, batch_id, layout_path, survivors_path, threshold,
+            id_col,
+        )
+
+    writer = vec_stream.writeStream.foreachBatch(ingest_batch)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

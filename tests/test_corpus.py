@@ -305,3 +305,232 @@ def test_bpe_segment_with_merges_roundtrip(spark):
     for r in seg.collect():
         rebuilt = "".join(r["bpe_tokens"])
         assert rebuilt == r["text"].replace(" ", "")
+
+
+def _ref_bpe_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Driver-side greedy reference: Python str.replace is left-to-right
+    non-overlapping, the same semantics the Spark operator relies on."""
+    sep, b = "\x1f", "\x1f\x1f"
+    seg = b + b.join(word) + b if word else b + b
+    for left, right in merges:
+        seg = seg.replace(
+            f"{sep}{left}{b}{right}{sep}", f"{sep}{left}{right}{sep}"
+        )
+    return [s for s in seg.split(b) if s != ""]
+
+
+def test_bpe_segment_matches_reference(spark):
+    """Byte-identity of the r13 vocab-frame apply path against a
+    driver-side greedy reference, including words UNSEEN at train time
+    (they route through the same vocab-frame merge loop)."""
+    from etl_data_spark.operators.bpe import segment_with_merges, train_bpe
+
+    train = spark.createDataFrame(
+        [("low " * 5,), ("lower " * 2,), ("newest " * 6,), ("widest " * 3,)],
+        "text string",
+    )
+    merges = [
+        (r["left"], r["right"]) for r in train_bpe(train, 6).collect()
+    ]
+    apply_df = spark.createDataFrame(
+        [
+            (1, "low lowest newest"),
+            (2, "slowest wide lowlow"),   # unseen words
+            (3, "w"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in segment_with_merges(apply_df, merges, id_col="doc_id")
+        .collect()
+    }
+    for doc_id, text in [(1, "low lowest newest"),
+                         (2, "slowest wide lowlow"), (3, "w")]:
+        want = [t for w in text.split() for t in _ref_bpe_segment(w, merges)]
+        assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
+
+
+def test_bpe_segment_plan_constant_in_vocab_size(spark):
+    """The r12 `weak` fix: the corpus-side plan must be ONE broadcast
+    join + one aggregation REGARDLESS of merge-list length — no replace
+    expression over the corpus, and the plan does not grow with the
+    vocabulary (the old form chained one replace per merge and died in
+    Catalyst analysis at a production 32k-merge vocabulary)."""
+    from etl_data_spark.operators.bpe import segment_with_merges
+
+    df = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "widest low")],
+        "doc_id int, text string",
+    )
+
+    def corpus_plan(n_merges):
+        merges = [(f"q{i}x", f"q{i}y") for i in range(n_merges)]
+        out = segment_with_merges(df, merges, id_col="doc_id")
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    p_small, p_big = corpus_plan(64), corpus_plan(1024)
+    # the merge replaces live on the lineage-truncated vocab side only
+    assert "replace" not in p_big.lower()
+    assert "BroadcastHashJoin" in p_big
+    # constant in vocab size: 16x the merges, same corpus-side plan
+    assert len(p_big) < 1.5 * len(p_small), (
+        f"corpus-side plan grew with the merge list: "
+        f"{len(p_small)} -> {len(p_big)} chars"
+    )
+
+
+def test_duplicate_spans_known_answer(spark):
+    """A 9-token run shared by two docs (different offsets) must surface
+    as one coalesced span in EACH doc; a disjoint doc must not appear."""
+    from etl_data_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog u1 u2 u3"),
+            (2, "p1 p2 p3 the quick brown fox jumps over the lazy dog"),
+            (3, "totally different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(df, n=5).collect()
+    }
+    assert got == {(1, 1, 9, 9), (2, 4, 12, 9)}
+
+
+def test_remove_duplicate_spans_keeps_canonical_content(spark):
+    """The cut keeps every duplicated gram in its canonical (min-id)
+    doc: content survives globally, non-canonical copies are excised,
+    untouched docs pass through byte-identical."""
+    from etl_data_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    boiler = "this license text is repeated verbatim in many documents"
+    df = spark.createDataFrame(
+        [
+            (1, f"doc one starts here {boiler} and ends here"),
+            (2, f"{boiler} second doc unique tail words go here"),
+            (3, f"third doc head words {boiler}"),
+            (4, "a completely unrelated document with original words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in remove_duplicate_spans(df, n=5).collect()
+    }
+    assert boiler in out[1]          # canonical keeps the span
+    assert boiler not in out[2] and boiler not in out[3]
+    assert "second doc unique tail words go here" in out[2]
+    assert "third doc head words" in out[3]
+    assert out[4] == "a completely unrelated document with original words only"
+    # and after the cut, no cross-doc duplicate 5-gram run remains
+    cleaned = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "doc_id long, text string"
+    )
+    assert duplicate_spans(cleaned, n=5).count() == 0
+
+
+def test_remove_duplicate_spans_composes_with_curation(spark):
+    """Curation-chain composition: the substring cut runs between
+    document-level dedup and packing — the rewritten corpus feeds the
+    quality/packing stages with the same (doc_id, text) contract."""
+    from etl_data_spark.operators.dedup import remove_duplicate_spans
+
+    d = load_table(spark, SF_DIR, "documents").limit(200)
+    cut = remove_duplicate_spans(d, n=5)
+    assert cut.columns == d.columns + ["text_deduped"]
+    # downstream stages consume the rewritten text transparently
+    stats = cut.select(
+        "doc_id",
+        F.size(F.split(F.trim("text_deduped"), r"\s+")).alias("n_tokens"),
+    )
+    assert stats.filter(F.col("n_tokens") < 0).count() == 0
+    assert cut.count() == d.count()  # row-preserving rewrite
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs written in the target slice's vocabulary must outscore docs
+    written in the off-target vocabulary — the defining DSIR property."""
+    from etl_data_spark.operators.mixing import dsir_importance
+
+    target_text = "physics quantum energy field theory particle wave"
+    other_text = "recipe flour butter sugar oven baking whisk dough"
+    raw = spark.createDataFrame(
+        [(1, target_text), (2, other_text),
+         (3, "physics energy theory particle"), (4, "flour sugar oven")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, target_text), (101, "quantum field wave particle physics")],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: float(r["log_weight"])
+        for r in dsir_importance(raw, target).collect()
+    }
+    assert w[1] > w[2] and w[3] > w[4]
+    assert w[1] > 0 > w[2]  # target-like above the prior, off-target below
+
+
+def test_dsir_select_topk_deterministic_and_weight_biased(spark):
+    """The Gumbel-top-k sample is a pure function of (corpus, seed):
+    re-running yields the identical set, and the selection leans toward
+    high-weight docs (the resampling property)."""
+    from etl_data_spark.operators.mixing import dsir_select_topk
+
+    d = load_table(spark, SF_DIR, "documents")
+    t = d.filter(F.col("doc_id") % 7 == 0)
+    s1 = [(r["doc_id"], r["gumbel_key"])
+          for r in dsir_select_topk(d, t, k=20).collect()]
+    s2 = [(r["doc_id"], r["gumbel_key"])
+          for r in dsir_select_topk(d, t, k=20).collect()]
+    assert s1 == s2
+    assert len(s1) == 20
+    keys = [k for _, k in s1]
+    assert keys == sorted(keys, reverse=True)  # ordered by the sort key
+
+
+def test_dsir_selection_composes_between_dedup_and_packing(spark):
+    """Curation-chain position: dedup survivors -> DSIR selection -> the
+    selected frame carries the (doc_id, text) contract downstream."""
+    from etl_data_spark.operators.dedup import dedup_exact
+    from etl_data_spark.operators.mixing import dsir_select_topk
+
+    d = load_table(spark, SF_DIR, "documents")
+    keep = dedup_exact(d, id_col="doc_id", text_col="text").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    surv = d.join(keep, "doc_id", "left_semi")
+    t = surv.filter(F.col("doc_id") % 7 == 0)
+    sel = dsir_select_topk(surv, t, k=10)
+    chosen = surv.join(sel.select("doc_id"), "doc_id", "left_semi")
+    assert chosen.count() == 10
+    assert set(chosen.columns) == set(d.columns)
+
+
+def test_lm_perplexity_prefers_target_like_docs(spark):
+    """The quality gate's defining property: text drawn from the target
+    distribution scores LOWER perplexity than off-distribution text,
+    and unseen words still score finitely (Laplace unigram floor)."""
+    from etl_data_spark.operators.mixing import lm_perplexity
+
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "the quick brown fox sleeps under the green tree")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),        # in-distribution
+         (2, "zzz qqq www eee rrr ttt"),          # fully unseen
+         (3, "the lazy dog sleeps")],             # partial
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_perplexity(raw, target).collect()}
+    assert got[1]["ppl"] < got[3]["ppl"] < got[2]["ppl"]
+    assert all(got[i]["ppl"] > 0 for i in (1, 2, 3))
+    assert got[1]["n_bigrams"] == 4

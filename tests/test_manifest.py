@@ -243,3 +243,35 @@ def test_gc_reclaims_unreferenced_versions(spark, tmp_path):
         if p.name.startswith("manifest-")
     ]
     assert len(manifests) == 2
+
+
+def test_concurrent_writer_collision_fails_loudly(spark, tmp_path):
+    """Two overlapping writers both compute version max+1; the second
+    manifest create must RAISE (overwrite=False), never silently replace
+    the winner's immutable manifest and drop its months (r13 fix)."""
+    import pytest
+
+    from etl_data_spark.io import manifest as M
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(_rows([1]), SCHEMA)
+    manifest_write_full(df, root)
+    winner_text = (
+        Path(root) / "_manifests" / "manifest-000001.json"
+    ).read_text()
+    # simulate the race: the loser listed versions BEFORE the winner
+    # published v1, so it too computes next version = 1
+    stale = M._list_manifest_versions
+    M._list_manifest_versions = lambda spark, root: []
+    try:
+        with pytest.raises(Exception) as exc:
+            manifest_write_full(df, root)
+    finally:
+        M._list_manifest_versions = stale
+    assert "exist" in str(exc.value).lower() or "manifest-000001" in str(
+        exc.value
+    )
+    # the winner's manifest was NOT clobbered
+    assert (
+        Path(root) / "_manifests" / "manifest-000001.json"
+    ).read_text() == winner_text

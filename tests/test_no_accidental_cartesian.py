@@ -74,6 +74,13 @@ ALLOWED_BNLJ = {
     "session_copresence",
     "revenue_bridge",
     "slow_movers",
+    # r13 reviewed: 1-row totals frames broadcast onto bounded tables —
+    # dsir_* crossjoin (nr, nt) onto the 1024-row bucket model;
+    # lm_perplexity crossjoins (n_tokens, v_types) onto the bigram
+    # stream. Broadcasting one row is free at any scale.
+    "dsir_importance",
+    "dsir_select_topk",
+    "lm_perplexity",
 }
 
 

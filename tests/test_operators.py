@@ -2581,3 +2581,61 @@ def test_sq8_at_rest_layout(spark, tmp_path):
         PQ.sq8_topk_at_rest(spark, str(tmp_path / "nope"), qvec)
     with pytest.raises(ValueError, match="collide"):
         PQ.write_sq8(e.withColumn("sq_code", F.lit(1)), str(tmp_path / "x"), bounds)
+
+
+def test_opq_rotation_orthogonal_and_nonincreasing_error(spark):
+    """r13 OPQ: the trained rotation is orthogonal (R R^T = I) and the
+    alternating Procrustes loop never worsens the sample quantization
+    error vs plain PQ at equal m/k (each alternation minimizes the
+    shared objective, and iteration 1 starts at R = I = plain PQ)."""
+    import numpy as np
+
+    from etl_data_spark.operators import pq as PQ
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mat = PQ._training_sample(e, None, 512, "vec_id", "embedding")
+    R, books = PQ._opq_fit(mat, m=8, k=16, iters=3, opq_iters=4)
+    Rn = np.asarray(R)
+    assert np.allclose(Rn @ Rn.T, np.eye(len(R)), atol=1e-9)
+
+    def err(m_, books_):
+        return float(((m_ - PQ._reconstruct(m_, books_)) ** 2).sum())
+
+    plain = PQ._fit_codebooks(mat, 8, 16, 3)
+    assert err(mat @ Rn, books) <= err(mat, plain) * (1 + 1e-9)
+
+
+def test_opq_layout_roundtrip_and_append(spark, tmp_path):
+    """An opq=True IVF-PQ layout: the rotation persists in the sidecar,
+    the self-query reranks to itself exactly, and appended vectors
+    encode under the SAME stored rotation (probe finds the twin)."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.operators import pq as PQ
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "opq")
+    PQ.write_ivf_pq(e, path, opq=True, target_cell_rows=256)
+    meta = json.loads((Path(path) / "_ann_meta.json").read_text())
+    assert len(meta["rotation"]) == len(meta["rotation"][0])
+    q = list(e.filter(F.col("vec_id") == 5).first()["embedding"])
+    got = PQ.ivfpq_topk_at_rest(
+        spark, path, q, k=3, n_probe=2, shortlist=30
+    ).collect()
+    assert got[0]["vec_id"] == 5 and got[0]["l2_dist"] == 0.0
+    twin = spark.createDataFrame([(77777, q)],
+                                 "vec_id long, embedding array<float>")
+    PQ.append_ivf_pq(twin, path)
+    got2 = PQ.ivfpq_topk_at_rest(
+        spark, path, q, k=3, n_probe=2, shortlist=30
+    ).collect()
+    assert {r["vec_id"] for r in got2[:2]} == {5, 77777}

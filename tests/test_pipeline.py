@@ -360,8 +360,11 @@ def test_overwrite_by_window_recovers_crashed_swap(spark, tmp_path):
     leaves a month only at its trash name; the next reload must RESTORE
     it before discovery (its kept rows exist nowhere else), and must
     clean up a post-rename-in trash leftover without touching the live
-    month. Covers both the r12 underscore-prefixed trash name and the
-    legacy bare one (a table last written by an older build)."""
+    month. Covers both the r12 dot-prefixed trash name (dot, not
+    underscore: Spark hides dot-prefixed dirs, but parses an
+    underscore-prefixed name containing '=' as a partition column —
+    _month_trash_name's design note) and the legacy bare one (a table
+    last written by an older build)."""
     from pathlib import Path
 
     path = str(tmp_path / "t_crash")

@@ -464,7 +464,14 @@ def test_dedup_at_rest_probe_signs_only_the_delta(spark, tmp_path):
         assert "text" not in ln, "the band table scan must be narrow (no text)"
 
     # the index join streams the stored band table against a broadcast
-    # banded delta (no sort-merge shuffle of the index)
-    assert "BroadcastHashJoin [band#" in plan.replace("\n", " ") or (
-        "BroadcastHashJoin" in plan and "band" in plan
-    )
+    # banded delta (no sort-merge shuffle of the index): parse the
+    # BroadcastHashJoin nodes and require one keyed on the band column —
+    # the old fallback ("any broadcast join + the substring 'band'
+    # anywhere") was nearly vacuous and would not catch the banded delta
+    # losing its broadcast (r12 ADVICE)
+    bhj_lines = [
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+    ]
+    assert any(
+        "[band#" in ln or "band_idx#" in ln for ln in bhj_lines
+    ), f"no BroadcastHashJoin keyed on the band column: {bhj_lines}"

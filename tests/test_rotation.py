@@ -12,6 +12,7 @@ from etl_data_spark.catalog import (
     CHANGED_R9,
     CHANGED_R10,
     CHANGED_R11,
+    CHANGED_R12,
     CHANGED_THIS_ROUND,
     PRIORITY,
     PRIORITY_R7,
@@ -20,6 +21,7 @@ from etl_data_spark.catalog import (
     PRIORITY_R10,
     PRIORITY_R11,
     PRIORITY_R12,
+    PRIORITY_R13,
     REGISTRY,
 )
 
@@ -53,6 +55,7 @@ def test_window_is_exactly_50_known_entries():
     assert len(PRIORITY_R10) == 50 and len(set(PRIORITY_R10)) == 50
     assert len(PRIORITY_R11) == 50 and len(set(PRIORITY_R11)) == 50
     assert len(PRIORITY_R12) == 50 and len(set(PRIORITY_R12)) == 50
+    assert len(PRIORITY_R13) == 50 and len(set(PRIORITY_R13)) == 50
     unknown = [
         n
         for n in PRIORITY
@@ -62,6 +65,7 @@ def test_window_is_exactly_50_known_entries():
         + PRIORITY_R10
         + PRIORITY_R11
         + PRIORITY_R12
+        + PRIORITY_R13
         if n not in REGISTRY
     ]
     assert not unknown, f"window references unregistered queries: {unknown}"
@@ -88,9 +92,14 @@ def test_window_is_exactly_50_known_entries():
         f"{sorted(overlap_1011 - set(CHANGED_R11))}"
     )
     overlap_1112 = set(PRIORITY_R11) & set(PRIORITY_R12)
-    assert overlap_1112 <= set(CHANGED_THIS_ROUND), (
+    assert overlap_1112 <= set(CHANGED_R12), (
+        f"unchanged entries repeated across the r11/r12 windows: "
+        f"{sorted(overlap_1112 - set(CHANGED_R12))}"
+    )
+    overlap_1213 = set(PRIORITY_R12) & set(PRIORITY_R13)
+    assert overlap_1213 <= set(CHANGED_THIS_ROUND), (
         f"unchanged entries repeat across consecutive windows: "
-        f"{sorted(overlap_1112 - set(CHANGED_THIS_ROUND))}"
+        f"{sorted(overlap_1213 - set(CHANGED_THIS_ROUND))}"
     )
 
 
@@ -98,10 +107,10 @@ def test_active_window_is_the_regression_rotation():
     """Round 8 on: the burn-down is complete, so the active window must be
     the regression rotation, opening with the current round's changed code
     paths (ROTATION.md)."""
-    assert PRIORITY is PRIORITY_R12
-    # r12 changed paths lead the window: the at-rest dedup layout, the
-    # SemDeDup family, the BPE trainer, the residual IVF-PQ rework, and
-    # the ADVICE-r11 hardening
+    assert PRIORITY is PRIORITY_R13
+    # r13 changed paths lead the window: the substring-dedup + DSIR + OPQ
+    # births, the BPE apply-side vocab-frame rework, and the PQ-trainer /
+    # OPQ-branch refactors
     assert PRIORITY[: len(CHANGED_THIS_ROUND)] == CHANGED_THIS_ROUND
 
 

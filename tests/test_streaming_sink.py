@@ -282,3 +282,139 @@ def test_stream_dedup_ingest_gates_batches_against_the_layout(spark, tmp_path):
     dedup_ingest_batch(b1, 0, layout, survivors_path)
     dedup_ingest_batch(b2, 1, layout, survivors_path)
     assert listing() == before
+
+
+def test_dedup_ingest_gate_is_transitive(spark, tmp_path):
+    """r13 (r12 ADVICE): the within-batch gate runs the pair graph
+    through connected components. Bridge doc c pairs with BOTH corpus
+    doc K and fresh doc b (no direct (K, b) pair): the whole component
+    touches the corpus, so b AND c are dropped — the r12 per-pair greedy
+    rule kept b. And a purely-batch chain keeps only its min-id."""
+    from etl_data_spark.operators.dedup import write_minhash_bands
+    from etl_data_spark.streaming.pipeline import dedup_ingest_batch
+
+    A = " ".join(f"alpha{i}" for i in range(12))
+    B = " ".join(f"beta{i}" for i in range(12))
+    C = " ".join(f"alpha{i}" for i in range(10)) + " " + " ".join(
+        f"beta{i}" for i in range(10)
+    )  # J(A,C) = J(B,C) = 0.4, J(A,B) = 0
+    layout = str(tmp_path / "layout")
+    corpus = spark.createDataFrame([(100, A)], "doc_id long, text string")
+    write_minhash_bands(corpus, layout, threshold=0.3, target_recall=0.95)
+
+    batch = spark.createDataFrame(
+        [(9001, B), (9002, C)], "doc_id long, text string"
+    )
+    surv = str(tmp_path / "surv")
+    dedup_ingest_batch(batch, 0, layout, surv, threshold=0.3)
+    import os
+    got = (
+        {r["doc_id"] for r in spark.read.parquet(surv + "/batch=*").collect()}
+        if os.path.exists(surv) else set()
+    )
+    assert got == set(), f"corpus-touching component must drop b AND c: {got}"
+
+    # purely-batch chain (a, c', b) with no corpus contact: min-id only
+    A2 = " ".join(f"gamma{i}" for i in range(12))
+    B2 = " ".join(f"delta{i}" for i in range(12))
+    C2 = " ".join(f"gamma{i}" for i in range(10)) + " " + " ".join(
+        f"delta{i}" for i in range(10)
+    )
+    batch2 = spark.createDataFrame(
+        [(9101, A2), (9102, B2), (9103, C2)], "doc_id long, text string"
+    )
+    dedup_ingest_batch(batch2, 1, layout, surv, threshold=0.3)
+    got2 = {
+        r["doc_id"] for r in spark.read.parquet(surv + "/batch=*").collect()
+    }
+    assert got2 == {9101}, f"batch chain must keep min-id only: {got2}"
+
+
+def test_stream_semantic_ingest_gates_batches_against_the_layout(
+    spark, tmp_path
+):
+    """r13: the semantic twin of the dedup-gated ingest loop — batch
+    vectors duplicating the IVF corpus are dropped, within-batch dup
+    groups keep min-id, survivors fold into the cell directories so the
+    NEXT microbatch probes against them, and a replayed batch is a
+    no-op (the commit-marker gate)."""
+    from pathlib import Path
+
+    from etl_data_spark.operators.similarity import write_ivf_partitioned
+    from etl_data_spark.streaming.pipeline import (
+        semantic_ingest_batch,
+        stream_semantic_ingest,
+    )
+
+    def vec(direction, eps=0.0):
+        v = [0.0] * 8
+        v[direction] = 1.0
+        v[(direction + 1) % 8] = eps
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i % 4)) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    layout = str(tmp_path / "ivf")
+    cents = [(c, vec(c)) for c in range(4)] + [(4, vec(4)), (5, vec(5))]
+    write_ivf_partitioned(corpus, layout, centroids=cents)
+
+    # batch 1: 9000 duplicates corpus direction 2; 9001 fresh (dir 4);
+    # 9002 < 9003 duplicate each other on fresh direction 5
+    b1 = spark.createDataFrame(
+        [(9000, vec(2, 0.01)), (9001, vec(4)),
+         (9002, vec(5, 0.02)), (9003, vec(5, 0.02))],
+        "vec_id long, embedding array<float>",
+    )
+    # batch 2: 9100 duplicates batch 1's survivor 9002; 9101 fresh
+    b2 = spark.createDataFrame(
+        [(9100, vec(5, 0.02)), (9101, vec(4, 0.9))],
+        "vec_id long, embedding array<float>",
+    )
+    surv = str(tmp_path / "surv")
+    ckpt = str(tmp_path / "ckpt")
+    src = tmp_path / "vstream"
+    src.mkdir()
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    def start():
+        return stream_semantic_ingest(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*"),
+            layout,
+            surv,
+            threshold=0.9,
+            checkpoint=ckpt,
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got1 = {
+        r["vec_id"] for r in spark.read.parquet(surv + "/batch=*").collect()
+    }
+    assert got1 == {9001, 9002}  # 9000 dup-of-corpus, 9003 loses to 9002
+
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got2 = {
+        r["vec_id"] for r in spark.read.parquet(surv + "/batch=*").collect()
+    }
+    assert got2 == {9001, 9002, 9101}  # 9100 loses to the FOLDED 9002
+
+    # replay idempotence via the marker gate
+    def listing():
+        return sorted(
+            (str(p), p.stat().st_size)
+            for d in (Path(layout), Path(surv))
+            for p in d.rglob("*.parquet")
+        )
+
+    before = listing()
+    semantic_ingest_batch(b1, 0, layout, surv, threshold=0.9)
+    semantic_ingest_batch(b2, 1, layout, surv, threshold=0.9)
+    assert listing() == before
