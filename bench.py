@@ -323,6 +323,7 @@ MEDIA_ANN = [
     "bpe_segment_corpus",  # r12: tokenizer apply side (born late-r12)
     "ann_sq8_rerank_topk",  # r12: SQ8 + exact rerank (born late-r12)
     "ann_opq_rerank_topk",  # r13: OPQ rotation + PQ + rerank (born r13)
+    "unigram_segment_corpus",  # r13: SentencePiece Viterbi DP (born r13)
 ]
 
 
@@ -372,6 +373,12 @@ def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
 
         ivfpq = f"{root}/ivfpq"
         PQ.write_ivf_pq(e, ivfpq, target_cell_rows=1024)
+        # r13: the OPQ twin — rotation trained at (untimed) write, stored
+        # in the sidecar; the probe rotates only the QUERY driver-side,
+        # so this row should read ~equal to ann_ivfpq_serving_probe
+        # (that equality IS the claim: serving never pays the rotation)
+        opq = f"{root}/opq"
+        PQ.write_ivf_pq(e, opq, target_cell_rows=1024, opq=True)
         queries = {
             "ann_lsh_topk_at_rest": lambda: S.ann_topk_at_rest(
                 spark, lsh, qvec, k=10
@@ -390,6 +397,9 @@ def run_at_rest_group(sf_dir: str, reps: int) -> dict[str, float]:
             ),
             "ann_ivfpq_serving_probe": lambda: PQ.ivfpq_topk_at_rest(
                 spark, ivfpq, qvec, k=10, n_probe=3, shortlist=50
+            ),
+            "ann_opq_serving_probe": lambda: PQ.ivfpq_topk_at_rest(
+                spark, opq, qvec, k=10, n_probe=3, shortlist=50
             ),
         }
         next(iter(queries.values()))().count()  # warm-up, untimed

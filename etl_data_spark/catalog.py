@@ -481,6 +481,7 @@ PRIORITY_R13 = [
     "dsir_select_topk",
     "ann_opq_rerank_topk",
     "lm_perplexity",
+    "unigram_segment_corpus",
     "bpe_train_merges",
     "bpe_segment_corpus",
     "ann_pq_adc_topk",
@@ -527,9 +528,9 @@ PRIORITY_R13 = [
     "cramers_v",
     "degree_assortativity",
     "diff_in_diff",
-    "fd_discovery",
-    # (fk_orphan_report displaced by the late-r13 lm_perplexity birth —
-    # r7-green, re-queued to open the r14 fill)
+    # (fk_orphan_report and fd_discovery displaced by the late-r13
+    # lm_perplexity / unigram_segment_corpus births — r7-green,
+    # re-queued to open the r14 fill)
 ]
 assert len(PRIORITY_R13) == 50, f"PRIORITY_R13 must fill the window exactly: {len(PRIORITY_R13)}"
 
@@ -558,6 +559,13 @@ CHANGED_THIS_ROUND = [
     # (operators/mixing.py::lm_perplexity); displaced fk_orphan_report
     # (r7-green, re-queued to open the r14 fill):
     "lm_perplexity",
+    # late-r13 BORN: unigram-LM (SentencePiece) Viterbi tokenization
+    # (operators/unigram.py) — the second tokenizer family, vocab-frame
+    # DP with a recursive-CTE oracle; displaced fd_discovery (r7-green,
+    # re-queued for r14). join_word_tokens was factored OUT of
+    # segment_with_merges in the same change (bpe_segment_corpus is
+    # already in the changed head):
+    "unigram_segment_corpus",
     # r13 changed paths: segment_with_merges reworked to the vocab-frame
     # + broadcast-join form (the r12 `weak` — corpus-side plan now
     # constant in vocabulary size) and initial_segmentation gained the

@@ -215,20 +215,45 @@ def segment_with_merges(
     ``broadcast_vocab=False`` falls back to a shuffle join for
     vocabularies past the broadcast threshold."""
     words_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+    vocab = df.select(F.explode(words_expr).alias("_w")).distinct()
+    wtoks = segment_vocabulary(
+        vocab, merges, word_col="_w", out_col="_toks",
+        merge_batch_size=merge_batch_size,
+    )
+    return join_word_tokens(
+        df, wtoks, text_col=text_col, out_col=out_col, id_col=id_col,
+        broadcast_vocab=broadcast_vocab,
+    )
+
+
+def join_word_tokens(
+    df: DataFrame,
+    wtoks: DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    id_col: str | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Reassemble per-document token arrays from a (word -> token array)
+    vocab frame — the shared corpus side of every vocab-frame tokenizer
+    (BPE apply, unigram Viterbi): position-explode the corpus words,
+    ONE broadcast join on the word, regroup on the row key in (word
+    position, within-word position) order. ``wtoks`` must have columns
+    ``(_w, _toks)``. Corpus-side plan is constant in vocabulary size.
+
+    ``id_col`` names a unique row key when the frame has one; without
+    it a ``monotonically_increasing_id`` is pinned via lineage
+    truncation (materializes the frame once — pass ``id_col`` on big
+    corpora)."""
+    words_expr = F.split(F.trim(F.col(text_col)), r"\s+")
     if id_col is None:
-        key = "_bpe_rid"
+        key = "_jwt_rid"
         base = truncate_lineage(
             df.withColumn(key, F.monotonically_increasing_id())
         )
     else:
         key = id_col
         base = df
-
-    vocab = base.select(F.explode(words_expr).alias("_w")).distinct()
-    wtoks = segment_vocabulary(
-        vocab, merges, word_col="_w", out_col="_toks",
-        merge_batch_size=merge_batch_size,
-    )
     if broadcast_vocab:
         wtoks = F.broadcast(wtoks)
     doc_toks = (
@@ -255,4 +280,4 @@ def segment_with_merges(
         )
     )
     out = base.join(doc_toks, key, "left")
-    return out.drop("_bpe_rid") if id_col is None else out
+    return out.drop("_jwt_rid") if id_col is None else out

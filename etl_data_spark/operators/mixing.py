@@ -259,6 +259,7 @@ def lm_perplexity(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.75,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document perplexity under an interpolated bigram LM fit on a
     TARGET corpus — the CCNet-style quality gate (Wenzek et al. 2020
@@ -278,9 +279,13 @@ def lm_perplexity(
     the per-doc mean divides as doubles and rounds at the emit boundary.
 
     Scale shape: the model is two target-corpus count frames (unigrams,
-    bigrams) joined onto the raw bigram stream (broadcast when the
-    target vocabulary is bounded, shuffle join otherwise) + one
-    doc-keyed fold. No vocabulary collect, no UDF, no driver loop."""
+    bigrams) joined onto the raw bigram stream + one doc-keyed fold. No
+    vocabulary collect, no UDF, no driver loop. The TARGET corpus in
+    this gate is a curated reference set (the CCNet deployment: a
+    Wikipedia-sized sample, not the raw corpus), so the model frames are
+    bounded by convention and broadcast by default; pass
+    ``broadcast_model=False`` for an unbounded target and the planner
+    demotes the model joins to shuffles."""
     tb = _word_bigrams(target, text_col, id_col)
     big = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni_first = tb.select(F.col("w1").alias("w"))
@@ -298,17 +303,18 @@ def lm_perplexity(
         F.count(F.lit(1)).alias("v_types"),
     )
     rb = _word_bigrams(raw, text_col, id_col)
+    maybe_bc = F.broadcast if broadcast_model else (lambda d: d)
     j = (
-        rb.join(F.broadcast(big), ["w1", "w2"], "left")
+        rb.join(maybe_bc(big), ["w1", "w2"], "left")
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w1"),
-                                   F.col("c").alias("c1"))),
+            maybe_bc(uni.select(F.col("w").alias("w1"),
+                                F.col("c").alias("c1"))),
             "w1",
             "left",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"),
-                                   F.col("c").alias("c2"))),
+            maybe_bc(uni.select(F.col("w").alias("w2"),
+                                F.col("c").alias("c2"))),
             "w2",
             "left",
         )

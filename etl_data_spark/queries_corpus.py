@@ -1944,3 +1944,156 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(
         d, d.filter(F.col("doc_id") % 7 == 0), lam=_LM_LAM
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece) Viterbi tokenization — r13
+# --------------------------------------------------------------------------
+
+_UNI_PIECE_LEN = 4   # seed pieces up to 4 chars; DP window matches
+_UNI_MIN_COUNT = 5
+_UNI_MAX_WORD = 16
+_UNI_NEG = "-1.0e18"
+
+
+@register(
+    "unigram_segment_corpus",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    occ AS (
+      SELECT w FROM (SELECT unnest(ws) AS w FROM docs) WHERE length(w) > 0
+    ),
+    allspans AS (
+      SELECT substr(w, CAST(j AS INT),
+                    CAST(i AS INT) - CAST(j AS INT) + 1) AS sub
+      FROM (
+        SELECT w, i, unnest(range(greatest(1, i - {_UNI_PIECE_LEN - 1}),
+                                  i + 1)) AS j
+        FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM occ)
+      )
+    ),
+    pcounts AS (SELECT sub AS piece, count(*) AS cnt FROM allspans GROUP BY sub),
+    kept AS (
+      SELECT piece, cnt FROM pcounts
+      WHERE cnt >= {_UNI_MIN_COUNT} OR length(piece) = 1
+    ),
+    tot AS (SELECT sum(cnt) AS t FROM kept),
+    pieces AS (
+      SELECT piece,
+             round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 9) AS logp
+      FROM kept, tot
+    ),
+    wlist AS (SELECT DISTINCT w FROM occ),
+    spans AS (
+      SELECT w, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+             substr(w, CAST(j AS INT), CAST(i AS INT) - CAST(j AS INT) + 1) AS sub
+      FROM (
+        SELECT w, i, unnest(range(greatest(1, i - {_UNI_PIECE_LEN - 1}),
+                                  i + 1)) AS j
+        FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM wlist)
+      )
+    ),
+    wspans AS (
+      SELECT s.w,
+             list({{'j': s.j, 'i': s.i, 'lp': p.logp}} ORDER BY s.i, s.j)
+               AS sl
+      FROM spans s JOIN pieces p ON s.sub = p.piece
+      GROUP BY s.w
+    ),
+    dp AS (
+      SELECT w, sl, 0 AS i,
+             [CAST(0.0 AS DOUBLE)] AS best, [0] AS ptr
+      FROM wspans
+      UNION ALL
+      SELECT w, sl, i + 1,
+             list_append(best, COALESCE(best_score, {_UNI_NEG})),
+             list_append(ptr, CAST(COALESCE(pick_j, 0) AS INT))
+      FROM (
+        SELECT w, sl, i, best, ptr,
+               list_max(list_transform(cands, c -> c.score)) AS best_score,
+               list_max(list_transform(
+                 list_filter(cands, c -> c.score =
+                   list_max(list_transform(cands, x -> x.score))),
+                 c -> c.j)) AS pick_j
+        FROM (
+          SELECT w, sl, i, best, ptr,
+                 list_filter(
+                   list_transform(
+                     list_filter(sl, s -> s.i = i + 1),
+                     s -> {{'score': best[s.j] + s.lp, 'j': s.j}}),
+                   c -> c.score > -5.0e17) AS cands
+          FROM dp WHERE i < length(w)
+        )
+      )
+    ),
+    fin AS (SELECT w, ptr FROM dp WHERE i = length(w)),
+    bt AS (
+      SELECT w, ptr, length(w) AS pos, CAST([] AS VARCHAR[]) AS acc
+      FROM fin
+      UNION ALL
+      SELECT w, ptr, ptr[pos + 1] - 1 AS pos,
+             list_prepend(substr(w, ptr[pos + 1], pos - ptr[pos + 1] + 1),
+                          acc)
+      FROM bt WHERE pos > 0 AND ptr[pos + 1] > 0
+    ),
+    wtoks AS (SELECT w, acc AS toks FROM bt WHERE pos = 0),
+    doc_words AS (
+      SELECT doc_id, u['w'] AS w, u['p'] AS wpos
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(ws) + 1),
+                 k -> {{'w': ws[CAST(k AS INT)], 'p': k}})) AS u
+        FROM docs
+      )
+    ),
+    doc_toks AS (
+      SELECT d.doc_id, d.wpos, v['t'] AS token, v['p'] AS tpos
+      FROM (
+        SELECT dw.doc_id, dw.wpos,
+               unnest(list_transform(
+                 range(1, len(t.toks) + 1),
+                 k -> {{'t': t.toks[CAST(k AS INT)], 'p': k}})) AS v
+        FROM doc_words dw JOIN wtoks t USING (w)
+      ) d
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY wpos, tpos) AS INT) AS pos,
+           token
+    FROM doc_toks
+    """,
+    doc="Unigram-LM (SentencePiece, Kudo 2018) Viterbi tokenization — "
+    "the engine's second tokenizer family beside BPE, in the same "
+    "vocab-frame shape: distinct words explode their candidate spans "
+    "once, join the (deterministically seeded) piece table for "
+    "log-probs, run Viterbi DP as L bounded narrow Column steps "
+    "(lineage-truncated; ties break to the shortest last piece), "
+    "backtrack in L more bounded steps, then ONE broadcast join back "
+    "to the position-exploded corpus. Log-probs round once to 9 dp and "
+    "accumulate in DP order, so the oracle — a recursive-CTE replay of "
+    "the identical DP — matches bit-for-bit. No UDF, no driver loop.",
+)
+def q_unigram_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_spark.operators.unigram import (
+        seed_pieces,
+        unigram_segment_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pieces = seed_pieces(
+        d, max_piece_len=_UNI_PIECE_LEN, min_count=_UNI_MIN_COUNT
+    )
+    seg = unigram_segment_corpus(
+        d.filter(F.length(F.trim("text")) > 0),
+        pieces,
+        id_col="doc_id",
+        max_piece_len=_UNI_PIECE_LEN,
+        max_word_len=_UNI_MAX_WORD,
+    )
+    return seg.select(
+        "doc_id", F.posexplode("unigram_tokens").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")

@@ -78,6 +78,30 @@ ALLOWED = {
     ("queries_llm.py", "q_audience_overlap"): 2,  # per-event-type counts
     ("queries_llm.py", "q_dedup_threshold_curve"): 1,  # constant threshold list
     ("queries_llm.py", "q_knn_mrr"): 2,  # fixed 200-query probe set (+ its distinct)
+    # r13 audit:
+    # the (word -> token array) vocab frame of the tokenizer apply side —
+    # a natural-language WORD vocabulary (Heaps-sublinear, ~10^7 entries
+    # at web scale, a model-artifact-sized frame, not the token stream);
+    # broadcast_vocab=False opts out for synthetic unbounded vocabularies
+    ("operators/bpe.py", "join_word_tokens"): 1,
+    # 1-row (nr, nt) totals onto the 1024-row bucket model
+    ("operators/mixing.py", "_ratios_from"): 1,
+    # the fitted DSIR model: exactly n_buckets rows (constant parameter)
+    ("operators/mixing.py", "dsir_importance"): 1,
+    # the 1-row (n_tokens, v_types) totals. (The target-corpus model
+    # frames hint conditionally via broadcast_model — the gate's target
+    # is a curated reference set, CCNet-style, bounded by convention —
+    # and the conditional sites don't register as unconditional hints.)
+    ("operators/mixing.py", "lm_perplexity"): 1,
+    # 1-row piece-count total
+    ("operators/unigram.py", "seed_pieces"): 1,
+    # the unigram piece table — a tokenizer vocabulary (<= ~10^5 model
+    # artifact, not data-scaled); broadcast_pieces=False opts out
+    ("operators/unigram.py", "segment_words_viterbi"): 1,
+    # 1-row Laplace total
+    ("operators/unigram.py", "train_unigram"): 1,
+    # the ADC shortlist ids (LIMIT `shortlist` rows, ~100)
+    ("queries_llm.py", "q_ann_opq_rerank_topk"): 1,
     ("queries_llm.py", "q_lang_id_kappa"): 3,  # 1-row aggregates
     ("queries_stats.py", "q_abc_analysis"): 1,  # 1-row total
     ("queries_stats.py", "q_association_rules"): 1,  # 1-row basket count

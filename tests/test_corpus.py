@@ -534,3 +534,140 @@ def test_lm_perplexity_prefers_target_like_docs(spark):
     assert got[1]["ppl"] < got[3]["ppl"] < got[2]["ppl"]
     assert all(got[i]["ppl"] > 0 for i in (1, 2, 3))
     assert got[1]["n_bigrams"] == 4
+
+
+def test_unigram_viterbi_known_answer(spark):
+    """Viterbi picks the max-logprob segmentation ('hello' as one piece
+    beats 'he'+'llo' beats chars), unseen words fall back to single
+    characters, and ties prefer the shortest last piece."""
+    import math
+
+    from etl_data_spark.operators.unigram import unigram_segment_corpus
+
+    rows = [("hello", math.log(0.3)), ("he", math.log(0.1)),
+            ("llo", math.log(0.1))]
+    rows += [(c, math.log(0.01)) for c in "helowrd"]
+    pieces = spark.createDataFrame(
+        [(p, round(lp, 9)) for p, lp in rows], "piece string, logp double"
+    )
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "he llo"), (3, "wow")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["unigram_tokens"])
+        for r in unigram_segment_corpus(df, pieces, id_col="doc_id")
+        .collect()
+    }
+    assert got[1] == ["hello", "w", "o", "r", "l", "d"]
+    assert got[2] == ["he", "llo"]
+    assert got[3] == ["w", "o", "w"]
+
+
+def test_unigram_viterbi_matches_python_reference(spark):
+    """Byte-identity of the distributed DP against a driver-side Viterbi
+    on the seeded piece table over real corpus words."""
+    from etl_data_spark.operators.unigram import (
+        seed_pieces,
+        segment_words_viterbi,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    pieces = seed_pieces(d, max_piece_len=4, min_count=5)
+    plist = {r["piece"]: r["logp"] for r in pieces.collect()}
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    got = {
+        r["w"]: list(r["pieces"])
+        for r in segment_words_viterbi(
+            words, pieces, word_col="w", max_piece_len=4
+        ).collect()
+    }
+
+    def ref(word):
+        NEG = -1.0e18
+        L = len(word)
+        best, ptr = [0.0] + [NEG] * L, [0] * (L + 1)
+        for i in range(1, L + 1):
+            for j in range(max(1, i - 3), i + 1):  # ascending: ties -> largest j
+                lp = plist.get(word[j - 1 : i])
+                if lp is None or best[j - 1] <= NEG / 2:
+                    continue
+                s = best[j - 1] + lp
+                if s >= best[i]:
+                    best[i], ptr[i] = s, j
+        out, pos = [], L
+        while pos > 0 and ptr[pos] > 0:
+            out.insert(0, word[ptr[pos] - 1 : pos])
+            pos = ptr[pos] - 1
+        return out if pos == 0 else []
+
+    for w, toks in got.items():
+        assert toks == ref(w), f"{w}: {toks} != {ref(w)}"
+        assert "".join(toks) == w
+
+
+def test_unigram_word_length_guard(spark):
+    """Words beyond max_word_len raise loudly — the bound is what fixes
+    the DP step count."""
+    import pytest
+
+    from etl_data_spark.operators.unigram import segment_words_viterbi
+
+    words = spark.createDataFrame([("a" * 30,)], "w string")
+    pieces = spark.createDataFrame([("a", -1.0)], "piece string, logp double")
+    with pytest.raises(ValueError, match="max_word_len"):
+        segment_words_viterbi(words, pieces, max_word_len=16)
+
+
+def test_unigram_trainer_improves_likelihood_and_is_deterministic(spark):
+    """Viterbi-EM: corpus log-likelihood under the trained table beats
+    the seed table; vocabulary shrinks on schedule; single characters
+    survive (every word stays segmentable); two runs are byte-equal."""
+    from etl_data_spark.operators.unigram import (
+        seed_pieces,
+        segment_words_viterbi,
+        train_unigram,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    seed = seed_pieces(d, max_piece_len=4, min_count=5)
+    t1 = train_unigram(d, n_iters=2)
+    t2 = train_unigram(d, n_iters=2)
+    rows1 = sorted((r["piece"], r["logp"]) for r in t1.collect())
+    rows2 = sorted((r["piece"], r["logp"]) for r in t2.collect())
+    assert rows1 == rows2  # deterministic
+    assert len(rows1) < seed.count()  # pruned on schedule
+    chars = {p for p, _ in rows1 if len(p) == 1}
+    seed_chars = {
+        r["piece"] for r in seed.collect() if len(r["piece"]) == 1
+    }
+    assert chars == seed_chars  # char fallback never pruned
+
+    words_n = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def ll(pieces):
+        pl = {r["piece"]: r["logp"] for r in pieces.collect()}
+        seg = segment_words_viterbi(
+            words_n.select("w"), pieces, max_piece_len=4
+        )
+        tot, empty = 0.0, 0
+        for r in seg.join(words_n, "w").collect():
+            if not r["pieces"]:
+                empty += 1
+            tot += r["n"] * sum(pl[p] for p in r["pieces"])
+        return tot, empty
+
+    ll_seed, _ = ll(seed)
+    ll_trained, n_empty = ll(t1)
+    assert n_empty == 0  # every word still segmentable
+    assert ll_trained > ll_seed
