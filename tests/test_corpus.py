@@ -671,3 +671,77 @@ def test_unigram_trainer_improves_likelihood_and_is_deterministic(spark):
     ll_trained, n_empty = ll(t1)
     assert n_empty == 0  # every word still segmentable
     assert ll_trained > ll_seed
+
+
+def test_full_curation_chain_v2_composes(spark):
+    """The r13 capstone: the complete curation pipeline with every r13
+    stage in its production position —
+
+      redact -> exact dedup -> MinHash near-dup survivors ->
+      substring-level cut (ExactSubstr) -> LM perplexity gate ->
+      DSIR selection -> token packing contract
+
+    asserting the end-state invariants each stage owes the next: the
+    cut leaves no cross-doc duplicate runs, the gate/selection only
+    shrink the surviving set, and the selected frame still carries the
+    (doc_id, text) contract packing consumes."""
+    from etl_data_spark.operators.dedup import (
+        dedup_exact,
+        duplicate_spans,
+        minhash_lsh_pairs,
+        connected_components,
+        dedup_survivors,
+        remove_duplicate_spans,
+    )
+    from etl_data_spark.operators.mixing import (
+        dsir_select_topk,
+        lm_perplexity,
+    )
+
+    d = (
+        _with_pii_text(load_table(spark, SF_DIR, "documents"))
+        .select("doc_id", C.redact_pii("t").alias("text"))
+    )
+    # document-level dedup: exact survivors, then near-dup components
+    keep = dedup_exact(d, id_col="doc_id", text_col="text").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    surv = d.join(keep, "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(
+        surv, "doc_id", "text", shingle_n=3, num_hashes=64, bands=16,
+        threshold=0.8,
+    )
+    surv = dedup_survivors(surv, connected_components(pairs), "doc_id")
+    n_doc_level = surv.count()
+
+    # substring-level cut
+    cut = remove_duplicate_spans(surv, n=5).select(
+        "doc_id", F.col("text_deduped").alias("text")
+    )
+    assert cut.count() == n_doc_level  # row-preserving rewrite
+    leftover = duplicate_spans(cut, n=5).count()
+    assert leftover == 0, f"{leftover} cross-doc dup runs survived the cut"
+
+    # quality gate: drop the worst-perplexity decile under the target LM
+    scored = lm_perplexity(cut, cut.filter(F.col("doc_id") % 7 == 0))
+    cutoff = scored.approxQuantile("ppl", [0.9], 0.0)[0]
+    gated = cut.join(
+        scored.filter(F.col("ppl") <= cutoff).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_doc_level
+
+    # DSIR selection between dedup and packing
+    sel = dsir_select_topk(
+        gated, k=min(50, n_gated), target_pred=F.col("doc_id") % 7 == 0
+    )
+    chosen = gated.join(sel.select("doc_id"), "doc_id", "left_semi")
+    assert chosen.count() == min(50, n_gated)
+    assert set(chosen.columns) == {"doc_id", "text"}
+    # packing contract: positive token counts for every selected doc
+    toks = chosen.select(
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    )
+    assert toks.filter(F.col("n") <= 0).count() == 0

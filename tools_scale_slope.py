@@ -365,6 +365,24 @@ def entries():
         # r12: the iterative BPE loop (vocab-sized per round) + apply side
         "bpe_train_merges",
         "bpe_segment_corpus",
+        # r13: substring-level dedup (gram-keyed shuffles + doc window —
+        # must stay linear; salted copies add zero cross-copy dup grams,
+        # so the duplicated-span rate per copy is preserved)
+        "duplicate_spans",
+        "remove_duplicate_spans",
+        # r13: DSIR weights/selection + the bigram LM gate (token-stream
+        # explodes + bounded model joins; target slice doc_id % 7 keeps a
+        # constant fraction under the copy-stride id offsets)
+        "dsir_importance",
+        "dsir_select_topk",
+        "lm_perplexity",
+        # r13: the unigram Viterbi apply side (vocab frame grows with the
+        # salted copies — k times the distinct words — while the corpus
+        # side stays the shared one-join reassembly)
+        "unigram_segment_corpus",
+        # r13: OPQ rotate+encode+rerank over the flat corpus (one-time
+        # encode cost — must stay linear in rows)
+        "ann_opq_rerank_topk",
     ):
         out.append((name, REGISTRY[name].fn))
 
