@@ -240,6 +240,7 @@ def dedup_ingest_batch(
     layout_path: str,
     survivors_path: str,
     threshold: float = 0.8,
+    clusters_path: str | None = None,
 ) -> None:
     """One microbatch of the dedup-gated ingest (the foreachBatch body of
     :func:`stream_dedup_ingest`, module-level so replay semantics are
@@ -261,7 +262,13 @@ def dedup_ingest_batch(
        pair graph is batch-incident, never corpus-sized;
     4. land: survivors OVERWRITE their per-batch directory
        (``batch={id}`` — idempotent under replay), then fold into the
-       band layout (``append_minhash_bands``), then the marker commits.
+       band layout (``append_minhash_bands``);
+    5. optionally (``clusters_path``) fold the batch's pairs into the
+       versioned cluster table (:func:`update_cluster_table` — the
+       continuous form of ``dedup_clusters_incremental``: losers are
+       dropped from the LAYOUT but their membership is recorded, so
+       provenance of what merged with what survives the gate); then
+       the marker commits.
 
     Crash-window honesty: a crash BETWEEN the band append and the marker
     replays the band append — duplicate index rows for that batch's
@@ -287,6 +294,7 @@ def dedup_ingest_batch(
     if not batch_df.take(1):
         return
     pairs = dedup_incremental_at_rest(batch_df, layout_path, threshold)
+    pairs.persist()
     losers = _transitive_batch_losers(
         pairs, batch_df.select(F.col("doc_id"))
     )
@@ -298,8 +306,15 @@ def dedup_ingest_batch(
                 f"{survivors_path}/batch={batch_id}"
             )
             append_minhash_bands(survivors, layout_path)
+        if clusters_path is not None and pairs.take(1):
+            # r13: continuous cluster-table maintenance — the batch's
+            # pairs fold into the versioned (doc_id, cluster_id) table
+            # BEFORE the marker commits, so a crash replays the fold
+            # (a semantic no-op on already-merged components)
+            update_cluster_table(pairs, clusters_path, batch_id)
     finally:
         survivors.unpersist()
+        pairs.unpersist()
     out = fs.create(jm, True)
     out.close()
 
@@ -310,6 +325,7 @@ def stream_dedup_ingest(
     survivors_path: str,
     threshold: float = 0.8,
     checkpoint: str | None = None,
+    clusters_path: str | None = None,
 ):
     """Continuous near-dup-gated ingest — the production loop the at-rest
     MinHash layout exists for (operators/dedup.py, r12): per microbatch,
@@ -322,7 +338,8 @@ def stream_dedup_ingest(
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(
-            batch_df, batch_id, layout_path, survivors_path, threshold
+            batch_df, batch_id, layout_path, survivors_path, threshold,
+            clusters_path,
         )
 
     writer = docs_stream.writeStream.foreachBatch(ingest_batch)
@@ -338,6 +355,7 @@ def semantic_ingest_batch(
     survivors_path: str,
     threshold: float = 0.9,
     id_col: str = "vec_id",
+    clusters_path: str | None = None,
 ) -> None:
     """One microbatch of the SEMANTIC-dedup-gated ingest (r13, VERDICT
     r12 missing #4) — the SemDeDup twin of :func:`dedup_ingest_batch`,
@@ -353,7 +371,10 @@ def semantic_ingest_batch(
        components keep min-id;
     4. land: survivors overwrite their per-batch directory, fold into
        the IVF layout (``append_ivf_partitioned`` — untouched cells
-       never rewritten), then the marker commits.
+       never rewritten);
+    5. optionally (``clusters_path``) fold the batch's pairs into the
+       versioned cluster table (:func:`update_cluster_table`); then
+       the marker commits.
 
     Crash-window honesty matches the MinHash twin: a crash between the
     layout append and the marker replays the append, duplicating index
@@ -381,6 +402,7 @@ def semantic_ingest_batch(
     pairs = semantic_dedup_incremental_at_rest(
         batch_df, layout_path, threshold, id_col
     )
+    pairs.persist()
     losers = _transitive_batch_losers(pairs, batch_df.select(F.col(id_col)))
     survivors = batch_df.join(losers, id_col, "left_anti")
     survivors.persist()
@@ -390,8 +412,11 @@ def semantic_ingest_batch(
                 f"{survivors_path}/batch={batch_id}"
             )
             append_ivf_partitioned(survivors, layout_path)
+        if clusters_path is not None and pairs.take(1):
+            update_cluster_table(pairs, clusters_path, batch_id)
     finally:
         survivors.unpersist()
+        pairs.unpersist()
     out = fs.create(jm, True)
     out.close()
 
@@ -403,6 +428,7 @@ def stream_semantic_ingest(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     checkpoint: str | None = None,
+    clusters_path: str | None = None,
 ):
     """Continuous semantic-dedup-gated ingest over the IVF layout — the
     embedding-space twin of :func:`stream_dedup_ingest`: per microbatch,
@@ -414,10 +440,85 @@ def stream_semantic_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         semantic_ingest_batch(
             batch_df, batch_id, layout_path, survivors_path, threshold,
-            id_col,
+            id_col, clusters_path,
         )
 
     writer = vec_stream.writeStream.foreachBatch(ingest_batch)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# --- continuous cluster-table maintenance (r13, ROTATION carry-over) -------
+
+
+def read_cluster_table(spark, root: str):
+    """The live (doc_id, cluster_id) table under ``root``, resolved via
+    the ``_current`` pointer (versioned dirs — the manifest-pointer
+    discipline of io/manifest.py at table granularity). Returns None
+    when no version has been published."""
+    from etl_data_spark.io.writers import _fs, _jpath
+
+    fs, jp = _fs(spark, f"{root}/_current")
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        name = (
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            ).strip()
+        )
+    finally:
+        stream.close()
+    return spark.read.parquet(f"{root}/{name}")
+
+
+def update_cluster_table(pairs, root: str, batch_id: int, keep: int = 2):
+    """Fold a batch's near-dup pairs into the versioned cluster table:
+    read the pointer, run ``connected_components_incremental`` on
+    |labels| + |batch pairs| edges (never the pair history), write the
+    updated table under ``v{batch_id}``, flip the pointer LAST, then
+    reclaim versions older than ``keep``.
+
+    Crash/replay semantics match the ingest loops that call this:
+    re-folding pairs whose components are already merged is a
+    SEMANTIC NO-OP (the edges connect already-connected nodes), so a
+    replayed batch rewrites an identical ``v{batch_id}`` and re-flips
+    the pointer to it — idempotent; and a crash mid-write leaves the
+    old version intact behind the old pointer (old-or-new, never
+    torn)."""
+    from pyspark.sql import functions as F
+
+    from etl_data_spark.io.writers import _fs, _jpath
+    from etl_data_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    spark = pairs.sparkSession
+    labels = read_cluster_table(spark, root)
+    if labels is None:
+        updated = connected_components(pairs)
+    else:
+        updated = connected_components_incremental(labels, pairs)
+    vname = f"v{batch_id:06d}"
+    updated.write.mode("overwrite").parquet(f"{root}/{vname}")
+    fs, jp = _fs(spark, f"{root}/_current")
+    out = fs.create(jp, True)
+    try:
+        out.write(vname.encode("utf-8"))
+    finally:
+        out.close()
+    # reclaim superseded versions (keep the last `keep` for in-flight
+    # readers — the manifest_gc convention)
+    rootp = _jpath(spark, root)
+    if fs.exists(rootp):
+        versions = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(rootp)
+            if st.isDirectory() and st.getPath().getName().startswith("v")
+        )
+        for old in versions[:-keep]:
+            if old != vname:
+                fs.delete(_jpath(spark, f"{root}/{old}"), True)

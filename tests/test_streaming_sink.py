@@ -418,3 +418,57 @@ def test_stream_semantic_ingest_gates_batches_against_the_layout(
     semantic_ingest_batch(b1, 0, layout, surv, threshold=0.9)
     semantic_ingest_batch(b2, 1, layout, surv, threshold=0.9)
     assert listing() == before
+
+
+def test_ingest_maintains_cluster_table_across_batches(spark, tmp_path):
+    """r13 (ROTATION carry-over): with clusters_path set, the ingest
+    loop folds each batch's pairs into a versioned cluster table —
+    equal to from-scratch clustering over the union of all pairs, with
+    dropped duplicates' MEMBERSHIP recorded (provenance survives the
+    gate), and a replayed batch leaves the table unchanged."""
+    from etl_data_spark.operators.dedup import write_minhash_bands
+    from etl_data_spark.queries import load_table
+    from etl_data_spark.streaming.pipeline import (
+        dedup_ingest_batch,
+        read_cluster_table,
+    )
+
+    sf_docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = sf_docs.filter(F.col("doc_id") < 300)
+    layout = str(tmp_path / "layout")
+    write_minhash_bands(base, layout)
+    corpus_text = base.filter(F.col("doc_id") == 7).first()["text"]
+    dup_text = "two copies of this text arrive in the same batch " * 3
+    b1 = spark.createDataFrame(
+        [(9000, corpus_text), (9002, dup_text), (9003, dup_text)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(9100, dup_text)], "doc_id long, text string"
+    )
+    surv = str(tmp_path / "surv")
+    clusters = str(tmp_path / "clusters")
+    dedup_ingest_batch(b1, 0, layout, surv, clusters_path=clusters)
+    t1 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in read_cluster_table(spark, clusters).collect()
+    }
+    assert (9000, 7) in t1 and (9003, 9002) in t1 and (9002, 9002) in t1
+
+    dedup_ingest_batch(b2, 1, layout, surv, clusters_path=clusters)
+    t2 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in read_cluster_table(spark, clusters).collect()
+    }
+    # 9100 merges into the LANDED survivor 9002's cluster, history kept
+    assert t2 >= t1 and (9100, 9002) in t2
+
+    # replay: marker-gated no-op (pointer and table unchanged)
+    dedup_ingest_batch(b1, 0, layout, surv, clusters_path=clusters)
+    t3 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in read_cluster_table(spark, clusters).collect()
+    }
+    assert t3 == t2
