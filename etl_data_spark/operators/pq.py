@@ -1039,3 +1039,44 @@ def train_opq_residual(
         _training_sample(df, centroids, sample_rows, id_col, vec_col),
         m, k, iters, opq_iters,
     )
+
+
+def rotate_vectors_blas(
+    df: DataFrame,
+    R: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production twin of :func:`rotate_vectors`: Arrow-batched
+    mapInPandas matmul (float64 BLAS dgemm — O(batch * d^2) flops with
+    no per-element expression interpretation; the ``pca_project``
+    convention). Use for bulk corpus rotation at encode time; the
+    expression path stays the ORACLE form because BLAS may reassociate
+    the per-output sums (last-ulp differences — np.allclose-equal,
+    pinned by test, but not bit-equal, so driver-verified entries keep
+    the fold). Keeps (id_col, out_col) only — the bulk-encode
+    projection."""
+    import numpy as np
+    import pandas as pd
+
+    Rm = np.asarray(R, dtype=np.float64)
+    out = out_col or vec_col
+
+    def rot(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rotated = mat @ Rm
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    out: list(rotated),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        rot, schema=f"{id_col} {id_type}, {out} array<double>"
+    )

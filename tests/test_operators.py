@@ -2639,3 +2639,31 @@ def test_opq_layout_roundtrip_and_append(spark, tmp_path):
         spark, path, q, k=3, n_probe=2, shortlist=30
     ).collect()
     assert {r["vec_id"] for r in got2[:2]} == {5, 77777}
+
+
+def test_rotate_vectors_blas_matches_expression_path(spark):
+    """The BLAS bulk-rotation twin agrees with the exact expression fold
+    to float tolerance (BLAS may reassociate sums — allclose, not
+    bit-equal; driver-verified entries keep the fold, bulk encode takes
+    dgemm — the pca_project convention)."""
+    import numpy as np
+
+    from etl_data_spark.operators import pq as PQ
+    from etl_data_spark.queries import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(200)
+    R = PQ.opq_seed_rotation(64)
+    exact = {
+        r["vec_id"]: np.array(r["rv"])
+        for r in PQ.rotate_vectors(e, R, "embedding", "rv")
+        .select("vec_id", "rv").collect()
+    }
+    blas = {
+        r["vec_id"]: np.array(r["rv"])
+        for r in PQ.rotate_vectors_blas(e, R, "embedding", "rv").collect()
+    }
+    assert exact.keys() == blas.keys()
+    for k in exact:
+        assert np.allclose(exact[k], blas[k], rtol=1e-12, atol=1e-12)
