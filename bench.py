@@ -121,6 +121,7 @@ SCALE_OPS = [
     "dsir_importance",  # r13: DSIR data-mixing weights (born r13)
     "dsir_select_topk",  # r13: Gumbel-top-k weighted selection (born r13)
     "lm_perplexity",  # r13: interpolated-bigram quality gate (born r13)
+    "duplicate_spans_incremental_at_rest",  # r13: at-rest gram-index probe
 ]
 
 # Round-3 statistics/profiling/graph family (queries_stats.py).

@@ -482,6 +482,7 @@ PRIORITY_R13 = [
     "ann_opq_rerank_topk",
     "lm_perplexity",
     "unigram_segment_corpus",
+    "duplicate_spans_incremental_at_rest",
     "bpe_train_merges",
     "bpe_segment_corpus",
     "ann_pq_adc_topk",
@@ -527,10 +528,10 @@ PRIORITY_R13 = [
     "concentration_trend",
     "cramers_v",
     "degree_assortativity",
-    "diff_in_diff",
-    # (fk_orphan_report and fd_discovery displaced by the late-r13
-    # lm_perplexity / unigram_segment_corpus births — r7-green,
-    # re-queued to open the r14 fill)
+    # (fk_orphan_report, fd_discovery and diff_in_diff displaced by the
+    # late-r13 lm_perplexity / unigram_segment_corpus /
+    # duplicate_spans_incremental_at_rest births — r7-green, re-queued
+    # to open the r14 fill)
 ]
 assert len(PRIORITY_R13) == 50, f"PRIORITY_R13 must fill the window exactly: {len(PRIORITY_R13)}"
 
@@ -566,6 +567,12 @@ CHANGED_THIS_ROUND = [
     # segment_with_merges in the same change (bpe_segment_corpus is
     # already in the changed head):
     "unigram_segment_corpus",
+    # late-r13 BORN: the at-rest gram index + incremental ExactSubstr
+    # probe (write_gram_index / duplicate_spans_incremental_at_rest —
+    # the substring-dedup twin of dedup_incremental_at_rest; the shared
+    # _spans_from_hits refactor also touches duplicate_spans, already
+    # in the head); displaced diff_in_diff (r7-green, re-queued r14):
+    "duplicate_spans_incremental_at_rest",
     # r13 changed paths: segment_with_merges reworked to the vocab-frame
     # + broadcast-join form (the r12 `weak` — corpus-side plan now
     # constant in vocabulary size) and initial_segmentation gained the

@@ -1096,8 +1096,6 @@ def duplicate_spans(
     only (sql/init/01_init_all.sql duplicate detector); this is the
     beyond-reference curation surface.
     """
-    from pyspark.sql import Window
-
     if min_len is None:
         min_len = n
     gp = _gram_positions(df, id_col, text_col, n)
@@ -1108,27 +1106,7 @@ def duplicate_spans(
         .select("gram")
     )
     hits = gp.join(dup, "gram").select("doc_id", "p")
-    w = Window.partitionBy("doc_id").orderBy("p")
-    runs = hits.withColumn(
-        "island",
-        F.sum(
-            F.when(
-                F.col("p") - F.lag("p", 1).over(w) > n, 1
-            ).otherwise(0)
-        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        runs.groupBy("doc_id", "island")
-        .agg(
-            F.min("p").alias("span_start"),
-            (F.max("p") + (n - 1)).alias("span_end"),
-        )
-        .withColumn(
-            "n_tokens", F.col("span_end") - F.col("span_start") + 1
-        )
-        .filter(F.col("n_tokens") >= min_len)
-        .select("doc_id", "span_start", "span_end", "n_tokens")
-    )
+    return _spans_from_hits(hits, n, min_len)
 
 
 def remove_duplicate_spans(
@@ -1213,3 +1191,172 @@ def remove_duplicate_spans(
     return df.join(
         rebuilt.withColumnRenamed("doc_id", id_col), id_col, "left"
     ).withColumn(out_col, F.coalesce(out_col, F.lit("")))
+
+
+def _spans_from_hits(
+    hits: DataFrame, n: int, min_len: int
+) -> DataFrame:
+    """Coalesce duplicated gram-start positions into maximal spans —
+    the shared gaps-and-islands step of every substring-dedup path
+    (``hits`` = (doc_id, p))."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = hits.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("p") - F.lag("p", 1).over(w) > n, 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + (n - 1)).alias("span_end"),
+        )
+        .withColumn("n_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .filter(F.col("n_tokens") >= min_len)
+        .select("doc_id", "span_start", "span_end", "n_tokens")
+    )
+
+
+def write_gram_index(
+    df: DataFrame,
+    path: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> None:
+    """Materialize the corpus' substring-dedup GRAM INDEX: per distinct
+    word n-gram, its distinct-document count, parquet-partitioned by a
+    hash bucket of the gram — the at-rest layout that lets a batch
+    probe for cross-document repeated spans WITHOUT re-gramming the
+    corpus (the substring-dedup twin of ``write_minhash_bands``).
+    Sidecar-described (`_ann_meta.json`, kind ``gram_index``); the
+    bucket is purely a PartitionFilter key (xxhash64 — engine-local,
+    never compared across engines)."""
+    from etl_data_spark.operators.similarity import _write_layout_meta
+
+    stats = (
+        _gram_positions(df, id_col, text_col, n)
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("gram"), F.lit(buckets)).cast("int")
+        )
+    )
+    stats.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/grams"
+    )
+    _write_layout_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "gram_index",
+            "n": int(n),
+            "id_col": id_col,
+            "text_col": text_col,
+            "buckets": int(buckets),
+        },
+    )
+
+
+def _read_gram_meta(spark, path: str, op: str) -> dict:
+    from etl_data_spark.operators.similarity import _read_layout_meta
+
+    meta = _read_layout_meta(spark, path)
+    if meta is None or meta.get("kind") != "gram_index":
+        raise ValueError(
+            f"{op}: layout at {path!r} is "
+            f"kind={None if meta is None else meta.get('kind')!r}, not "
+            "'gram_index' — write it with write_gram_index first."
+        )
+    return meta
+
+
+def duplicate_spans_incremental_at_rest(
+    delta: DataFrame,
+    path: str,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Cross-document repeated spans of a DELTA batch against a
+    :func:`write_gram_index` layout — incremental ExactSubstr: the
+    batch is grammed (the only gramming work in the job), its gram
+    stats merge with the stored per-gram document counts (delta ids are
+    new, so counts ADD), and a batch position is duplicated when the
+    combined distinct-document count reaches 2 — identical to
+    :func:`duplicate_spans` over (corpus ∪ delta) restricted to delta
+    documents, which is what the oracle replays.
+
+    Per-batch cost tracks |delta| + the PROBED buckets' stored bytes
+    (the batch's gram buckets become a PartitionFilter — a bounded
+    <= ``buckets``-value IN list); the corpus text is never re-read.
+    Append rows may split a gram across files, so the stored side
+    aggregates per gram before merging (same contract as the band
+    table's accumulated appends)."""
+    spark = delta.sparkSession
+    meta = _read_gram_meta(spark, path, "duplicate_spans_incremental_at_rest")
+    n, buckets = meta["n"], meta["buckets"]
+    if min_len is None:
+        min_len = n
+    # pinned (not checkpointed): the gram stream feeds the stats, the
+    # bucket collect AND the hits join — the operator self-containment
+    # contract (caching.pin; consumers release_all() after materializing)
+    dgp = pin(
+        _gram_positions(delta, meta["id_col"], meta["text_col"], n),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    dstats = pin(
+        dgp.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("gram"), F.lit(buckets)).cast("int")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    # bounded collect: at most `buckets` distinct values — the partition
+    # filter a probe needs is driver-known by construction
+    probe_buckets = [
+        r["bucket"] for r in dstats.select("bucket").distinct().collect()
+    ]
+    stored = (
+        spark.read.parquet(f"{path}/grams")
+        .filter(F.col("bucket").isin(probe_buckets))
+        .groupBy("gram")
+        .agg(F.sum("n_docs").alias("ns"))
+    )
+    dup = (
+        dstats.join(stored, "gram", "left")
+        .filter(
+            F.col("nd") + F.coalesce(F.col("ns"), F.lit(0)) >= 2
+        )
+        .select("gram")
+    )
+    hits = dgp.join(dup, "gram").select("doc_id", "p")
+    return _spans_from_hits(hits, n, min_len)
+
+
+def append_gram_index(df: DataFrame, path: str) -> None:
+    """Fold a landed batch's gram stats into the index
+    (dynamic-partition append — untouched buckets are never rewritten).
+    The batch's doc ids must be disjoint from the corpus'; counts for a
+    gram accumulate as extra rows, which probes SUM per gram. Fold
+    accumulated files with ``similarity.compact_layout`` (the generic
+    compactor understands the ``bucket`` partition column; duplicate
+    gram rows survive compaction by design — exactness lives in the
+    probe-side aggregation)."""
+    spark = df.sparkSession
+    meta = _read_gram_meta(spark, path, "append_gram_index")
+    n, buckets = meta["n"], meta["buckets"]
+    (
+        _gram_positions(df, meta["id_col"], meta["text_col"], n)
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("gram"), F.lit(buckets)).cast("int")
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/grams")
+    )

@@ -3874,3 +3874,71 @@ def q_ann_opq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("l2_dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "duplicate_spans_incremental_at_rest",
+    # oracle = the global duplicate_spans replay over corpus ∪ delta,
+    # restricted to DELTA documents: delta ids are disjoint from the
+    # corpus', so the at-rest path's stored-count + batch-count merge is
+    # exactly the global distinct-document count
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 5 + 2)) AS i
+            FROM w)
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)
+      WHERE g.doc_id >= {_DELTA_FROM}
+    ),
+    runs AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN p - lag_p > 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lag_p
+            FROM hits)
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS INT) AS span_start,
+           CAST(MAX(p) + 4 AS INT) AS span_end,
+           CAST(MAX(p) - MIN(p) + 5 AS INT) AS n_tokens
+    FROM runs GROUP BY doc_id, island
+    HAVING MAX(p) - MIN(p) + 5 >= 5
+    """,
+    doc="Incremental ExactSubstr against the at-rest GRAM INDEX "
+    "(write_gram_index — per-gram distinct-doc counts partitioned by a "
+    "gram-hash bucket): the batch is grammed (the only gramming work), "
+    "its gram buckets become a PartitionFilter on the stored index, and "
+    "a batch position is duplicated when batch + stored document counts "
+    "reach 2 — row-identical to duplicate_spans over corpus ∪ delta "
+    "restricted to delta docs (the oracle's replay). Per-batch cost "
+    "tracks the batch + probed buckets, never corpus text — the "
+    "substring-dedup twin of dedup_incremental_at_rest.",
+)
+def q_duplicate_spans_incremental_at_rest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    path = _throwaway_layout_dir("q_gram_index_")
+    D.write_gram_index(d.filter(F.col("doc_id") < _DELTA_FROM), path, n=5)
+    spans = D.duplicate_spans_incremental_at_rest(
+        d.filter(F.col("doc_id") >= _DELTA_FROM), path
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("int"),
+        F.col("span_end").cast("int"),
+        F.col("n_tokens").cast("int"),
+    )

@@ -745,3 +745,63 @@ def test_full_curation_chain_v2_composes(spark):
         F.size(F.split(F.trim("text"), r"\s+")).alias("n")
     )
     assert toks.filter(F.col("n") <= 0).count() == 0
+
+
+def test_gram_index_probe_prunes_and_appends(spark, tmp_path):
+    """The at-rest gram index: the probe's stored-side scan carries a
+    bucket PartitionFilter (never a full-index read), appended batches
+    are visible to the NEXT probe (counts accumulate as rows), and the
+    probe equals the global report restricted to the delta."""
+    from etl_data_spark.operators.dedup import (
+        append_gram_index,
+        duplicate_spans,
+        duplicate_spans_incremental_at_rest,
+        write_gram_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    corpus = d.filter(F.col("doc_id") < 300)
+    delta = d.filter(F.col("doc_id") >= 300)
+    path = str(tmp_path / "gram_idx")
+    write_gram_index(corpus, path, n=5)
+
+    probe = duplicate_spans_incremental_at_rest(delta, path)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in probe.collect()
+    }
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(d, n=5)
+        .filter(F.col("doc_id") >= 300)
+        .collect()
+    }
+    assert got == want
+
+    # plan: the stored index scans behind a bucket PartitionFilter
+    plan = duplicate_spans_incremental_at_rest(
+        delta, path
+    )._jdf.queryExecution().executedPlan().toString()
+    # plan rendering truncates paths — identify the index scan by its
+    # column signature (n_docs/bucket), the test_plan_quality precedent
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "n_docs" in ln
+    ]
+    assert scans, "expected a stored gram-index scan"
+    for ln in scans:
+        assert "PartitionFilters: [" in ln
+        assert "bucket" in ln.split("PartitionFilters")[1][:250], ln[:300]
+
+    # append: a landed batch's grams count toward the NEXT batch's probe
+    b1 = spark.createDataFrame(
+        [(9000, "entirely novel boilerplate passage repeated later on")],
+        "doc_id long, text string",
+    )
+    append_gram_index(b1, path)
+    b2 = spark.createDataFrame(
+        [(9001, "prefix entirely novel boilerplate passage repeated later on")],
+        "doc_id long, text string",
+    )
+    got2 = duplicate_spans_incremental_at_rest(b2, path).collect()
+    assert len(got2) == 1 and got2[0]["n_tokens"] >= 7
