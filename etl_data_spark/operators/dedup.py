@@ -164,6 +164,7 @@ def minhash_signature(hash_col: str, num_hashes: int = 64) -> F.Column:
     return F.array(*mins)
 
 
+
 def band_keys(sig_col: str, bands: int, rows_per_band: int) -> F.Column:
     """Cut the signature into bands; key = band index + joined band values."""
     return F.array(
@@ -353,35 +354,56 @@ def ngram_jaccard_pairs(
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al. 2014, "Connected Components in
     MapReduce and Beyond", Alg. 1): every node connects its strictly-larger
-    neighbors to the minimum of its closed neighborhood. Input/output are
-    canonical (hi, lo) edge pairs; one groupBy shuffle + one keyed join."""
+    neighbors to the minimum of its closed neighborhood.
+
+    r13 (guide §2.4 — remove shuffles outright): the neighborhood minimum
+    is a window over ``u`` instead of a groupBy + join back (one exchange
+    instead of three: the agg shuffle, the join-side re-shuffle, and the
+    output ``distinct`` — the small-star tail's distinct normalizes the
+    round anyway, so each round's edge SET, and therefore the contraction
+    trajectory, round count, and labels, are unchanged; pinned by
+    tests/test_properties.py::test_star_contraction_matches_union_find)."""
+    from pyspark.sql import Window
+
     both = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
-    mins = both.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
-    )
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        both.join(mins, "u")
+        both.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round (ibid., Alg. 2): orient every edge toward its
     larger endpoint, then connect each node's smaller neighbors (and
-    itself) to the minimum neighbor."""
+    itself) to the minimum neighbor.
+
+    r13: the per-``hi`` minimum is a window; relink and center rows are
+    emitted from the SAME windowed pass via one generator (no second
+    shuffle for the agg + no join back), and the closing ``distinct``
+    collapses the duplicate center rows the generator emits — the output
+    edge set is identical to the groupBy + join formulation."""
+    from pyspark.sql import Window
+
     oriented = edges.select("hi", "lo")  # already hi > lo
-    mins = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
-    relink = (
-        oriented.join(mins, "hi")
-        .filter(F.col("lo") != F.col("m"))
-        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    m = F.min("lo").over(Window.partitionBy("hi"))
+    relink = F.struct(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    center = F.struct(F.col("hi").alias("hi"), F.col("m").alias("lo"))
+    return (
+        oriented.withColumn("m", m)
+        .select(
+            F.explode(
+                F.when(
+                    F.col("lo") != F.col("m"), F.array(relink, center)
+                ).otherwise(F.array(center))
+            ).alias("e")
+        )
+        .select("e.hi", "e.lo")
+        .distinct()
     )
-    center = mins.select(F.col("hi"), F.col("m").alias("lo"))
-    return relink.union(center).distinct()
 
 
 def star_contraction(
@@ -519,6 +541,7 @@ def simhash(hash_col: str, bits: int = 28) -> F.Column:
         for j in range(bits)
     ]
     return F.array(*[(F.when(v > 0, 1).otherwise(0)) for v in bit_votes])
+
 
 
 def hamming(a: str | F.Column, b: str | F.Column) -> F.Column:
@@ -1043,19 +1066,37 @@ def _gram_positions(
 ) -> DataFrame:
     """(doc_id, p, gram): the word n-gram starting at 1-based token
     position p of each document — the sorted-suffix anchor table of the
-    substring-dedup formulation. One corpus-sized explode, no UDF."""
+    substring-dedup formulation. One corpus-sized explode, no UDF.
+
+    r13 optimization (guide §4.1: built-ins over interpreted lambdas):
+    the original ``transform(sequence, i -> struct(i, array_join(slice(
+    ws, i, n))))`` build evaluated an INTERPRETED higher-order lambda
+    with an array allocation per position — measured 4.8s for 250k
+    grams at sf0.1 (19 us/gram). ``posexplode(sequence)`` + per-position
+    ``concat_ws(element_at(..))`` stays inside WholeStageCodegen end to
+    end: 0.51s for the identical output (9.3x), byte-equal (exceptAll
+    both ways = 0 rows). Plan stays map-only before the gram shuffle,
+    so the 100 TB shape is unchanged."""
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0))),
-        lambda i: F.struct(
-            i.alias("p"),
-            F.array_join(F.slice(ws, i, n), " ").alias("gram"),
-        ),
-    )
+    # sequence(1, k) with k < 1 would DESCEND, but the size >= n filter
+    # guarantees k >= 1 (same guard the original relied on).
     return (
         df.filter(F.size(ws) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
-        .select("doc_id", "g.p", "g.gram")
+        .select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("_ws") - (n - 1))
+            ).alias("_i", "p"),
+            F.col("_ws"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.concat_ws(
+                " ", *[F.element_at("_ws", F.col("p") + j) for j in range(n)]
+            ).alias("gram"),
+        )
     )
 
 
@@ -1246,9 +1287,16 @@ def write_gram_index(
             "bucket", F.pmod(F.xxhash64("gram"), F.lit(buckets)).cast("int")
         )
     )
-    stats.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/grams"
-    )
+    # Cluster by the partition column before the dynamic-partition write
+    # (guide §6): without it every write task holding rows of every
+    # bucket emits tasks x buckets files (measured 256 at sf0.1 — 4x the
+    # bucket count); hashed on bucket it is one file per bucket. Probes
+    # then open `probed buckets` files, not 4x that. At corpus scale,
+    # raise ``buckets`` (the existing knob) so one bucket ~ one healthy
+    # file; the write parallelism follows the bucket count.
+    stats.repartition(buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/grams")
     _write_layout_meta(
         df.sparkSession,
         path,

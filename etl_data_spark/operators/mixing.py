@@ -60,26 +60,35 @@ def hashed_grams(
 ) -> DataFrame:
     """(doc_id, b): one row per word unigram AND bigram occurrence,
     hashed to its bucket. The DSIR feature stream."""
+    # r13 optimization (guide §4.1): the bigram array was built by an
+    # INTERPRETED transform() lambda per document before the explode;
+    # indexing positions 1..2*size-1 through one codegen'd posexplode
+    # (k <= size -> unigram k, k > size -> bigram k-size) emits the
+    # identical gram stream (same rows, same per-doc order) with no
+    # interpreted HOF in the corpus path. Map-only shape unchanged.
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
-    unigrams = ws
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    gram = F.when(
+        F.col("_k") <= F.size("_ws"), F.element_at("_ws", F.col("_k"))
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.element_at("_ws", F.col("_k") - F.size("_ws")),
+            F.element_at("_ws", F.col("_k") - F.size("_ws") + 1),
+        )
+    )
     return (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
         .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.concat(unigrams, bigrams)).alias("gram"),
+            "doc_id",
+            F.col("_ws"),
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("_ws") * 2 - 1)
+            ).alias("_i", "_k"),
         )
         .select(
             "doc_id",
-            (_md5_32(F.concat(F.lit("dsir:"), F.col("gram"))) % n_buckets)
+            (_md5_32(F.concat(F.lit("dsir:"), gram)) % n_buckets)
             .cast("int")
             .alias("b"),
         )
@@ -235,21 +244,28 @@ def _word_bigrams(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
     """(doc_id, w1, w2): one row per adjacent word pair."""
+    # r13 optimization (guide §4.1): posexplode(sequence) + element_at —
+    # codegen'd — replaces the interpreted transform() struct build; the
+    # emitted (doc_id, w1, w2) rows are identical. size >= 2 is gated by
+    # the sequence bound (size*1 - 1 >= 1), matching the old F.when.
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
-    pairs = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(
-                F.element_at(ws, i).alias("w1"),
-                F.element_at(ws, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     return (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
-        .select("doc_id", "p.w1", "p.w2")
+        df.filter(
+            (F.length(F.trim(F.col(text_col))) > 0) & (F.size(ws) >= 2)
+        )
+        .select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
+        .select(
+            "doc_id",
+            F.col("_ws"),
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("_ws") - 1)
+            ).alias("_j", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("_ws", F.col("_i")).alias("w1"),
+            F.element_at("_ws", F.col("_i") + 1).alias("w2"),
+        )
     )
 
 

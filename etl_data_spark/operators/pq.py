@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_data_spark.operators import _sqlexpr as _sx
+
 
 def train_pq(
     df: DataFrame,
@@ -142,16 +144,13 @@ def _centroid_map_expr(
     centroids: list[tuple[int, list[float]]],
 ) -> "F.Column":
     """``map<cell, centroid array>`` as one plan literal — the coarse
-    quantizer for residual arithmetic (one lookup per row, no join)."""
-    return F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c, _ in centroids]),
-        F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in v])
-                for _, v in centroids
-            ]
-        ),
-    )
+    quantizer for residual arithmetic (one lookup per row, no join).
+    Rendered as SQL text and parsed once (r13: the nested ``F.lit``
+    build cost k*d py4j round-trips; the parsed expression is
+    identical)."""
+    keys = "array(" + ", ".join(str(int(c)) for c, _ in centroids) + ")"
+    vals = "array(" + ", ".join(_sx.dbl_array(v) for _, v in centroids) + ")"
+    return F.expr(f"map_from_arrays({keys}, {vals})")
 
 
 def residual_expr(
@@ -186,21 +185,25 @@ def pq_encode(
     ids — a narrow Column-only map (codebooks are plan literals; argmin
     via array_position of array_min, first match, so ties break to the
     lowest code id in both engines). The vector column is untouched;
-    drop it after encoding to realize the storage win."""
+    drop it after encoding to realize the storage win.
+
+    r13: the expression is rendered as SQL text and parsed once —
+    building the identical tree through nested ``F.lit``/``F.array``
+    cost 4.16s of py4j round-trips at m=8, k=16, d=64 (vs 0.66s parsed;
+    same executed plan, byte-identical codes)."""
     sub = len(codebooks[0][0])
     codes = []
     for s, book in enumerate(codebooks):
-        subvec = F.slice(F.col(vec_col), s * sub + 1, sub)
-        dists = F.array(
-            *[
-                _sq_l2(subvec, F.array(*[F.lit(float(x)) for x in cent]))
-                for cent in book
-            ]
+        sv = f"slice(`{vec_col}`, {s * sub + 1}, {sub})"
+        dists = (
+            "array("
+            + ", ".join(_sx.sq_l2_lit(sv, cent) for cent in book)
+            + ")"
         )
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            f"CAST((array_position({dists}, array_min({dists})) - 1) AS INT)"
         )
-    return df.withColumn(out_col, F.array(*codes))
+    return df.withColumn(out_col, F.expr("array(" + ", ".join(codes) + ")"))
 
 
 def pq_adc_lut(
@@ -254,15 +257,14 @@ def _adc_score_expr(
 ) -> "F.Column":
     """``sum_s LUT[s][code_s]`` as literal array lookups over the code
     column — the shared ADC kernel (global LUT for raw encodings,
-    per-probed-cell LUTs for residual ones)."""
-    score = None
-    for s, row in enumerate(lut):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in row]),
-            F.element_at(F.col(code_col), s + 1) + 1,
-        )
-        score = term if score is None else score + term
-    return score
+    per-probed-cell LUTs for residual ones). SQL-text parsed (r13):
+    identical left-associated sum, one py4j call instead of m*k."""
+    terms = [
+        f"element_at({_sx.dbl_array(row)}, "
+        f"element_at(`{code_col}`, {s + 1}) + 1)"
+        for s, row in enumerate(lut)
+    ]
+    return F.expr(" + ".join(f"({t})" for t in terms))
 
 
 def pq_topk_rerank(
@@ -288,7 +290,7 @@ def pq_topk_rerank(
         codes, query_vec, codebooks, k=shortlist, id_col=id_col,
         code_col=code_col,
     ).select(id_col)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.expr(_sx.dbl_array(query_vec))
     return (
         vectors.join(F.broadcast(short), id_col)
         .select(
@@ -547,7 +549,7 @@ def ivfpq_topk_at_rest(
             "ivfpq_topk_at_rest: shortlist rerank needs a layout written "
             "with keep_vectors=True — this one stores codes only."
         )
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.expr(_sx.dbl_array(query_vec))
     return (
         scan.select(id_col, vec_col)
         .join(F.broadcast(short), id_col)
@@ -653,14 +655,14 @@ def sq8_encode(
     now covers). Out-of-sample values clamp (saturating quantizer);
     positive-domain round is HALF_UP in both engines, so the SQL oracle
     replays codes exactly."""
-    mins_lit = F.array(*[F.lit(v) for v in bounds["mins"]])
+    mins_lit = F.expr(_sx.dbl_array(bounds["mins"]))
     # inv computed as 255/(hi-lo) directly — NOT 1/step — so the SQL
     # oracle's identical expression produces bit-equal doubles
-    inv_lit = F.array(
-        *[
-            F.lit(255.0 / (hi - lo) if hi > lo else 0.0)
+    inv_lit = F.expr(
+        _sx.dbl_array(
+            255.0 / (hi - lo) if hi > lo else 0.0
             for lo, hi in zip(bounds["mins"], bounds["maxs"])
-        ]
+        )
     )
     shifted = F.zip_with(
         F.col(vec_col), mins_lit, lambda x, lo: x.cast("double") - lo
@@ -684,10 +686,10 @@ def _sq8_dist_expr(
     passes over plan literals + one left-to-right fold (the order the
     SQL oracle mirrors)."""
     scales = _sq8_scales(bounds)
-    qm_lit = F.array(
-        *[F.lit(q - lo) for q, lo in zip(query_vec, bounds["mins"])]
+    qm_lit = F.expr(
+        _sx.dbl_array(q - lo for q, lo in zip(query_vec, bounds["mins"]))
     )
-    sc_lit = F.array(*[F.lit(s) for s in scales])
+    sc_lit = F.expr(_sx.dbl_array(scales))
     deq = F.zip_with(
         F.col(code_col), sc_lit, lambda c, s: c.cast("double") * s
     )
@@ -738,7 +740,7 @@ def sq8_topk_rerank(
         codes, query_vec, bounds, k=shortlist, id_col=id_col,
         code_col=code_col,
     ).select(id_col)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.expr(_sx.dbl_array(query_vec))
     return (
         vectors.join(F.broadcast(short), id_col)
         .select(
@@ -928,20 +930,24 @@ def _rotate_expr(vec_col, R: list[list[float]]) -> "F.Column":
     The scale story doesn't ride on this expression either way: the
     corpus rotates ONCE at layout-write time (``write_ivf_pq(opq=True)``)
     and probes rotate only the QUERY, driver-side — serving never pays
-    d^2 per corpus row."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    d^2 per corpus row.
+
+    r13: rendered as SQL text (one F.expr parse) — the nested
+    F.lit/F.array build cost d^2 py4j round-trips; the parsed
+    aggregate/zip_with tree (and therefore the fold order and every
+    double) is identical."""
+    if not isinstance(vec_col, str):
+        raise TypeError("_rotate_expr: vec_col must be a column NAME")
     d = len(R)
     outs = []
     for j in range(d):
-        col_j = F.array(*[F.lit(float(R[i][j])) for i in range(d)])
+        col_j = _sx.dbl_array([R[i][j] for i in range(d)])
         outs.append(
-            F.aggregate(
-                F.zip_with(v, col_j, lambda x, r: x.cast("double") * r),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
+            f"aggregate(zip_with(`{vec_col}`, {col_j}, "
+            "(x, r) -> CAST(x AS DOUBLE) * r), "
+            "0.0D, (acc, t) -> acc + t)"
         )
-    return F.array(*outs)
+    return F.expr("array(" + ", ".join(outs) + ")")
 
 
 def rotate_vectors(

@@ -29,6 +29,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_data_spark.operators import _sqlexpr as _sx
+
 
 def _guard_max_pairs(
     left: DataFrame,
@@ -133,7 +135,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against one query vector. Ties break on id."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.expr(_sx.dbl_array(query_vec))
     return (
         df.select(
             F.col(id_col),
@@ -613,7 +615,7 @@ def lsh_bucket_assign(
     """
     bucket = F.lit(0)
     for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _plane(seed, p, dim)])
+        plane = F.expr(_sx.dbl_array(_plane(seed, p, dim)))
         bit = F.when(dot(F.col(vec_col), plane) >= 0, 1).otherwise(0)
         bucket = bucket * 2 + bit
     return df.withColumn(out_col, bucket)
@@ -665,7 +667,7 @@ def ivf_assign(
         neg_inf = F.lit(float("-inf"))
         entries = []
         for cid, vec in centroids:
-            c = F.array(*[F.lit(float(v)) for v in vec])
+            c = F.expr(_sx.dbl_array(vec))
             cn = math.sqrt(sum(float(v) * float(v) for v in vec))
             sim = F.try_divide(dot(F.col(vec_col), c), vn * F.lit(cn))
             entries.append(
@@ -748,7 +750,7 @@ def kmeans_objective(
     assigned = ivf_assign(df, centroids, vec_col)
     best_sim = None
     for cid, vec in centroids:
-        c = F.array(*[F.lit(float(v)) for v in vec])
+        c = F.expr(_sx.dbl_array(vec))
         sim = F.when(F.col("cell") == cid, cosine(F.col(vec_col), c))
         best_sim = sim if best_sim is None else F.coalesce(best_sim, sim)
     return assigned.select(F.avg(best_sim).alias("obj")).collect()[0]["obj"]
@@ -774,7 +776,7 @@ def ivf_probes(
 
 
 def _ivf_score_probed(candidates: DataFrame, query_vec, k, id_col, vec_col):
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.expr(_sx.dbl_array(query_vec))
     return (
         candidates.select(
             F.col(id_col),
@@ -1123,7 +1125,7 @@ def ann_topk(
     probes = query_probes(query_vec, num_planes, probe_adjacent, seed)
 
     candidates = bucketed.filter(F.col("bucket").isin(*probes))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.expr(_sx.dbl_array(query_vec))
     return (
         candidates.select(
             F.col(id_col),
@@ -1289,7 +1291,7 @@ def ann_topk_at_rest(
     candidates = spark.read.parquet(path).filter(
         F.col("bucket").isin(*probes)
     )
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.expr(_sx.dbl_array(query_vec))
     return (
         candidates.select(
             F.col(id_col),

@@ -54,24 +54,34 @@ def word_spans(
     base = words.filter(F.length(word_col) > 0).select(
         F.col(word_col).alias("w")
     )
-    w = F.col("w")
-    spans = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.length(w)),
-            lambda i: F.transform(
-                F.sequence(
-                    F.greatest(F.lit(1), i - (max_piece_len - 1)), i
-                ),
-                lambda j: F.struct(
-                    j.alias("j"),
-                    i.alias("i"),
-                    F.substring(w, j, i - j + 1).alias("sub"),
-                ),
-            ),
+    # r13 optimization (guide §4.1): two chained codegen'd posexplodes
+    # (end position i, then split point j) replace the doubly-nested
+    # interpreted transform()+flatten build; the (w, j, i, sub) rows and
+    # their per-word order (i ascending, then j ascending) are
+    # identical. substring() is evaluated in WholeStageCodegen.
+    return (
+        base.select(
+            "w",
+            F.posexplode(
+                F.sequence(F.lit(1), F.length("w"))
+            ).alias("_a", "i"),
         )
-    )
-    return base.select("w", F.explode(spans).alias("s")).select(
-        "w", "s.j", "s.i", "s.sub"
+        .select(
+            "w",
+            "i",
+            F.posexplode(
+                F.sequence(
+                    F.greatest(F.lit(1), F.col("i") - (max_piece_len - 1)),
+                    F.col("i"),
+                )
+            ).alias("_b", "j"),
+        )
+        .select(
+            "w",
+            "j",
+            "i",
+            F.expr("substring(w, j, i - j + 1)").alias("sub"),
+        )
     )
 
 
@@ -171,87 +181,69 @@ def segment_words_viterbi(
             "_lp", F.map_from_entries(F.array().cast(
                 "array<struct<k:string,v:double>>"))
         ).alias("_lp"),
-        F.array(F.lit(0.0)).alias("_best"),
-        F.array(F.lit(0)).alias("_ptr"),
     )
-    for i in range(1, max_word_len + 1):
-        # candidates at position i: j in [max(1, i-max_piece_len+1), i]
-        lo = max(1, i - max_piece_len + 1)
-        cand = F.filter(
-            F.transform(
-                F.sequence(F.lit(lo), F.lit(i)),
-                lambda j: F.struct(
-                    (
-                        F.element_at(F.col("_best"), j)
-                        + F.coalesce(
-                            F.element_at(
-                                F.col("_lp"),
-                                F.concat_ws(",", j, F.lit(i)),
-                            ),
-                            F.lit(_NEG_INF),
-                        )
-                    ).alias("score"),
-                    j.alias("j"),
-                ),
-            ),
-            lambda c: c["score"] > F.lit(_NEG_INF / 2),
-        )
-        best_i = F.aggregate(
-            cand,
-            F.struct(
-                F.lit(_NEG_INF).alias("score"), F.lit(0).alias("j")
-            ),
-            # ties: j ascends through the scan, so >= keeps the LARGEST
-            # j at equal score (shortest last piece)
-            lambda acc, c: F.when(c["score"] >= acc["score"], c).otherwise(
-                acc
-            ),
-        )
-        gate = F.length("w") >= i
-        vf = vf.select(
-            "w",
-            "_lp",
-            F.when(
-                gate, F.concat("_best", F.array(best_i["score"]))
-            ).otherwise(F.col("_best")).alias("_best"),
-            F.when(
-                gate, F.concat("_ptr", F.array(best_i["j"]))
-            ).otherwise(F.col("_ptr")).alias("_ptr"),
-        )
-        if i % truncate_every == 0:
-            vf = truncate_lineage(vf)
-    # backtrack: walk _ptr from i = len(w); prepend substring(j, i)
-    vf = vf.select(
-        "w", "_ptr", F.length("w").alias("_pos"),
-        F.array().cast("array<string>").alias("_acc"),
-    )
-    for s in range(1, max_word_len + 1):
-        j = F.element_at("_ptr", F.col("_pos") + 1)  # _ptr is 0-indexed by pos
-        step = F.col("_pos") > 0
-        piece = F.substring(
-            F.col("w"), j, F.col("_pos") - j + 1
-        )
-        vf = vf.select(
-            "w",
-            "_ptr",
-            F.when(step & (j > 0), j - 1).otherwise(
-                F.when(step, F.lit(-1)).otherwise(F.col("_pos"))
-            ).alias("_pos"),
-            F.when(step & (j > 0), F.concat(F.array(piece), "_acc"))
-            .otherwise(F.col("_acc"))
-            .alias("_acc"),
-        )
-        # each step references the previous step's _pos several times;
-        # when Catalyst collapses the adjacent Projects the expression
-        # tree multiplies per step — truncate on the SAME stride as the
-        # DP loop or analysis blows the heap long before execution
-        if s % truncate_every == 0:
-            vf = truncate_lineage(vf)
+    # r13 optimization: the DP and backtrack loops used to run as
+    # max_word_len narrow Projects EACH, lineage-truncated every
+    # ``truncate_every`` steps (8 localCheckpoint jobs + ~32 py4j-built
+    # projections at the default L=16). Both walks are ordered left
+    # folds with loop-carried state, which is exactly what ONE
+    # ``aggregate(sequence(1, L), state, step)`` expression computes —
+    # same additions in the same order against the same _lp lookups, so
+    # scores/pointers/pieces are bit-identical; the vocab-frame plan is
+    # now a single Project and the checkpoints (and the Catalyst
+    # expression-multiplication hazard they guarded) are gone entirely.
+    # ``truncate_every`` is retained in the signature for call
+    # compatibility; it no longer affects the plan.
+    del truncate_every
+    dp = f"""
+    aggregate(
+      sequence(1, {max_word_len}),
+      named_struct('best', array(0.0D), 'ptr', array(0)),
+      (st, i) -> IF(length(w) >= i,
+        aggregate(
+          filter(
+            transform(sequence(greatest(1, i - {max_piece_len - 1}), i),
+              j -> named_struct(
+                'score',
+                element_at(st.best, j)
+                  + coalesce(element_at(_lp,
+                      concat_ws(',', CAST(j AS STRING), CAST(i AS STRING))),
+                      {_NEG_INF!r}D),
+                'j', j)),
+            c -> c.score > {_NEG_INF / 2!r}D),
+          named_struct('score', {_NEG_INF!r}D, 'j', 0),
+          (acc, c) -> IF(c.score >= acc.score, c, acc),
+          b -> named_struct(
+            'best', concat(st.best, array(b.score)),
+            'ptr', concat(st.ptr, array(b.j)))),
+        st))
+    """
+    vf = vf.select("w", F.expr(dp).alias("_dp"))
+    bt = f"""
+    aggregate(
+      sequence(1, {max_word_len}),
+      named_struct(
+        'pos', length(w),
+        'acc', CAST(array() AS ARRAY<STRING>)),
+      (st, s) -> IF(st.pos > 0,
+        IF(element_at(_dp.ptr, st.pos + 1) > 0,
+          named_struct(
+            'pos', element_at(_dp.ptr, st.pos + 1) - 1,
+            'acc', concat(
+              array(substring(w, element_at(_dp.ptr, st.pos + 1),
+                              st.pos - element_at(_dp.ptr, st.pos + 1) + 1)),
+              st.acc)),
+          named_struct('pos', -1, 'acc', st.acc)),
+        st))
+    """
     # _pos lands at 0 (fully segmented) or -1 (unreachable somewhere:
     # emit empty — callers with char-complete tables never hit it)
     return vf.select(
+        F.col("w"),
+        F.expr(bt).alias("_bt"),
+    ).select(
         F.col("w").alias(word_col),
-        F.when(F.col("_pos") == 0, F.col("_acc"))
+        F.when(F.col("_bt.pos") == 0, F.col("_bt.acc"))
         .otherwise(F.array().cast("array<string>"))
         .alias(out_col),
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_data_spark.operators import _sqlexpr as _sx
 from etl_data_spark.queries import load_table, register
 
 # --------------------------------------------------------------------------
@@ -784,7 +785,7 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    qarr = F.array(*[F.lit(float(v)) for v in qvec])
+    qarr = F.expr(_sx.dbl_array(qvec))
     sem_top = (
         e.select(
             F.col("vec_id").alias("doc_id"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_data_spark.operators import _sqlexpr as _sx
 from etl_data_spark.operators import dedup as D
 from etl_data_spark.operators import similarity as S
 from etl_data_spark.operators import temporal as TP
@@ -2747,7 +2748,7 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    q = F.array(*[F.lit(float(v)) for v in qvec])
+    q = F.expr(_sx.dbl_array(qvec))
     # localCheckpoint, not persist: the greedy loop builds 5 chained
     # plans over these frames — with lazy caching each step re-plans
     # (and can re-run) the corpus-sized candidate scan, measured 4.6s;
@@ -3170,7 +3171,7 @@ def _weiszfeld(e: DataFrame) -> DataFrame:
     )
     c = [r["val"] for r in c0_rows]
     for _t in range(_GEOMED_ITERS):
-        carr = F.array(*[F.lit(float(v)) for v in c])
+        carr = F.expr(_sx.dbl_array(c))
         sq = F.zip_with(
             F.col("embedding"),
             carr,
@@ -3864,7 +3865,7 @@ def q_ann_opq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = PQ.pq_topk(
         codes, q_rot, books, k=_PQ_SHORTLIST
     ).select("vec_id")
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    qlit = F.expr(_sx.dbl_array(qvec))
     return (
         e.join(F.broadcast(short), "vec_id")
         .select(

@@ -31,6 +31,12 @@ ALLOWED_BNLJ = {
     "tfidf_topk",
     "bm25_search",
     "unigram_logprob",
+    # seed_pieces' crossJoin(broadcast(total)) — a 1-row piece-count
+    # total. Present since the entry's birth but hidden from the FINAL
+    # plan by segment_words_viterbi's per-step localCheckpoints; the r13
+    # single-expression DP removed those checkpoints, so the (reviewed,
+    # 1-row broadcast) cross join now shows in the executed plan.
+    "unigram_segment_corpus",
     "funnel_counts",
     "star_build",
     "rrf_hybrid_search",
