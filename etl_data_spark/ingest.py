@@ -37,10 +37,22 @@ def validity_predicate() -> F.Column:
 
 
 def ingest_bronze(df: DataFrame, path: str | None = None) -> tuple[DataFrame, IngestReport]:
-    """Filter invalid rows, optionally persist bronze, report counts."""
+    """Filter invalid rows, optionally persist bronze, report counts.
+
+    r13 (guide §1.2 — don't compute things twice): loaded and rejected
+    used to be two separate ``count()`` actions, i.e. two full
+    evaluations of the upstream plan (for the generated source that is
+    two full hash-RNG passes) before the write's third. One aggregation
+    computes both counts in a single pass; the same validity predicate
+    drives the filter and the conditional count, so the report is
+    value-identical."""
     ok = df.filter(validity_predicate())
-    loaded = ok.count()
-    rejected = df.count() - loaded
+    row = df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(validity_predicate(), F.lit(1))).alias("loaded"),
+    ).first()
+    loaded = row["loaded"]
+    rejected = row["total"] - loaded
     if path is not None:
         ok.write.mode("overwrite").parquet(path)
     return ok, IngestReport(loaded=loaded, rejected=rejected)

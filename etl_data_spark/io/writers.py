@@ -186,9 +186,30 @@ def write_partitioned(
     path: str,
     date_col: str = "effective_from",
     mode: str = "overwrite",
+    files_per_month: int | None = None,
 ) -> None:
-    """Write a table partitioned by month-of(date_col) for pruning."""
-    with_month_key(df, date_col).write.mode(mode).partitionBy(MONTH_KEY).parquet(path)
+    """Write a table partitioned by month-of(date_col) for pruning.
+
+    r13 (guide §6 — file sizing on write): the rows are CLUSTERED by the
+    partition column before the dynamic-partition write; without that,
+    every write task holding rows of every month emits tasks x months
+    files (measured: 637 silver files at sf0.1 where ~12 carry the
+    data). ``files_per_month`` bounds files per month via a
+    deterministic date-derived salt (xxhash64 of the date column —
+    deterministic under retries, unlike rand(); guide §2.5): default is
+    max(1, defaultParallelism / 12), so the local bench writes ~1 file
+    per month while a large cluster keeps per-month write parallelism.
+    Row content is unchanged; only the row->file layout moves."""
+    keyed = with_month_key(df, date_col)
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    fpm = files_per_month or max(1, spread // 12)
+    salt = F.pmod(F.xxhash64(F.col(date_col)), F.lit(fpm))
+    (
+        keyed.repartition(F.col(MONTH_KEY), salt)
+        .write.mode(mode)
+        .partitionBy(MONTH_KEY)
+        .parquet(path)
+    )
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:

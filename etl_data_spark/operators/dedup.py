@@ -419,13 +419,20 @@ def star_contraction(
 
     Input: canonical (hi, lo) pairs, hi > lo. Output: (star_edges, rounds)
     where star_edges maps every non-root node (hi) to its component
-    minimum (lo). Each round is two groupBy shuffles + two keyed joins;
-    :func:`~etl_data_spark.caching.truncate_lineage` cuts lineage per
-    round (localCheckpoint in one JVM, automatic reliable checkpoints
-    when a checkpoint dir is configured). Convergence is detected by an edge-set
-    checksum (count + xor of xxhash64 — overflow-proof under ANSI mode; the
-    edge set is distinct, so set equality is what's being tested) — one
-    lightweight action per round instead of a set-difference join.
+    minimum (lo). Convergence is detected by an edge-set checksum (count +
+    xor of xxhash64 — overflow-proof under ANSI mode; the edge set is
+    distinct, so set equality is what's being tested).
+
+    r13 (guide §1.2 — fewer actions): each round PERSISTS its edge set
+    and computes the convergence checksum in the same action (the agg
+    materializes the cache), instead of an eager localCheckpoint action
+    followed by a separate checksum action — one driver round-trip per
+    round, not two. Lineage is still truncated every 4th round (and for
+    the returned frame) so the logical plan stays bounded for the long
+    contractions ``max_iter`` allows; superseded round caches are
+    released eagerly (the frame handed back to the caller keeps its
+    cache and is released by the consumer's ``release_all``, the
+    operator self-containment contract).
     """
     edges = truncate_lineage(edges)
 
@@ -439,10 +446,19 @@ def star_contraction(
     sig = _sig(edges)
     rounds = 0
     converged = False
-    for _ in range(max_iter):
+    prev_cached: DataFrame | None = None
+    for r in range(max_iter):
         rounds += 1
-        edges = truncate_lineage(_small_star(_large_star(edges)))
-        new_sig = _sig(edges)
+        nxt = _small_star(_large_star(edges))
+        if (r + 1) % 4 == 0:
+            nxt = truncate_lineage(nxt)
+        else:
+            nxt = pin(nxt, StorageLevel.MEMORY_AND_DISK)
+        new_sig = _sig(nxt)  # one action: fills the cache AND checksums
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = nxt if (r + 1) % 4 != 0 else None
+        edges = nxt
         if new_sig == sig:
             converged = True
             break
