@@ -264,12 +264,30 @@ STATS = [
 ]
 
 
+# Effective-core evidence for the driver (r14, VERDICT r13 #2): the r13
+# scaling audit fired `suspect_cpus_ignored` because nothing in the bench
+# output RECORDED the core count the sessions actually ran with — the env
+# var is honored (session.py builds master local[$SPARK_GRAFT_CPUS]), but
+# sf0.1 rows are latency-bound so 8c/32c ratios sit near 1 and the record
+# could not distinguish "ignored" from "latency-bound". Captured from the
+# first live session and echoed in the final JSON line and the sidecar.
+_EFFECTIVE: dict[str, object] = {}
+
+
+def _record_effective(spark) -> None:
+    if not _EFFECTIVE:
+        sc = spark.sparkContext
+        _EFFECTIVE["master"] = sc.master
+        _EFFECTIVE["default_parallelism"] = sc.defaultParallelism
+
+
 def run_group(names: list[str], sf_dir: str, reps: int) -> dict[str, float]:
     """Time one group in a fresh, isolated Spark session."""
     from etl_data_spark import get_spark, release_all
     from etl_data_spark.catalog import REGISTRY
 
     spark = get_spark(app_name="etl-data-spark-bench")
+    _record_effective(spark)
     try:
         # Warm up the JVM + parquet footers once, outside timing.
         REGISTRY[names[0]].fn(spark, sf_dir).count()
@@ -521,8 +539,15 @@ def main() -> None:
     # the headline total right out of the record (BENCH_r03/r04 both
     # parsed: null). The FINAL stdout line stays compact — headline total,
     # group totals, and the 21 headline per-query times only.
+    # Sidecar is named per effective core count (r14, VERDICT r13 #3): the
+    # r13 8-core scaling run silently clobbered the 32-core sidecar, making
+    # per-query non-headline numbers unrecoverable and two byte-unchanged
+    # entries look "regressed" purely cross-core. SPARK_GRAFT_BENCH_DETAIL
+    # still overrides for explicit runs.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(os.path.dirname(__file__), "bench_detail.json")
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(__file__), f"bench_detail_c{cpus}.json"),
     )
     with open(detail_path, "w") as f:
         json.dump(
@@ -542,6 +567,9 @@ def main() -> None:
                 "pipeline_total": round(sum(pipeline_timings.values()), 4),
                 "pipeline_queries": pipeline_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(cpus) if cpus.isdigit() else cpus,
+                "master": _EFFECTIVE.get("master"),
+                "default_parallelism": _EFFECTIVE.get("default_parallelism"),
                 "method": method,
                 "git_sha": git_sha,
             },
@@ -562,6 +590,12 @@ def main() -> None:
                 "media_ann_total": round(sum(media_timings.values()), 4),
                 "pipeline_total": round(sum(pipeline_timings.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # effective-parallelism echo (r14): lets the driver verify
+                # the CPU contract against what the sessions actually ran
+                # with, instead of inferring it from latency-bound ratios
+                "cpus": int(cpus) if cpus.isdigit() else cpus,
+                "master": _EFFECTIVE.get("master"),
+                "default_parallelism": _EFFECTIVE.get("default_parallelism"),
                 "method": method,
                 "git_sha": git_sha,
             }

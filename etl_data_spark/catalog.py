@@ -10,11 +10,12 @@ Rotation policy: the catalog exceeds 50 high-value entries, so the window
 rotates across rounds. Rounds 1-7 completed the original burn-down (282
 of the then-283 entries); as of round 10 the cross-round union covers ALL
 284 then-oracle-backed entries (CORRECTNESS_r01-r10). The registry now
-stands at 302 (301 oracle-backed + generator_profile, rows-only by
-design); entries born in a round (r11: multimodal_decode_jpeg, the three
-at-rest ANN serving paths, decontaminate_ngram, the PQ family; r12: the
-at-rest dedup probe, the SemDeDup trio, the BPE pair) are windowed their
-birth round, per policy. From round 8 on the window is a REGRESSION
+stands at 310 (309 oracle-backed + generator_profile, rows-only by
+design — count audited r14 against len(REGISTRY)); entries born in a
+round (r11: multimodal_decode_jpeg, the three at-rest ANN serving paths,
+decontaminate_ngram, the PQ family; r12: the at-rest dedup probe, the
+SemDeDup trio, the BPE pair; r13: the ExactSubstr/DSIR/LM-gate/unigram/
+OPQ family) are windowed their birth round, per policy. From round 8 on the window is a REGRESSION
 rotation (ROTATION.md): entries whose code paths changed in the prior or
 current round first, then oldest-driver-green-first, so the whole catalog
 re-earns a fresh row roughly every 5-6 rounds and no entry's record can

@@ -45,7 +45,15 @@ def ingest_bronze(df: DataFrame, path: str | None = None) -> tuple[DataFrame, In
     two full hash-RNG passes) before the write's third. One aggregation
     computes both counts in a single pass; the same validity predicate
     drives the filter and the conditional count, so the report is
-    value-identical."""
+    value-identical.
+
+    Caveat: the predicate is evaluated in two separate actions (the agg
+    here, the filter at write time), so a NONDETERMINISTIC source could
+    make ``loaded`` diverge from the rows actually written — the same
+    exposure the old two-count form had (three evaluations), acceptable
+    only because the generated source is deterministic. A real streaming
+    source should materialize once (write bronze first, count from the
+    written files)."""
     ok = df.filter(validity_predicate())
     row = df.agg(
         F.count(F.lit(1)).alias("total"),

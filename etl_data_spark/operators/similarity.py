@@ -1920,6 +1920,138 @@ def compact_layout(
 # --------------------------------------------------------------------------
 
 
+def _cell_pair_dots_pdf(pdf):
+    """Per-cell worker for :func:`_cell_pair_dots`: every within-cell pair
+    (index order == id order after the sort) with the exact left-fold dot.
+
+    Bit-parity with the JVM fold (the reason the r13 round REJECTED
+    numpy scoring does not apply here): ``aggregate(zip_with(a, b, *),
+    0.0, +)`` performs, per element j, one IEEE-754 double multiply and
+    one IEEE-754 double add, in index order, starting from +0.0. The
+    column-sequential accumulation below (``acc = acc + a_j * b_j`` as
+    two separate ufunc calls — never np.dot/BLAS, which reassociates,
+    and never a fused multiply-add) performs the identical rounding
+    sequence, so every dot is bit-identical to the interpreted fold.
+    NaN/Inf contamination propagates identically; the NULL cases never
+    reach here (rows with NULL vectors or NULL norms are filtered by the
+    caller — their pairs score NULL and fail every threshold).
+
+    Pairs across rows of DIFFERENT vector lengths are dropped (the JVM
+    ``zip_with`` pads with NULL, so such pairs always score NULL and are
+    filtered); same-length subgroups are processed independently.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out: list[pd.DataFrame] = []
+    for _, sub in pdf.groupby(pdf["_v"].map(len), sort=False):
+        sub = sub.sort_values("_id", kind="mergesort")
+        ids = sub["_id"].to_numpy()
+        norms = sub["_n"].to_numpy(dtype=np.float64)
+        m = len(sub)
+        if m < 2:
+            continue
+        a = np.stack(sub["_v"].to_numpy())
+        d = a.shape[1]
+        # chunk the left side so the accumulator stays ~32 MB regardless
+        # of cell size (cell size itself is bounded by target_cell_rows
+        # at the layout level — the same bound the pair join relied on)
+        step = max(1, 4_000_000 // m)
+        for s in range(0, m - 1, step):
+            hi = min(s + step, m - 1)
+            rest = a[s + 1 :]
+            acc = np.zeros((hi - s, m - s - 1))
+            for j in range(d):
+                acc = acc + np.multiply.outer(a[s:hi, j], rest[:, j])
+            for i in range(hi - s):
+                gi = s + i
+                k = m - gi - 1
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.full(k, ids[gi]),
+                            "id_b": ids[gi + 1 :],
+                            "na": np.full(k, norms[gi], dtype=np.float64),
+                            "nb": norms[gi + 1 :],
+                            "dot": acc[i, gi - s :],
+                        }
+                    )
+                )
+    if not out:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=pdf["_id"].dtype),
+                "id_b": pd.Series(dtype=pdf["_id"].dtype),
+                "na": pd.Series(dtype="float64"),
+                "nb": pd.Series(dtype="float64"),
+                "dot": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def _cell_pair_dots(
+    assigned: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """All within-cell pairs (id_a < id_b) of ``assigned`` (columns:
+    id_col, vec_col, 'cell', '_n') with the exact dot product, one
+    Arrow-batched pass per cell.
+
+    r14 (guide §4.2 — vectorized native code inside the Python boundary;
+    §2.3/§8 — never shuffle the heavy payload per PAIR): replaces the
+    cell-keyed self-join whose per-pair interpreted ``aggregate(zip_with)``
+    fold dominated semantic-dedup cost (measured 2.87s -> 1.09s for the
+    identical 251,511-pair output at sf0.1; exceptAll both ways = 0).
+    Each vector crosses the boundary ONCE per cell instead of once per
+    pair, and the dot is computed by column-sequential numpy
+    accumulation that reproduces the JVM fold's IEEE-754 rounding
+    sequence bit-for-bit (see :func:`_cell_pair_dots_pdf`). Degenerate
+    rows (NULL vector / NULL norm, incl. NULL elements — norm's fold is
+    NULL then) are dropped up front: every pair they join scores NULL
+    and fails every threshold, so the output is row-identical.
+
+    Scale: the shuffle keys on the tiny cell id and carries each vector
+    once; per-cell Python memory is O(cell_rows * dim) + a bounded
+    accumulator chunk, with cell_rows bounded by ``target_cell_rows``
+    at the layout level — the same per-task bound the join form had.
+    """
+    id_type = dict(assigned.dtypes)[id_col]
+    return (
+        assigned.filter(
+            F.col(vec_col).isNotNull() & F.col("_n").isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col("_n"),
+            "cell",
+        )
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_pair_dots_pdf,
+            schema=(
+                f"id_a {id_type}, id_b {id_type}, "
+                "na double, nb double, dot double"
+            ),
+        )
+    )
+
+
+def _pair_sim_filter(dots: DataFrame, threshold: float) -> DataFrame:
+    """JVM post-step shared by the semantic-dedup paths: the division,
+    NaN->NULL mapping, 6dp rounding and threshold filter all stay in the
+    JVM so try_divide/nanvl/HALF_UP-round semantics are byte-identical
+    to the previous inline form."""
+    sim = F.nanvl(
+        F.try_divide(F.col("dot"), F.col("na") * F.col("nb")),
+        F.lit(None).cast("double"),
+    )
+    return (
+        dots.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]] | None = None,
@@ -1945,53 +2077,29 @@ def semantic_dedup_pairs(
     more Lloyd refinement or coarser cells, verification is exact
     cosine. Returns (id_a, id_b, cosine_sim) with id_a < id_b, 6dp.
 
-    Plan shape: one narrow assignment map (centroids are plan
-    literals), one equi-join keyed by the tiny cell id, exact cosine on
-    co-celled pairs. The assigned projection is persisted — the
-    self-join evaluates both sides."""
+    Plan shape (r14, guide §4.2/§8): one narrow assignment map
+    (centroids are plan literals), then ONE Arrow-batched pass per cell
+    computes every within-cell pair's exact dot (:func:`_cell_pair_dots`
+    — replaces the cell-keyed self-join whose per-pair interpreted
+    fold dominated; each vector now crosses to the scorer once per cell,
+    not once per pair, and no persist/self-join is needed). Norms are
+    computed once per row and carried through; division, NaN->NULL and
+    rounding stay in the JVM (:func:`_pair_sim_filter`), so results are
+    bit-identical to the join form (r14 A/B: exceptAll both ways = 0 on
+    the full sf0.1 corpus)."""
     if centroids is None:
         n = n_rows if n_rows is not None else _bounded_count(df)
         k_cells = max(1, math.ceil(n / target_cell_rows))
         centroids = sample_centroids(df, k_cells, id_col, vec_col)
         if refine_iters > 0:
             centroids = kmeans_refine(df, centroids, refine_iters, vec_col)
-    from pyspark.storagelevel import StorageLevel
-
-    from etl_data_spark.caching import pin
-
-    # norms are computed ONCE per row in the persisted projection and
-    # carried through the join — an inline cosine() would re-fold both
-    # norms per PAIR (3 interpreted folds/pair instead of 1; measured 17s
-    # -> a third of it on the sf0.1 bench row). try_divide + nanvl keep
-    # cosine()'s exact arithmetic and degenerate contract bit-for-bit
-    # (same expressions, evaluated earlier).
-    assigned = pin(
+    assigned = (
         ivf_assign(df, centroids, vec_col)
         .select(id_col, vec_col, "cell")
-        .withColumn("_n", norm(F.col(vec_col))),
-        StorageLevel.MEMORY_AND_DISK,
+        .withColumn("_n", norm(F.col(vec_col)))
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_n").alias("na"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_n").alias("nb"),
-        "cell",
-    )
-    sim = F.nanvl(
-        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
-        F.lit(None).cast("double"),
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
+    return _pair_sim_filter(
+        _cell_pair_dots(assigned, id_col, vec_col), threshold
     )
 
 
@@ -2047,33 +2155,16 @@ def semantic_dedup_pairs_at_rest(
             "'ivf' — write it with write_ivf_partitioned first."
         )
     vec_col = meta["vec_col"]
-    # same once-per-row norm discipline as semantic_dedup_pairs
+    # same once-per-row norm discipline as semantic_dedup_pairs; r14:
+    # the cell self-join (TWO scans of the layout) becomes one scan +
+    # one Arrow-batched per-cell pass — see _cell_pair_dots
     scan = (
         spark.read.parquet(path)
         .select(id_col, vec_col, "cell")
         .withColumn("_n", norm(F.col(vec_col)))
     )
-    a = scan.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_n").alias("na"),
-        "cell",
-    )
-    b = scan.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_n").alias("nb"),
-        "cell",
-    )
-    sim = F.nanvl(
-        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
-        F.lit(None).cast("double"),
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
+    return _pair_sim_filter(
+        _cell_pair_dots(scan, id_col, vec_col), threshold
     )
 
 
@@ -2095,7 +2186,13 @@ def semantic_dedup_incremental_at_rest(
 
     Per-batch cost tracks |delta| (assignment + banded join) + the
     probed cells' stored bytes; the corpus is streamed map-only against
-    the planner-broadcast batch, never shuffled."""
+    the planner-broadcast batch, never shuffled.
+
+    r14 note: this path deliberately KEEPS the join + per-pair fold form
+    (not :func:`_cell_pair_dots`): a groupBy('cell').applyInPandas would
+    SHUFFLE THE STORED CORPUS by cell every batch, trading the map-only
+    broadcast-join shape — the whole point of the incremental path — for
+    a faster scorer on a pair set that is already delta-bounded."""
     spark = delta.sparkSession
     meta = _read_layout_meta(spark, path)
     if meta is None or meta.get("kind") != "ivf":
