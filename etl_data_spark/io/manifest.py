@@ -68,6 +68,7 @@ from etl_data_spark.io.writers import (
     _fs,
     _jpath,
     _month_of,
+    cluster_by_month,
     window_replace_predicate,
     with_month_key,
 )
@@ -189,10 +190,15 @@ def _month_of_key(key: str) -> int | None:
 
 
 def _write_version_dir(
-    spark: SparkSession, keyed: DataFrame, root: str
+    spark: SparkSession, keyed: DataFrame, root: str,
+    date_col: str = "effective_from",
 ) -> tuple[str, list[str]]:
     """Write the month-partitioned batch under the next ``data/vNNNNNN``
-    directory; return (relative dir, month keys actually written)."""
+    directory; return (relative dir, month keys actually written).
+
+    r14 (VERDICT r13 #6): month-cluster the batch like the rename-path
+    writers so a version dir holds O(files_per_month) files per month,
+    not tasks x months."""
     fs, _ = _fs(spark, root)
     ddir = _jpath(spark, f"{root}/{_DATA_DIR}")
     existing = []
@@ -202,9 +208,9 @@ def _write_version_dir(
             if name.startswith("v"):
                 existing.append(int(name[1:]))
     rel = f"{_DATA_DIR}/v{(max(existing) if existing else 0) + 1:06d}"
-    keyed.write.mode("overwrite").partitionBy(MONTH_KEY).parquet(
-        f"{root}/{rel}"
-    )
+    cluster_by_month(keyed, date_col).write.mode("overwrite").partitionBy(
+        MONTH_KEY
+    ).parquet(f"{root}/{rel}")
     written = []
     for st in fs.listStatus(_jpath(spark, f"{root}/{rel}")):
         name = st.getPath().getName()
@@ -228,7 +234,7 @@ def manifest_write_full(
     keyed = with_month_key(df, date_col).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n = keyed.count()
-        rel, written = _write_version_dir(spark, keyed, root)
+        rel, written = _write_version_dir(spark, keyed, root, date_col)
         _publish(spark, root, {m: f"{rel}/{MONTH_KEY}={m}" for m in written})
         return n
     finally:
@@ -341,7 +347,7 @@ def manifest_overwrite_by_window(
                 spark, root, {_month_of_key(k) for k in existing_affected}
             ).filter(~F.coalesce(window_pred, F.lit(False)))
             merged = keep.unionByName(keyed)
-        rel, written = _write_version_dir(spark, merged, root)
+        rel, written = _write_version_dir(spark, merged, root, date_col)
 
         months = {
             k: v for k, v in old_months.items() if k not in affected

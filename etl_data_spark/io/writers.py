@@ -181,6 +181,30 @@ def with_month_key(df: DataFrame, date_col: str = "effective_from") -> DataFrame
     )
 
 
+def cluster_by_month(
+    keyed: DataFrame,
+    date_col: str = "effective_from",
+    files_per_month: int | None = None,
+) -> DataFrame:
+    """Cluster a MONTH_KEY-keyed frame for a month-partitioned write.
+
+    r13 (guide §6 — file sizing on write): without clustering, every
+    write task holding rows of every month emits tasks x months files
+    (measured: 637 silver files at sf0.1 where ~12 carry the data).
+    ``files_per_month`` bounds files per month via a deterministic
+    date-derived salt (xxhash64 of the date column — deterministic under
+    retries, unlike rand(); guide §2.5): default is
+    max(1, defaultParallelism / 12), so the local bench writes ~1 file
+    per month while a large cluster keeps per-month write parallelism.
+    Row content is unchanged; only the row->file layout moves. r14
+    (VERDICT r13 #6): factored out so the windowed-reload and manifest
+    writers get the same treatment as the full write."""
+    spread = keyed.sparkSession.sparkContext.defaultParallelism
+    fpm = files_per_month or max(1, spread // 12)
+    salt = F.pmod(F.xxhash64(F.col(date_col)), F.lit(fpm))
+    return keyed.repartition(F.col(MONTH_KEY), salt)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -190,22 +214,10 @@ def write_partitioned(
 ) -> None:
     """Write a table partitioned by month-of(date_col) for pruning.
 
-    r13 (guide §6 — file sizing on write): the rows are CLUSTERED by the
-    partition column before the dynamic-partition write; without that,
-    every write task holding rows of every month emits tasks x months
-    files (measured: 637 silver files at sf0.1 where ~12 carry the
-    data). ``files_per_month`` bounds files per month via a
-    deterministic date-derived salt (xxhash64 of the date column —
-    deterministic under retries, unlike rand(); guide §2.5): default is
-    max(1, defaultParallelism / 12), so the local bench writes ~1 file
-    per month while a large cluster keeps per-month write parallelism.
-    Row content is unchanged; only the row->file layout moves."""
+    See :func:`cluster_by_month` for the row->file layout contract."""
     keyed = with_month_key(df, date_col)
-    spread = df.sparkSession.sparkContext.defaultParallelism
-    fpm = files_per_month or max(1, spread // 12)
-    salt = F.pmod(F.xxhash64(F.col(date_col)), F.lit(fpm))
     (
-        keyed.repartition(F.col(MONTH_KEY), salt)
+        cluster_by_month(keyed, date_col, files_per_month)
         .write.mode(mode)
         .partitionBy(MONTH_KEY)
         .parquet(path)
@@ -321,9 +333,9 @@ def overwrite_by_window(
             # (reference DELETE with both params NULL deletes all rows) —
             # a static full overwrite, no keep-side read, so Spark's own
             # overwrite commit handles the swap
-            new_keyed.write.mode("overwrite").partitionBy(MONTH_KEY).parquet(
-                path
-            )
+            cluster_by_month(new_keyed, date_col).write.mode(
+                "overwrite"
+            ).partitionBy(MONTH_KEY).parquet(path)
             return n_new
 
         _recover_swaps(spark, fs, path)  # heal any crashed prior reload first
@@ -373,7 +385,12 @@ def overwrite_by_window(
         merged = keep.unionByName(new_keyed)
         tmp = path.rstrip("/") + "__tmp_rewrite"
         _delete(fs, spark, tmp)  # leftover from a crashed prior reload
-        merged.write.mode("overwrite").partitionBy(MONTH_KEY).parquet(tmp)
+        # r14 (VERDICT r13 #6): cluster the rewritten months like the full
+        # writer — otherwise every task holding rows of every affected
+        # month emits tasks x months files into the swapped-in dirs
+        cluster_by_month(merged, date_col).write.mode("overwrite").partitionBy(
+            MONTH_KEY
+        ).parquet(tmp)
         _swap_month_dirs(
             spark, fs, tmp, path, sorted(affected, key=lambda m: (m is None, m))
         )

@@ -3184,30 +3184,41 @@ def _weiszfeld(e: DataFrame) -> DataFrame:
             F.lit(1e-12),
         )
         dd = e.select("vec_id", "embedding", dist.alias("dist"))
-        wsum = dd.agg(
-            F.sum(
-                F.round(F.lit(1.0) / F.col("dist"), 9).cast("decimal(20,9)")
-            )
-            .cast("double")
-            .alias("wsum")
-        ).first()["wsum"]
+        # r14 (guide §1.2 — one action per iteration; VERDICT r13 #8
+        # method): wsum and the per-dim weighted sums came from TWO
+        # actions, each re-evaluating the interpreted distance fold over
+        # every vector. Every vector contributes exactly one row to every
+        # dim group (fixed-width embeddings), so the per-group sum of the
+        # per-vector weight IS the global wsum — same decimal addends,
+        # and decimal addition is exact, so the cast-to-double result is
+        # bit-identical to the separate aggregation. One action per
+        # iteration, distance fold evaluated once. Measured: 4.54s ->
+        # 4.20s at sf0.1, output identical.
         nxt = (
             dd.select(
                 "dist", F.posexplode("embedding").alias("pos", "val")
             )
             .groupBy((F.col("pos") + 1).alias("dim"))
             .agg(
-                F.round(
-                    F.sum(
-                        F.round(
-                            (F.lit(1.0) / F.col("dist"))
-                            * F.col("val").cast("double"),
-                            9,
-                        ).cast("decimal(20,9)")
-                    ).cast("double")
-                    / F.lit(float(wsum)),
-                    9,
-                ).alias("val")
+                F.sum(
+                    F.round(
+                        (F.lit(1.0) / F.col("dist"))
+                        * F.col("val").cast("double"),
+                        9,
+                    ).cast("decimal(20,9)")
+                )
+                .cast("double")
+                .alias("wv"),
+                F.sum(
+                    F.round(F.lit(1.0) / F.col("dist"), 9).cast(
+                        "decimal(20,9)"
+                    )
+                )
+                .cast("double")
+                .alias("wsum"),
+            )
+            .select(
+                "dim", F.round(F.col("wv") / F.col("wsum"), 9).alias("val")
             )
             .orderBy("dim")
             .collect()
@@ -3306,25 +3317,55 @@ _THRESH_CURVE = [0.5, 0.6, 0.7, 0.8, 0.9]
     "scored pair list.",
 )
 def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §1.2/§2.3 — don't compute what you throw away; VERDICT
+    # r13 #8): the r13 form scored pairs at threshold 1e-9, crossJoined
+    # them T times against the threshold list, and ran TWO countDistincts
+    # per threshold (Expand: 3x the already-T-times-duplicated pair rows).
+    # Every threshold is >= min(_THRESH_CURVE), so (a) pairs below the
+    # smallest threshold can never contribute to any count — score at
+    # threshold=min instead (the pair computation is identical, the pin +
+    # downstream aggregations shrink to the qualifying pairs); (b)
+    # n_pairs(t) is ONE conditional sum per threshold in a single
+    # map-side-aggregated pass (no crossJoin duplication); (c) a doc id
+    # counts at t iff its best pair >= t, so the distinct counts reduce
+    # to per-id max-jaccard frames aggregated once per side. Measured:
+    # 3.93s -> 2.94s at sf0.1, output identical (exceptAll + oracle at
+    # all three SFs). n_doc_slots coalesces to 0 when no pair reaches a
+    # threshold, matching the oracle's zero-count rows over the
+    # (never-empty while any two docs share a shingle) pair list.
     d = load_table(spark, sf_dir, "documents")
     pairs = pin(D.ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=1e-9
+        d, "doc_id", "text", shingle_n=3, threshold=min(_THRESH_CURVE)
     ))
-    th = d.sparkSession.createDataFrame(
-        [(t,) for t in _THRESH_CURVE], "threshold double"
-    )
-    hit = F.col("jaccard") >= F.col("threshold")
-    return (
-        F.broadcast(th)
-        .crossJoin(pairs)
-        .groupBy("threshold")
-        .agg(
-            F.sum(hit.cast("long")).alias("n_pairs"),
+    np_row = pairs.agg(*[
+        F.sum((F.col("jaccard") >= F.lit(t)).cast("long")).alias(f"np{i}")
+        for i, t in enumerate(_THRESH_CURVE)
+    ])
+    ma = pairs.groupBy("id_a").agg(F.max("jaccard").alias("mj"))
+    mb = pairs.groupBy("id_b").agg(F.max("jaccard").alias("mj"))
+    da_row = ma.agg(*[
+        F.sum((F.col("mj") >= F.lit(t)).cast("long")).alias(f"da{i}")
+        for i, t in enumerate(_THRESH_CURVE)
+    ])
+    db_row = mb.agg(*[
+        F.sum((F.col("mj") >= F.lit(t)).cast("long")).alias(f"db{i}")
+        for i, t in enumerate(_THRESH_CURVE)
+    ])
+    rows = F.array(*[
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.coalesce(F.col(f"np{i}"), F.lit(0)).cast("long").alias("n_pairs"),
             (
-                F.countDistinct(F.when(hit, F.col("id_a")))
-                + F.countDistinct(F.when(hit, F.col("id_b")))
-            ).alias("n_doc_slots"),
+                F.coalesce(F.col(f"da{i}"), F.lit(0))
+                + F.coalesce(F.col(f"db{i}"), F.lit(0))
+            ).cast("long").alias("n_doc_slots"),
         )
+        for i, t in enumerate(_THRESH_CURVE)
+    ])
+    return (
+        np_row.crossJoin(da_row).crossJoin(db_row)
+        .select(F.explode(rows).alias("r"))
+        .select("r.threshold", "r.n_pairs", "r.n_doc_slots")
         .orderBy("threshold")
     )
 

@@ -104,3 +104,43 @@ def test_two_phase_agg_equals_plain_agg(spark):
         scatter_cols=["row_id"],
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_star_contraction_hub_graph_no_window(spark):
+    """r14 (VERDICT r13 #1): hub-shaped graphs — one node adjacent to every
+    other, exactly the shape contraction converges TO — must (a) label
+    correctly and (b) never route a hub's whole neighborhood into a single
+    sorted window partition (windows cannot be skew-split; the min is a
+    partial-aggregated groupBy + AQE-splittable join instead)."""
+    from etl_data_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+        connected_components,
+    )
+
+    n = 100_000
+    # hub = the component MINIMUM (the converged star orientation):
+    # every edge is (i, 0) — _large_star's groupBy(u=0) sees n-1 rows
+    lo_hub = spark.range(1, n).select(
+        F.col("id").alias("id_a"), F.lit(0).alias("id_b")
+    )
+    # hub = the component MAXIMUM: every edge is (n, i) — _small_star's
+    # groupBy(hi=n) sees n-1 rows
+    hi_hub = spark.range(1, n).select(
+        F.col("id").alias("id_a"), F.lit(n).alias("id_b")
+    )
+    for pairs, root, size in ((lo_hub, 0, n), (hi_hub, 1, n)):
+        labels = connected_components(pairs)
+        agg = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("cluster_id").alias("k"),
+            F.min("cluster_id").alias("root"),
+        ).first()
+        assert (agg["n"], agg["k"], agg["root"]) == (size, 1, root)
+
+    # plan shape: no WindowExec in a contraction round (the r13 hub hazard)
+    rnd = _small_star(_large_star(
+        lo_hub.selectExpr("id_a as hi", "id_b as lo")
+    ))
+    plan = rnd._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
