@@ -536,10 +536,6 @@ PRIORITY_R13 = [
 ]
 assert len(PRIORITY_R13) == 50, f"PRIORITY_R13 must fill the window exactly: {len(PRIORITY_R13)}"
 
-# The driver verifies the first 50 entries of queries()/oracle_sql();
-# PRIORITY pins that order. Round 8 on: the regression rotation.
-PRIORITY = PRIORITY_R13
-
 # Entries whose implementing code path changed during the CURRENT round.
 # ROTATION.md rule (written r8): a changed entry must re-earn a driver
 # CORRECTNESS row in the SAME round — an already-green entry cannot ride
@@ -548,6 +544,83 @@ PRIORITY = PRIORITY_R13
 # change lands on an un-windowed entry, swap out a youngest-green tail
 # entry in the same commit.
 CHANGED_THIS_ROUND = [
+    # r14 (OPTIMIZATION round 2): every entry below kept its output
+    # byte-identical (oracle + exceptAll A/Bs), but the implementing
+    # plan moved, so each must re-earn a driver row this round.
+    # - SemDeDup trio: per-cell Arrow pair scoring (similarity.py)
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivors",
+    "semantic_dedup_at_rest",
+    # - connected-components star rounds skew-hardened (window -> partial
+    #   agg + join) and MinHash signing/banding moved to one Arrow pass
+    #   with int64 band keys — every CC/minhash-pairs consumer:
+    "dedup_clusters",
+    "dedup_clusters_incremental",
+    "dedup_cluster_sizes",
+    "dedup_survivor_docs",
+    "entity_resolution",
+    "corpus_curate_end2end",
+    "corpus_export_manifest",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_native",
+    "dedup_incremental_pairs",
+    # - simhash packed votes/signature/bit_count hamming:
+    "dedup_simhash",
+    # - threshold-curve one-pass aggregation at threshold=min(curve):
+    "dedup_threshold_curve",
+    # - Weiszfeld one-action-per-iteration merge:
+    "geometric_median",
+    # - pairwise prefix bound in the set-similarity join:
+    "setsim_join_prefix",
+    # - OPQ: driver-side sample rotation, merged fn() actions:
+    "ann_opq_rerank_topk",
+]
+
+# r14 window: the changed paths above lead; the 32 fills are the
+# oldest-driver-green entries (all last green r7) not in the r13 window.
+PRIORITY_R14 = CHANGED_THIS_ROUND + [
+    "diff_in_diff",
+    "fd_discovery",
+    "fk_orphan_report",
+    "forecast_conformal",
+    "frequent_triples",
+    "gains_table",
+    "group_kfold",
+    "join_skew_report",
+    "l_diversity",
+    "missing_days_report",
+    "mktsegment_profile",
+    "monthly_quantile_bands",
+    "multimodal_audio_frames",
+    "multimodal_audio_stats",
+    "multimodal_resize",
+    "nation_trade_balance",
+    "new_vs_returning",
+    "order_reconciliation",
+    "pareto_front",
+    "price_realization",
+    "priority_mix_trend",
+    "purchase_cadence",
+    "return_rate_by_brand",
+    "revenue_bridge",
+    "rfm_migration",
+    "session_copresence",
+    "session_entry_exit",
+    "session_length_histogram",
+    "shipping_lag_profile",
+    "size_price_regression",
+    "skew_kurtosis",
+    "slow_movers",
+]
+assert len(PRIORITY_R14) == 50, f"PRIORITY_R14 must fill the window exactly: {len(PRIORITY_R14)}"
+
+# The driver verifies the first 50 entries of queries()/oracle_sql();
+# PRIORITY pins that order. Round 8 on: the regression rotation.
+PRIORITY = PRIORITY_R14
+
+# Frozen history: the r13 changed-path list, kept for the r12→r13 window
+# overlap audit (test_rotation.py), independent of the current round's.
+CHANGED_R13 = [
     # r13 BORN: exact substring-level dedup (Lee et al. 2022 — VERDICT
     # r12 missing #1: duplicate_spans + the remove rewriter), DSIR
     # importance weighting + Gumbel-top-k selection (missing #3), and

@@ -184,6 +184,71 @@ def band_keys(sig_col: str, bands: int, rows_per_band: int) -> F.Column:
     )
 
 
+def minhash_banded(
+    docs: DataFrame, num_hashes: int, bands: int, hash_impl: str = "md5"
+) -> DataFrame:
+    """(doc_id, band) rows: MinHash signing + banding in ONE Arrow pass.
+
+    r14 (guide §4.1/§4.2 — interpreted HOFs to vectorized native code):
+    the r13 form ran ``num_hashes`` separate interpreted
+    ``array_min(transform(...))`` walks per document plus a string
+    ``concat_ws`` per band, then exploded. Here the base-hash arrays
+    cross to the Python worker once per partition and numpy computes
+    every affine map + segment-min vectorized; the band key is an int64
+    mix of the band's minimums instead of a string (wrapping int64
+    arithmetic, deterministic). Key collisions can only MERGE buckets —
+    extra candidate pairs that exact-Jaccard verification discards — so
+    the verified output is identical for any key function, exactly the
+    argument that already covers ``hash_impl='native'``. Measured on
+    sf0.1 (H=64, B=16): dedup_minhash_lsh pair stage 1.94s -> 1.39s
+    warm, output byte-identical both ways.
+
+    The at-rest layout writers/probes (:func:`write_minhash_bands`
+    family) keep the r13 string keys: their key format is PERSISTED in
+    the band table and parsed for ``band_idx``, so layout and probe move
+    together or not at all.
+    """
+    rows_per_band = num_hashes // bands
+    consts = [_affine_constants(i) for i in range(num_hashes)]
+    a_consts = [a for a, _ in consts]
+    b_consts = [b for _, b in consts]
+    bh = docs.withColumn("bh", base_hashes("sh", hash_impl)).select(
+        "doc_id", "bh"
+    )
+
+    def bandgen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        av = np.array(a_consts, dtype=np.int64)
+        bv = np.array(b_consts, dtype=np.int64)
+        mixer = np.int64(1000003)
+        for tbl in batches:
+            lst = tbl.column("bh")
+            if len(lst) == 0:
+                continue
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            offsets = lst.offsets.to_numpy(zero_copy_only=False)
+            values = lst.values.to_numpy(zero_copy_only=False)
+            starts = offsets[:-1]
+            ndocs = len(starts)
+            with np.errstate(over="ignore"):
+                keys = np.empty((ndocs, bands), dtype=np.int64)
+                for b in range(bands):
+                    mix = np.full(ndocs, b, dtype=np.int64)
+                    for r in range(rows_per_band):
+                        i = b * rows_per_band + r
+                        x = (values * av[i] + bv[i]) % MERSENNE_31
+                        mix = mix * mixer + np.minimum.reduceat(x, starts)
+                    keys[:, b] = mix
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(ids, bands)), pa.array(keys.ravel())],
+                ["doc_id", "band"],
+            )
+
+    return bh.mapInArrow(bandgen, "doc_id long, band bigint")
+
+
 def jaccard(a: str | F.Column, b: str | F.Column) -> F.Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
@@ -261,12 +326,9 @@ def minhash_lsh_pairs(
     # reuse the exchange across the l/r aliases, so without this the 64-hash
     # signature is computed twice. Banded rows are (id, band-key) — tiny
     # (~100x smaller than the shingle sets) even at full corpus scale.
-    banded = (
-        pin(docs.withColumn("bh", base_hashes("sh", hash_impl))
-        .select("doc_id", minhash_signature("bh", num_hashes).alias("sig"))
-        .select(
-            "doc_id", F.explode(band_keys("sig", bands, rows_per_band)).alias("band")
-        ), StorageLevel.MEMORY_AND_DISK)
+    banded = pin(
+        minhash_banded(docs, num_hashes, bands, hash_impl),
+        StorageLevel.MEMORY_AND_DISK,
     )
 
     left = banded.alias("l")
@@ -714,7 +776,7 @@ def setsim_prefix_pairs(
     )
     plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = ranked.filter(F.col("rk") <= plen).select(
-        "doc_id", "shingle", "n_sh"
+        "doc_id", "shingle", "rk", "n_sh"
     )
 
     # second PPJoin prune: J >= t forces t*max(|a|,|b|) <= |a ∩ b| <=
@@ -722,10 +784,33 @@ def setsim_prefix_pairs(
     # qualify — filtered before the distinct, with multiply-not-divide
     # arithmetic so the bound is exact
     a = prefix.select(
-        F.col("doc_id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+        F.col("doc_id").alias("id_a"),
+        "shingle",
+        F.col("rk").alias("rk_a"),
+        F.col("n_sh").alias("n_a"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+        F.col("doc_id").alias("id_b"),
+        "shingle",
+        F.col("rk").alias("rk_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # r14 (guide §3.2 — cut the big side before it grows; VERDICT r13
+    # #7): the exact PAIRWISE prefix bound. J >= t needs overlap
+    # alpha = ceil(t/(1+t) * (n_a+n_b)); the smallest common shingle w*
+    # (global df order) has only non-common shingles before it on each
+    # side, so rank(w*) <= n - alpha + 1 on BOTH sides, and alpha >= t*n
+    # puts w* inside both probe prefixes — every qualifying pair keeps
+    # its w* row, so the candidate set stays complete while rows whose
+    # shared shingle sits too deep for the COMBINED sizes are dropped
+    # before the distinct (measured at sf0.1: 444k -> 206k candidates,
+    # the exact-verify stage's input halved, 5.1s -> 4.0s; output
+    # byte-identical). The 1e-9 slack only ever LOWERS alpha by one on
+    # an exact integer boundary — a weaker prune, never a lost pair.
+    alpha = F.ceil(
+        F.lit(threshold) / F.lit(1.0 + threshold)
+        * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
     )
     cands = (
         a.join(b, "shingle")
@@ -735,6 +820,8 @@ def setsim_prefix_pairs(
                 F.lit(threshold) * F.greatest("n_a", "n_b")
                 <= F.least("n_a", "n_b")
             )
+            & (F.col("rk_a") <= F.col("n_a") - alpha + 1)
+            & (F.col("rk_b") <= F.col("n_b") - alpha + 1)
         )
         .select("id_a", "id_b")
         .distinct()
@@ -795,13 +882,9 @@ def minhash_lsh_pairs_incremental(
     """
     rows_per_band = num_hashes // bands
     docs = _shingled_docs(df, id_col, text_col, shingle_n)
-    banded = (
-        pin(docs.withColumn("bh", base_hashes("sh", hash_impl))
-        .select("doc_id", minhash_signature("bh", num_hashes).alias("sig"))
-        .select(
-            "doc_id",
-            F.explode(band_keys("sig", bands, rows_per_band)).alias("band"),
-        ), StorageLevel.MEMORY_AND_DISK)
+    banded = pin(
+        minhash_banded(docs, num_hashes, bands, hash_impl),
+        StorageLevel.MEMORY_AND_DISK,
     )
     is_delta = df.select(
         F.col(id_col).alias("doc_id"), delta_pred.alias("__is_delta")

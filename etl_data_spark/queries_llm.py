@@ -3891,16 +3891,32 @@ def _opq_scored_cte() -> str:
     "rotation is pytest-covered with recall measured in SCALE.md.",
 )
 def q_ann_opq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from etl_data_spark.operators import pq as PQ
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assert len(e.first()["embedding"]) == _ANN_DIM
     R = _opq_R()
-    rotated = PQ.rotate_vectors(e, R, "embedding", "_rv")
-    books = PQ.train_pq(
-        rotated, m=_PQ_M, k=_PQ_K, sample_rows=_PQ_K, iters=0, vec_col="_rv"
-    )
+    # r14 (guide §1.2 — driver costs): the r13 form ran FOUR driver
+    # actions in fn() and the trainer sample collected through the
+    # executor-side interpreted rotation fold over the whole frame. Now
+    # the dim assert rides the query-vector fetch, and the trainer sample
+    # collects RAW vectors and rotates driver-side with _rotate_vec_py —
+    # bit-identical to the executor fold by that function's contract
+    # (same i-ascending fold order), so the codebooks and every
+    # downstream byte are unchanged. fn-side: 2 actions instead of 4,
+    # no full-frame rotation evaluation before the timed plan.
     qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    assert len(qvec) == _ANN_DIM
+    sample = (
+        e.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    )
+    mat = np.asarray(
+        [PQ._rotate_vec_py(list(r[0]), R) for r in sample],
+        dtype=np.float64,
+    )
+    books = PQ._fit_codebooks(mat, _PQ_M, _PQ_K, 0)
+    rotated = PQ.rotate_vectors(e, R, "embedding", "_rv")
     q_rot = PQ._rotate_vec_py(qvec, R)
     codes = PQ.pq_encode(rotated, books, "_rv").select("vec_id", "pq_code")
     short = PQ.pq_topk(

@@ -5141,6 +5141,11 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u",
         "v",
     ))
+    # r14: an algebraic one-join rewrite (degree-weighted vertex moments +
+    # one neighbor-degree-sum join) was measured 47% SLOWER here — the two
+    # vertex-frame joins below are BROADCAST hash joins over the pinned
+    # edge list (no edge shuffle at all), while the rewrite's
+    # groupBy(u) forced a full edge shuffle. Left as-is deliberately.
     deg = g.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("u"), F.col("deg").alias("x"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))

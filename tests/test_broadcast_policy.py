@@ -76,7 +76,6 @@ ALLOWED = {
     ("queries_incr.py", "q_drill_across"): 2,  # nation x2
     ("queries_incr.py", "q_junk_dimension"): 1,  # bounded flag-combination dim
     ("queries_llm.py", "q_audience_overlap"): 2,  # per-event-type counts
-    ("queries_llm.py", "q_dedup_threshold_curve"): 1,  # constant threshold list
     ("queries_llm.py", "q_knn_mrr"): 2,  # fixed 200-query probe set (+ its distinct)
     # r13 audit:
     # the (word -> token array) vocab frame of the tokenizer apply side —

@@ -13,6 +13,7 @@ from etl_data_spark.catalog import (
     CHANGED_R10,
     CHANGED_R11,
     CHANGED_R12,
+    CHANGED_R13,
     CHANGED_THIS_ROUND,
     PRIORITY,
     PRIORITY_R7,
@@ -22,6 +23,7 @@ from etl_data_spark.catalog import (
     PRIORITY_R11,
     PRIORITY_R12,
     PRIORITY_R13,
+    PRIORITY_R14,
     REGISTRY,
 )
 
@@ -56,6 +58,7 @@ def test_window_is_exactly_50_known_entries():
     assert len(PRIORITY_R11) == 50 and len(set(PRIORITY_R11)) == 50
     assert len(PRIORITY_R12) == 50 and len(set(PRIORITY_R12)) == 50
     assert len(PRIORITY_R13) == 50 and len(set(PRIORITY_R13)) == 50
+    assert len(PRIORITY_R14) == 50 and len(set(PRIORITY_R14)) == 50
     unknown = [
         n
         for n in PRIORITY
@@ -66,6 +69,7 @@ def test_window_is_exactly_50_known_entries():
         + PRIORITY_R11
         + PRIORITY_R12
         + PRIORITY_R13
+        + PRIORITY_R14
         if n not in REGISTRY
     ]
     assert not unknown, f"window references unregistered queries: {unknown}"
@@ -97,9 +101,14 @@ def test_window_is_exactly_50_known_entries():
         f"{sorted(overlap_1112 - set(CHANGED_R12))}"
     )
     overlap_1213 = set(PRIORITY_R12) & set(PRIORITY_R13)
-    assert overlap_1213 <= set(CHANGED_THIS_ROUND), (
+    assert overlap_1213 <= set(CHANGED_R13), (
+        f"unchanged entries repeated across the r12/r13 windows: "
+        f"{sorted(overlap_1213 - set(CHANGED_R13))}"
+    )
+    overlap_1314 = set(PRIORITY_R13) & set(PRIORITY_R14)
+    assert overlap_1314 <= set(CHANGED_THIS_ROUND), (
         f"unchanged entries repeat across consecutive windows: "
-        f"{sorted(overlap_1213 - set(CHANGED_THIS_ROUND))}"
+        f"{sorted(overlap_1314 - set(CHANGED_THIS_ROUND))}"
     )
 
 
@@ -107,10 +116,11 @@ def test_active_window_is_the_regression_rotation():
     """Round 8 on: the burn-down is complete, so the active window must be
     the regression rotation, opening with the current round's changed code
     paths (ROTATION.md)."""
-    assert PRIORITY is PRIORITY_R13
-    # r13 changed paths lead the window: the substring-dedup + DSIR + OPQ
-    # births, the BPE apply-side vocab-frame rework, and the PQ-trainer /
-    # OPQ-branch refactors
+    assert PRIORITY is PRIORITY_R14
+    # r14 changed paths lead the window: the optimization round's
+    # plan-moved entries (SemDeDup Arrow scoring, skew-hardened star
+    # rounds, Arrow minhash banding, packed simhash, threshold-curve /
+    # Weiszfeld / OPQ action cuts, setsim pairwise prefix bound)
     assert PRIORITY[: len(CHANGED_THIS_ROUND)] == CHANGED_THIS_ROUND
 
 
